@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog}
+
+/** SQL-surface registration of the engine's native expressions, so
+  * `spark.sql("SELECT anonymize_ip(addr) ...")` works. Idempotent; usable on
+  * any session (the driver's included). [[GraftExtensions]] wires the same
+  * set through `spark.sql.extensions` for cluster deployments.
+  */
+object GraftFunctions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  val all: Seq[(String, Builder)] = Seq(
+    "anonymize_ip"           -> ((es: Seq[Expression]) => AnonymizeIp(es.head)),
+    "capnp_encode_http_log"  -> ((es: Seq[Expression]) => CapnpEncodeHttpLog(es)),
+    "capnp_decode_http_log"  -> ((es: Seq[Expression]) => CapnpDecodeHttpLog(es.head)))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      builder)
+  }
+}

@@ -30,6 +30,61 @@ object Queries {
 
   // ---------------------------------------------------------------- group A
 
+  private val a01 = Q(
+    "a01_capnp_roundtrip",
+    (s, dir) => {
+      // Encode every http_log row as a framed capnp message, then decode it
+      // back — the oracle projects the same fields directly, so the compare
+      // passes iff the codec round-trips the public wire format faithfully.
+      val hl = HttpLog.view(Tables.events(s, dir))
+        .withColumn("ts_milli", expr("unix_millis(ts)"))
+      val enc = hl.select(
+        graft.functions.capnp_encode_http_log(
+          col("ts_milli"), col("resource_id"), col("bytes_sent"),
+          col("request_time_milli"), col("response_status"),
+          col("cache_status"), col("method"), col("remote_addr"), col("url")
+        ).as("msg"))
+      enc
+        .select(graft.functions.capnp_decode_http_log(col("msg")).as("r"))
+        .select(
+          col("r.ts_milli").as("ts_milli"),
+          col("r.resource_id").as("resource_id"),
+          col("r.bytes_sent").as("bytes_sent"),
+          col("r.request_time_milli").as("request_time_milli"),
+          col("r.response_status").as("response_status"),
+          col("r.cache_status").as("cache_status"),
+          col("r.method").as("method"),
+          col("r.remote_addr").as("remote_addr"),
+          col("r.url").as("url"))
+    },
+    Some(s"""${HttpLog.cte}
+      |SELECT CAST(epoch_ms(ts) AS BIGINT) AS ts_milli, resource_id, bytes_sent,
+      |       request_time_milli, response_status, cache_status, method,
+      |       remote_addr, url
+      |FROM http_log""".stripMargin))
+
+  private val a02 = Q(
+    "a02_anonymize_ip",
+    (s, dir) => {
+      // Reference anonymize_ip semantics over three shapes: the view's IPv4
+      // addresses, synthesized canonical IPv6 addresses, and non-IP garbage
+      // (must pass through unchanged, lib.rs:255).
+      val hl = HttpLog.view(Tables.events(s, dir))
+        .withColumn("v6", format_string("2001:db8:%x:1::%x",
+          col("resource_id") + 1, (col("log_id") % 65535) + 1))
+      hl.select(
+        col("log_id"),
+        graft.functions.anonymize_ip(col("remote_addr")).as("anon_v4"),
+        graft.functions.anonymize_ip(col("v6")).as("anon_v6"),
+        graft.functions.anonymize_ip(col("url")).as("anon_junk"))
+    },
+    Some(s"""${HttpLog.cte}
+      |SELECT log_id,
+      |       regexp_replace(remote_addr, '\\.[0-9]+$$', '.x') AS anon_v4,
+      |       printf('2001:db8:%x:1::%x', resource_id + 1, (log_id % 65535) + 1) || ':xxxx' AS anon_v6,
+      |       url AS anon_junk
+      |FROM http_log""".stripMargin))
+
   private val a03 = Q(
     "a03_dedup_replacing",
     (s, dir) => {
@@ -176,5 +231,5 @@ object Queries {
 
   // ----------------------------------------------------------------
 
-  val all: Seq[Q] = Seq(a03, a04, a06, b01, b02, e01)
+  val all: Seq[Q] = Seq(a01, a02, a03, a04, a06, b01, b02, e01)
 }

@@ -1,0 +1,114 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{HttpLogCodec, IpAnon}
+
+/** Native Catalyst expressions for the graft engine.
+  *
+  * Hosted under `org.apache.spark.sql` (the standard library escape hatch,
+  * cf. public Spark-extension projects) because `AbstractDataType` /
+  * `ExpressionUtils` are `private[sql]`. All heavy lifting lives in the
+  * public `graft.functions.{IpAnon, HttpLogCodec}` objects, which the
+  * generated code calls statically — so everything stays inside whole-stage
+  * codegen with zero boxing.
+  */
+
+/** `anonymize_ip(string) -> string` — reference `anonymize_ip` semantics
+  * (`/root/reference/anonymizer/src/lib.rs:253-271`).
+  */
+case class AnonymizeIp(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "anonymize_ip"
+
+  override protected def nullSafeEval(input: Any): Any =
+    IpAnon.anonymize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IpAnon.anonymize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AnonymizeIp =
+    copy(child = newChild)
+}
+
+/** `capnp_encode_http_log(ts_milli, resource_id, bytes_sent,
+  * request_time_milli, response_status, cache_status, method, remote_addr,
+  * url) -> binary`: one framed capnp HttpLogRecord message.
+  */
+case class CapnpEncodeHttpLog(children: Seq[Expression])
+    extends Expression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    LongType, LongType, LongType, LongType, IntegerType,
+    StringType, StringType, StringType, StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "capnp_encode_http_log"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else HttpLogCodec.encode(
+      vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Long], vs(2).asInstanceOf[Long],
+      vs(3).asInstanceOf[Long], vs(4).asInstanceOf[Int],
+      vs(5).asInstanceOf[UTF8String], vs(6).asInstanceOf[UTF8String],
+      vs(7).asInstanceOf[UTF8String], vs(8).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(e => s"${e.isNull}").mkString(" || ")
+    val args = evals.map(e => s"${e.value}").mkString(", ")
+    val javaType = CodeGenerator.javaType(dataType)
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = $anyNull;
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.HttpLogCodec.encode($args);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CapnpEncodeHttpLog = copy(children = newChildren)
+}
+
+/** `capnp_decode_http_log(binary) -> struct` — null on malformed input
+  * (dead-letter semantics, reference lib.rs:112).
+  */
+case class CapnpDecodeHttpLog(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = HttpLogCodec.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "capnp_decode_http_log"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HttpLogCodec.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HttpLogCodec.decode($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): CapnpDecodeHttpLog =
+    copy(child = newChild)
+}
+
+/** Column/Expression conversions for code outside the sql package. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
