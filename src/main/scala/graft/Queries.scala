@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.HttpLog
@@ -156,6 +157,128 @@ object Queries {
       |ORDER BY total_bytes DESC, resource_id
       |LIMIT 10""".stripMargin))
 
+  private val a05 = Q(
+    "a05_traffic_rollup",
+    (s, dir) =>
+      // Grafana-style pre-aggregate at multiple granularities in one pass
+      // (per (resource, cache), per resource, grand total).
+      httpLog(s, dir)
+        .rollup("resource_id", "cache_status")
+        .agg(
+          count(lit(1)).as("requests"),
+          sum("bytes_sent").as("total_bytes"),
+          round(avg("request_time_milli"), 4).as("avg_time_milli")),
+    Some(s"""${HttpLog.cte}
+      |SELECT resource_id, cache_status,
+      |       count(*) AS requests,
+      |       CAST(sum(bytes_sent) AS BIGINT) AS total_bytes,
+      |       round(avg(request_time_milli), 4) AS avg_time_milli
+      |FROM http_log
+      |GROUP BY ROLLUP (resource_id, cache_status)""".stripMargin))
+
+  private val a07 = Q(
+    "a07_error_rate",
+    (s, dir) => {
+      val hl = httpLog(s, dir)
+      hl.groupBy(col("resource_id"), date_trunc("hour", col("ts")).as("ts_hour"))
+        .agg(
+          sum(when(col("response_status") >= 400, 1L).otherwise(0L)).as("errors"),
+          count(lit(1)).as("requests"))
+        .withColumn("error_rate",
+          round(col("errors").cast("double") / col("requests"), 4))
+    },
+    Some(s"""${HttpLog.cte}
+      |SELECT resource_id, date_trunc('hour', ts) AS ts_hour,
+      |       CAST(sum(CASE WHEN response_status >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+      |       count(*) AS requests,
+      |       round(CAST(sum(CASE WHEN response_status >= 400 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS error_rate
+      |FROM http_log
+      |GROUP BY 1, 2""".stripMargin))
+
+  private val a08 = Q(
+    "a08_latency_quantiles",
+    (s, dir) =>
+      // Exact interpolated percentiles (matches quantile_cont); at 100 TB the
+      // approx_percentile sketch is the drop-in replacement, kept exact here
+      // so the oracle can check it.
+      httpLog(s, dir)
+        .groupBy("resource_id")
+        .agg(
+          round(expr("percentile(request_time_milli, 0.5)"), 4).as("p50"),
+          round(expr("percentile(request_time_milli, 0.95)"), 4).as("p95"),
+          round(expr("percentile(request_time_milli, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("requests")),
+    Some(s"""${HttpLog.cte}
+      |SELECT resource_id,
+      |       round(quantile_cont(request_time_milli, 0.5), 4) AS p50,
+      |       round(quantile_cont(request_time_milli, 0.95), 4) AS p95,
+      |       round(quantile_cont(request_time_milli, 0.99), 4) AS p99,
+      |       count(*) AS requests
+      |FROM http_log
+      |GROUP BY 1""".stripMargin))
+
+  private val a09 = Q(
+    "a09_sessionize",
+    (s, dir) => {
+      // Gap-based sessionization (30 min): the one operator here that
+      // genuinely needs a per-key ordered window — one shuffle + per-user
+      // sort, the canonical distributed plan for it.
+      val ev = Tables.events(s, dir)
+      val byUser = Window.partitionBy("user_id").orderBy("ts_ns")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ordered = Window.partitionBy("user_id").orderBy("ts_ns")
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      ev.withColumn("new_sess",
+          when(col("ts_ns") - lag("ts_ns", 1).over(ordered) > gapNs, 1L)
+            .when(lag("ts_ns", 1).over(ordered).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_sess").over(byUser))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          ((max("ts_ns") - min("ts_ns")) / lit(1000000000L)).cast("long").as("dur_sec"))
+    },
+    Some("""WITH marked AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns,
+      |         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL THEN 1
+      |              WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1
+      |              ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))),
+      |sess AS (
+      |  SELECT user_id, ts_ns,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       CAST((max(ts_ns) - min(ts_ns)) // 1000000000 AS BIGINT) AS dur_sec
+      |FROM sess GROUP BY 1, 2""".stripMargin))
+
+  private val a10 = Q(
+    "a10_dead_letter",
+    (s, dir) => {
+      // Invalid-message routing through the real decode path: corrupt every
+      // 97th frame (truncate to 8 bytes) and count what dead-letters. The
+      // reference drops unparsable messages idempotently (lib.rs:112).
+      val hl = HttpLog.view(Tables.events(s, dir))
+        .withColumn("ts_milli", expr("unix_millis(ts)"))
+      hl.withColumn("msg", graft.functions.capnp_encode_http_log(
+          col("ts_milli"), col("resource_id"), col("bytes_sent"),
+          col("request_time_milli"), col("response_status"),
+          col("cache_status"), col("method"), col("remote_addr"), col("url")))
+        .withColumn("msg", when(col("log_id") % 97 === 0,
+          expr("substring(msg, 1, 8)")).otherwise(col("msg")))
+        .withColumn("decoded", graft.functions.capnp_decode_http_log(col("msg")))
+        .select(when(col("decoded").isNull, "dead_letter").otherwise("ok").as("reason"))
+        .groupBy("reason")
+        .agg(count(lit(1)).as("messages"))
+    },
+    Some(s"""${HttpLog.cte}
+      |SELECT CASE WHEN log_id % 97 = 0 THEN 'dead_letter' ELSE 'ok' END AS reason,
+      |       count(*) AS messages
+      |FROM http_log
+      |GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------- group B
 
   private val b01 = Q(
@@ -215,6 +338,90 @@ object Queries {
       |GROUP BY n_name""".stripMargin),
     bench = true)
 
+  private val b03 = Q(
+    "b03_brand_volume",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          round(sum("l_quantity"), 2).as("volume"),
+          round(sum("l_extendedprice"), 2).as("gross"),
+          count(lit(1)).as("line_cnt")),
+    Some("""SELECT p_brand,
+      |       round(sum(l_quantity), 2) AS volume,
+      |       round(sum(l_extendedprice), 2) AS gross,
+      |       count(*) AS line_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin))
+
+  private val b04 = Q(
+    "b04_top_orders_per_cust",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         CAST(row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+      |  FROM orders) WHERE rank <= 3""".stripMargin))
+
+  private val b05 = Q(
+    "b05_cust_wo_urgent",
+    (s, dir) =>
+      // anti join with a pushed-down filter on the probe side
+      Tables.customer(s, dir)
+        .join(
+          Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+    Some("""SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin))
+
+  private val b06 = Q(
+    "b06_distinct_users",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("events"),
+          round(sum("value"), 2).as("total_value")),
+    Some("""SELECT event_type,
+      |       count(DISTINCT user_id) AS users,
+      |       count(*) AS events,
+      |       round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1""".stripMargin))
+
+  private val b07 = Q(
+    "b07_priority_pivot",
+    (s, dir) => {
+      def cnt(p: String) = sum(when(col("o_orderpriority") === p, 1L).otherwise(0L))
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          cnt("1-URGENT").as("urgent"),
+          cnt("2-HIGH").as("high"),
+          cnt("3-MEDIUM").as("medium"),
+          cnt("4-NOT SPECIFIED").as("unspecified"),
+          cnt("5-LOW").as("low"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+    },
+    Some("""SELECT o_orderstatus,
+      |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+      |       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+      |       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+      |       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS unspecified,
+      |       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low,
+      |       round(sum(o_totalprice), 2) AS total_price
+      |FROM orders GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------- group E
 
   private val e01 = Q(
@@ -231,5 +438,8 @@ object Queries {
 
   // ----------------------------------------------------------------
 
-  val all: Seq[Q] = Seq(a01, a02, a03, a04, a06, b01, b02, e01)
+  val all: Seq[Q] = Seq(
+    a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
+    b01, b02, b03, b04, b05, b06, b07,
+    e01)
 }
