@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.HttpLog
+import graft.operators.{Dedup, HttpLog, Multimodal, Similarity}
 
 /** One registered query of the engine.
   *
@@ -422,6 +422,110 @@ object Queries {
       |       round(sum(o_totalprice), 2) AS total_price
       |FROM orders GROUP BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- group C
+
+  /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
+    * doc_id%20==10 → near copy (3 extra tokens). Gives the dedup family
+    * known answers; the oracle CTE mirrors it exactly.
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text",
+        when(col("doc_id") % 20 === 10, concat(col("text"), lit(" graft dup marker")))
+          .otherwise(col("text")))
+    docs.unionByName(planted)
+  }
+
+  private val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         CASE WHEN doc_id % 20 = 10 THEN text || ' graft dup marker' ELSE text END AS text,
+      |         lang, source, n_chars
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val c01 = Q(
+    "c01_exact_dedup",
+    (s, dir) => Dedup.exact(corpus(s, dir), "doc_id", "text"),
+    Some(s"""WITH $corpusCte
+      |SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      |       count(*) AS n_copies
+      |FROM corpus GROUP BY 1""".stripMargin),
+    bench = true)
+
+  private val c02 = Q(
+    "c02_minhash_lsh",
+    (s, dir) => Dedup.minhashPairs(corpus(s, dir), "doc_id", "text"),
+    None, // LSH banding not SQL-expressible; known-answer recall in DedupSpec
+    bench = true)
+
+  private val c03 = Q(
+    "c03_simhash",
+    (s, dir) => Dedup.simhashPairs(corpus(s, dir), "doc_id", "text"),
+    None)
+
+  private val c04 = Q(
+    "c04_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(corpus(s, dir), "doc_id", "text", "source"),
+    None)
+
+  private val c05 = Q(
+    "c05_embedding_neardup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val aug = emb.unionByName(
+        emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+      Dedup.embeddingPairs(aug, "vec_id", "embedding")
+    },
+    Some("""WITH aug AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 25 = 0)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin))
+
+  // ---------------------------------------------------------------- group D
+
+  private val d01 = Q(
+    "d01_ann_bruteforce",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(emb, queries, 10)
+    },
+    // embeddings cast to DOUBLE[] so DuckDB accumulates in double like
+    // VectorOps.cosine does (float accumulation flips ~1% of 4-dp roundings)
+    Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT qid, e.vec_id AS neighbor,
+      |         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS c,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+      |  FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+      |SELECT qid, neighbor, round(c, 4) AS cos_sim, CAST(rank AS INT) AS rank
+      |FROM scored WHERE rank <= 10""".stripMargin),
+    bench = true)
+
+  private val d02 = Q(
+    "d02_ann_lsh",
+    (s, dir) => {
+      // query the planted twins: their exact copies must be retrieved
+      // (hyperplane collision probability 1 at cosine 1) — asserted in spec
+      val emb = Tables.embeddings(s, dir)
+      val aug = emb.unionByName(
+        emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+      val queries = aug.filter(col("vec_id") >= 100000)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.lshTopK(aug, queries, 5)
+    },
+    None)
+
   // ---------------------------------------------------------------- group E
 
   private val e01 = Q(
@@ -436,10 +540,96 @@ object Queries {
       |       CAST(length(text) AS INT) AS char_cnt
       |FROM documents""".stripMargin))
 
+  private val e02 = Q(
+    "e02_quality_score",
+    (s, dir) => {
+      val chars = length(col("text"))
+      val toks = size(split(trim(col("text")), "\\s+"))
+      val punct = size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+      val stops = size(expr(
+        "regexp_extract_all(text, '\\\\b(the|a|and|of|to|in|is|it|for|on)\\\\b', 0)"))
+      val punctRatio = punct.cast("double") / chars
+      val stopRatio = stops.cast("double") / toks
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        chars.as("chars"),
+        toks.as("toks"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(
+          least(toks.cast("double") / 100.0, lit(1.0)) * 0.3 +
+            (lit(1.0) - punctRatio) * 0.3 +
+            least(stopRatio * 4.0, lit(1.0)) * 0.4, 4).as("quality"))
+    },
+    Some("""SELECT doc_id,
+      |  CAST(length(text) AS INT) AS chars,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS toks,
+      |  round(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+      |  round(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|for|on)\b')) AS DOUBLE)
+      |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stop_ratio,
+      |  round(
+      |    least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+      |    (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text)) * 0.3 +
+      |    least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|for|on)\b')) AS DOUBLE)
+      |          / len(regexp_split_to_array(trim(text), '\s+')) * 4.0, 1.0) * 0.4, 4) AS quality
+      |FROM documents""".stripMargin),
+    bench = true)
+
+  private val e03 = Q(
+    "e03_langid",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.lang_id(col("text")).as("lang_pred"),
+        col("lang").as("lang_label")),
+    None) // heuristic profile scoring isn't SQL-expressible; properties in spec
+
+  private val e04 = Q(
+    "e04_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("fp")),
+    Some("""SELECT doc_id,
+      |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin))
+
+  private val e05 = Q(
+    "e05_winnow",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), explode(graft.functions.winnow(col("text"))).as("fp")),
+    None)
+
+  // ---------------------------------------------------------------- group F
+
+  private val f01 = Q(
+    "f01_binary_meta",
+    (s, dir) =>
+      // media payloads as opaque binary + typed metadata; the fake payload is
+      // the utf-8 text bytes, the metadata path (length, digest) is real
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha")),
+    Some("""SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes, sha256(text) AS sha
+      |FROM documents""".stripMargin))
+
+  private val f02 = Q(
+    "f02_mm_features",
+    (s, dir) =>
+      Multimodal.extractFeatures(
+        s, Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload").toDF(),
+    None)
+
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
     b01, b02, b03, b04, b05, b06, b07,
-    e01)
+    c01, c02, c03, c04, c05,
+    d01, d02,
+    e01, e02, e03, e04, e05,
+    f01, f02)
 }

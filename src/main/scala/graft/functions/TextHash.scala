@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic text hashing / sketching primitives for the dedup family
+  * and text analysis (SURVEY.md §2 groups C and E). Pure static Scala so the
+  * Catalyst expressions' generated code can call straight in.
+  *
+  * All hashes derive from splitmix64 — stable across JVMs and partitions,
+  * which large-scale dedup requires (a re-run or a different executor must
+  * produce identical signatures).
+  */
+object TextHash {
+
+  /** splitmix64 finalizer. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a over UTF-16 chars, finalized with splitmix64. */
+  def hashString(s: CharSequence, from: Int, until: Int, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = from
+    while (i < until) {
+      h = (h ^ s.charAt(i)) * 0x100000001b3L
+      i += 1
+    }
+    mix(h)
+  }
+
+  /** Lowercase + collapse runs of whitespace to single spaces. */
+  def normalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def tokens(s: String): Array[String] = {
+    val n = normalize(s)
+    if (n.isEmpty) Array.empty else n.split(' ')
+  }
+
+  /** Distinct hashes of word k-grams (shingles) of the normalized text. */
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokens(text.toString)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (toks.length >= k) {
+      var i = 0
+      while (i + k <= toks.length) {
+        var h = 0x9e3779b97f4a7c15L
+        var j = 0
+        while (j < k) { h = mix(h ^ hashString(toks(i + j), 0, toks(i + j).length, 17L)); j += 1 }
+        set.add(h)
+        i += 1
+      }
+    } else if (toks.nonEmpty) {
+      // short doc: fall back to unigram shingles so it still has a signature
+      toks.foreach(t => set.add(hashString(t, 0, t.length, 17L)))
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: sig(i) = min over shingles of splitmix64(x ^ seed_i)
+    * (unsigned min). One pass per shingle over all n hash functions; at 100 TB
+    * scale the one-permutation-hashing variant halves this cost, noted in
+    * SURVEY.md.
+    */
+  def minhashSig(text: UTF8String, k: Int, n: Int): ArrayData = {
+    val sh = wordShingles(text, k)
+    val sig = Array.fill[Long](n)(-1L) // 0xFFFF... = unsigned max
+    var s = 0
+    while (s < sh.numElements()) {
+      val x = sh.getLong(s)
+      var i = 0
+      while (i < n) {
+        val h = mix(x ^ mix(i.toLong))
+        if (java.lang.Long.compareUnsigned(h, sig(i)) < 0) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** LSH band keys: hash each (bandIdx, sig-slice) to one long. Signature
+    * length must be a multiple of `bands`.
+    */
+  def lshBandKeys(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val rows = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix(b.toLong + 0x51L)
+      var r = 0
+      while (r < rows) { h = mix(h ^ sig.getLong(b * rows + r)); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over unigram token hashes (unweighted bit votes). */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokens(text.toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hashString(toks(i), 0, toks(i).length, 29L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling hashes of
+    * char k-grams over the normalized text, min per window of w (rightmost on
+    * ties), distinct, sorted.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = normalize(text.toString)
+    if (n.length < k) return new GenericArrayData(Array.empty[Long])
+    val m = n.length - k + 1
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) { grams(i) = hashString(n, i, i + k, 43L); i += 1 }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var min = grams(0); i = 1
+      while (i < m) { if (java.lang.Long.compareUnsigned(grams(i), min) <= 0) min = grams(i); i += 1 }
+      set.add(min)
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var minIdx = start
+        var j = start + 1
+        while (j < start + w) {
+          if (java.lang.Long.compareUnsigned(grams(j), grams(minIdx)) <= 0) minIdx = j
+          j += 1
+        }
+        set.add(grams(minIdx))
+        start += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  // --- language identification (n-gram/stopword profile heuristic) ---------
+
+  private val profiles: Array[(String, Set[String])] = Array(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "it", "you", "that", "for", "a"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Set("el", "los", "y", "es", "no", "por", "las", "una", "lo", "como"))
+
+  private def isCjk(c: Char): Boolean = {
+    val b = Character.UnicodeBlock.of(c)
+    b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+    b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A ||
+    b == Character.UnicodeBlock.HIRAGANA || b == Character.UnicodeBlock.KATAKANA ||
+    b == Character.UnicodeBlock.HANGUL_SYLLABLES
+  }
+
+  /** Heuristic language id: CJK char ratio, else stopword-profile argmax
+    * (deterministic tie-break by profile order); "und" when nothing matches.
+    */
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (s.isEmpty) return UTF8String.fromString("und")
+    var cjk = 0; var letters = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) { letters += 1; if (isCjk(c)) cjk += 1 }
+      i += 1
+    }
+    if (letters > 0 && cjk.toDouble / letters > 0.2) return UTF8String.fromString("zh")
+    val toks = tokens(s)
+    var best = "und"; var bestScore = 0
+    var p = 0
+    while (p < profiles.length) {
+      val (lang, set) = profiles(p)
+      var score = 0
+      var t = 0
+      while (t < toks.length) { if (set.contains(toks(t))) score += 1; t += 1 }
+      if (score > bestScore) { bestScore = score; best = lang }
+      p += 1
+    }
+    UTF8String.fromString(best)
+  }
+}

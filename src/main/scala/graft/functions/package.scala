@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{AnonymizeIp, Bridge, CapnpDecodeHttpLog, CapnpEncodeHttpLog}
+import org.apache.spark.sql.graft._
 
 /** Column-API for the engine's native expressions (no session-level
   * registration needed; SQL names come from [[GraftFunctions]]).
@@ -24,4 +24,31 @@ package object functions {
 
   /** Parse a framed capnp HttpLogRecord; null struct on malformed input. */
   def capnp_decode_http_log(c: Column): Column = column(CapnpDecodeHttpLog(expression(c)))
+
+  /** Distinct hashes of word k-gram shingles of normalized text. */
+  def word_shingles(c: Column, k: Int = 3): Column = column(WordShingles(expression(c), k))
+
+  /** n-element MinHash signature over word k-gram shingles. */
+  def minhash_sig(c: Column, k: Int = 3, n: Int = 128): Column =
+    column(MinHashSig(expression(c), k, n))
+
+  /** One hashed LSH key per signature band. */
+  def lsh_band_keys(sig: Column, bands: Int = 32): Column =
+    column(LshBandKeys(expression(sig), bands))
+
+  /** 64-bit SimHash of unigram tokens. */
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+
+  /** Winnowing fingerprint hashes (distinct, sorted). */
+  def winnow(c: Column, k: Int = 8, w: Int = 4): Column = column(Winnow(expression(c), k, w))
+
+  /** Heuristic language identification ("en"/"de"/"fr"/"es"/"zh"/"und"). */
+  def lang_id(c: Column): Column = column(LangId(expression(c)))
+
+  /** Cosine similarity of two float-array embeddings, in double precision. */
+  def vec_cosine(a: Column, b: Column): Column = column(VecCosine(expression(a), expression(b)))
+
+  /** Random-hyperplane LSH keys, one per table. */
+  def hyperplane_sketches(c: Column, tables: Int = 4, bits: Int = 8): Column =
+    column(HyperplaneSketches(expression(c), tables, bits))
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Deduplication operator family (SURVEY.md §2 group C), designed so every
+  * variant is an equi-join at scale:
+  *
+  *  - exact: one hash-groupBy (single shuffle, map-side partial agg)
+  *  - MinHash/SimHash: LSH banding turns near-dup search into an equi-join on
+  *    (band, key) — never an O(n²) cross join
+  *  - n-gram Jaccard: bounded by an explicit blocking column
+  *  - embedding: threshold pairs for small/blocked inputs; the scale path is
+  *    [[Similarity.lshTopK]]'s bucketed join
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keeper = min id per hash. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", md5(col(textCol).cast("binary")))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    *
+    * sig(n hashes) → `bands` bands → equi-join on (band, key) → distinct
+    * candidate pairs → verify on true shingle Jaccard. With n=128, bands=32
+    * (r=4), the S-curve crosses ~0.5 at j≈0.42.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, n: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.5): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      word_shingles(col(textCol), k).as("sh"),
+      lsh_band_keys(minhash_sig(col(textCol), k, n), bands).as("keys"))
+    val banded = sigs.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sh = sigs.select(col("id"), col("sh"))
+    cand
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit bands (any band equal → candidate;
+    * guarantees recall for hamming ≤ 3 by pigeonhole), verified by exact
+    * hamming distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("h"))
+    val bandCols = array((0 until 4).map(i =>
+      shiftrightunsigned(col("h"), i * 16).bitwiseAND(lit(0xffffL))): _*)
+    val banded = sh.select(col("id"), posexplode(bandCols).as(Seq("band", "key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("hamming", bit_count(col("sa.h").bitwiseXOR(col("sb.h"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard pairs within an explicit blocking column (the
+    * quadratic stays bounded by the largest block).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, k: Int = 3,
+                        threshold: Double = 0.6): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"), col(blockCol).as("blk"), word_shingles(col(textCol), k).as("sh"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding cosine near-dup pairs above a threshold. Nested-loop join —
+    * intended for small or pre-blocked inputs; use LSH buckets at scale.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.as("a")
+      .join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos_sim", vec_cosine(col("a.vec"), col("b.vec")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column (SURVEY.md §2 group D).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for a (small, broadcast) query set — the
+    * correctness baseline. One scan of the corpus per batch of queries.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", vec_cosine(col("embedding"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN (the scale path): both sides key by random-hyperplane
+    * sketches (`tables` independent tables of `bits` sign-bits), candidates
+    * come from an equi-join on (table, key), then exact cosine ranks them.
+    * Planes are re-derived from hashes on every executor — nothing broadcast.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              tables: Int = 4, bits: Int = 8): DataFrame = {
+    val db = corpus.select(col("vec_id"), col("embedding"),
+      posexplode(hyperplane_sketches(col("embedding"), tables, bits)).as(Seq("tbl", "key")))
+    val q = queries.select(col("qid"), col("qv"),
+      posexplode(hyperplane_sketches(col("qv"), tables, bits)).as(Seq("tbl", "key")))
+    val cand = db
+      .join(broadcast(q), db("tbl") === q("tbl") && db("key") === q("key") &&
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id"), col("embedding"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    cand
+      .withColumn("cos_sim", vec_cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+  }
+}

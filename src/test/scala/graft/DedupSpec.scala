@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Known-answer tests for the dedup family over the planted-duplicate corpus
+  * (see Queries.corpus): doc_id%20==0 → exact copy at id+100000,
+  * doc_id%20==10 → near copy with 3 extra tokens.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  private lazy val corpus: DataFrame = {
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text",
+        when(col("doc_id") % 20 === 10, concat(col("text"), lit(" graft dup marker")))
+          .otherwise(col("text")))
+    docs.unionByName(planted)
+  }
+
+  private lazy val exactIds: Set[Long] = docs
+    .filter(col("doc_id") % 20 === 0).select("doc_id")
+    .collect().map(_.getLong(0)).toSet
+
+  private lazy val nearIds: Set[Long] = docs
+    .filter(col("doc_id") % 20 === 10).select("doc_id")
+    .collect().map(_.getLong(0)).toSet
+
+  test("minhash LSH finds every planted exact dup at jaccard 1.0") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    exactIds.foreach { id =>
+      val j = pairs.get((id, id + 100000))
+      assert(j.contains(1.0), s"exact dup pair ($id, ${id + 100000}) missing or j!=1: $j")
+    }
+  }
+
+  test("minhash LSH finds planted near dups above threshold") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val found = nearIds.count(id => pairs.contains((id, id + 100000)))
+    // banding (32 bands × 4 rows) catches j≈0.9 with prob ≈ 1 - (1-0.9^4)^32
+    assert(found >= (nearIds.size * 0.9).toInt,
+      s"only $found/${nearIds.size} near dups found")
+  }
+
+  test("simhash finds planted exact dups at hamming 0") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    exactIds.foreach { id =>
+      assert(pairs.get((id, id + 100000)).contains(0),
+        s"simhash pair ($id, ${id + 100000}) missing or hamming!=0")
+    }
+  }
+
+  test("ngram jaccard within source blocks finds planted pairs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exactIds.foreach { id =>
+      assert(pairs.contains((id, id + 100000)), s"block pair ($id, ${id + 100000}) missing")
+    }
+  }
+
+  test("exact dedup counts planted exact copies") {
+    val byCopies = Dedup.exact(corpus, "doc_id", "text")
+      .groupBy("n_copies").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCopies.get(2L).contains(exactIds.size.toLong))
+  }
+}
