@@ -623,6 +623,48 @@ object Queries {
         "doc_id", "payload").toDF(),
     None)
 
+  // ---------------------------------------------------------------- group G
+
+  private val g01 = Q(
+    "g01_stream_totals",
+    (s, dir) => {
+      // Batch run of the exact transform the streaming pipeline uses
+      // (StreamingSpec drives the same functions through MemoryStream):
+      // anonymize → (watermark on stream) → hourly windowed totals.
+      val hl = streaming.HttpLogPipeline.anonymize(httpLog(s, dir))
+      streaming.HttpLogPipeline.windowedTotals(
+        streaming.HttpLogPipeline.withEventTimeBounds(hl))
+        .select(
+          col("window.start").as("ts_hour"),
+          col("resource_id"), col("response_status"), col("cache_status"),
+          col("remote_addr"),
+          col("requests"), col("total_bytes"), col("total_time_milli"))
+    },
+    Some(s"""${HttpLog.cte}
+      |SELECT date_trunc('hour', ts) AS ts_hour,
+      |       resource_id, response_status, cache_status,
+      |       regexp_replace(remote_addr, '\\.[0-9]+$$', '.x') AS remote_addr,
+      |       count(*) AS requests,
+      |       CAST(sum(bytes_sent) AS BIGINT) AS total_bytes,
+      |       CAST(sum(request_time_milli) AS BIGINT) AS total_time_milli
+      |FROM http_log
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin))
+
+  private val g02 = Q(
+    "g02_stream_dedup",
+    (s, dir) => {
+      // at-least-once replay (20% of rows re-delivered) restored to
+      // exactly-once by the shared dedup transform
+      val hl = httpLog(s, dir)
+        .withColumn("ts_sec", date_trunc("second", col("ts")))
+        .select("log_id", "resource_id", "bytes_sent", "ts_sec")
+      val replayed = hl.unionByName(hl.filter(col("log_id") % 5 === 0))
+      streaming.HttpLogPipeline.dedupReplayed(replayed, Seq("log_id"))
+    },
+    Some(s"""${HttpLog.cte}
+      |SELECT log_id, resource_id, bytes_sent, date_trunc('second', ts) AS ts_sec
+      |FROM http_log""".stripMargin))
+
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -631,5 +673,6 @@ object Queries {
     c01, c02, c03, c04, c05,
     d01, d02,
     e01, e02, e03, e04, e05,
-    f01, f02)
+    f01, f02,
+    g01, g02)
 }

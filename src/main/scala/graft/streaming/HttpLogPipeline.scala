@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline (Kafka → decode → anonymize → batch → ClickHouse,
+  * `/root/reference/anonymizer/src/lib.rs:10-45`) re-expressed as transforms
+  * shared verbatim between batch DataFrames and Structured Streaming — the
+  * same function lifts to a stream because nothing here is batch-specific.
+  *
+  * Streaming shape: `readStream` (Kafka-shaped frames, see
+  * [[graft.sources.KafkaShaped]]) → [[decodeAndAnonymize]] →
+  * [[windowedTotals]] / [[dedupReplayed]] → `foreachBatch` sink
+  * ([[Sinks.idempotentParquet]] with [[RateLimiter]]).
+  */
+object HttpLogPipeline {
+
+  /** GDPR step: anonymize the remote address (reference lib.rs:253). */
+  def anonymize(logs: DataFrame): DataFrame =
+    logs.withColumn("remote_addr", graft.functions.anonymize_ip(col("remote_addr")))
+
+  /** Decode Kafka-shaped binary frames into anonymized log rows; malformed
+    * frames are dropped (dead-letter counting in [[graft.sources.KafkaShaped]]).
+    */
+  def decodeAndAnonymize(frames: DataFrame): DataFrame = {
+    val decoded = frames
+      .withColumn("r", graft.functions.capnp_decode_http_log(col("value")))
+      .filter(col("r").isNotNull)
+      .select(
+        expr("timestamp_millis(r.ts_milli)").as("ts"),
+        col("r.resource_id").as("resource_id"),
+        col("r.bytes_sent").as("bytes_sent"),
+        col("r.request_time_milli").as("request_time_milli"),
+        col("r.response_status").as("response_status"),
+        col("r.cache_status").as("cache_status"),
+        col("r.method").as("method"),
+        col("r.remote_addr").as("remote_addr"),
+        col("r.url").as("url"))
+    anonymize(decoded)
+  }
+
+  /** The README's traffic-totals table as an hourly windowed aggregation.
+    * On a stream add `.withWatermark("ts", …)` upstream (see
+    * [[withEventTimeBounds]]) — the groupBy itself is identical.
+    */
+  def windowedTotals(logs: DataFrame): DataFrame =
+    logs
+      .groupBy(
+        window(col("ts"), "1 hour"),
+        col("resource_id"), col("response_status"), col("cache_status"),
+        col("remote_addr"))
+      .agg(
+        count(lit(1)).as("requests"),
+        sum("bytes_sent").as("total_bytes"),
+        sum("request_time_milli").as("total_time_milli"))
+
+  /** Event-time bound for streaming use (no-op on batch frames). */
+  def withEventTimeBounds(logs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    if (logs.isStreaming) logs.withWatermark("ts", watermark) else logs
+
+  /** At-least-once replay dedup — the ReplacingMergeTree role in the
+    * reference's delivery semantics (lib.rs:99-107): replayed rows are exact
+    * duplicates, so `dropDuplicates` restores exactly-once output. On a
+    * stream this becomes `dropDuplicatesWithinWatermark` (state bounded by
+    * the watermark); batch uses plain distinct.
+    */
+  def dedupReplayed(logs: DataFrame, keys: Seq[String] = Seq("log_id")): DataFrame =
+    if (logs.isStreaming) logs.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else logs.dropDuplicates(keys)
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{HttpLogPipeline, RateLimiter, Sinks}
+import graft.sources.KafkaShaped
+
+case class StreamLog(ts: Timestamp, resource_id: Long, response_status: Int,
+                     cache_status: String, remote_addr: String,
+                     bytes_sent: Long, request_time_milli: Long, log_id: Long)
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def log(id: Long, hour: Int, addr: String = "10.0.0.7"): StreamLog =
+    StreamLog(Timestamp.valueOf(f"2024-01-01 $hour%02d:10:00"), id % 5, 200, "HIT",
+      addr, 100 + id, 10, id)
+
+  test("streaming windowed totals match the batch transform") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StreamLog]
+    val totals = HttpLogPipeline.windowedTotals(
+      HttpLogPipeline.withEventTimeBounds(HttpLogPipeline.anonymize(ms.toDF())))
+    val q = totals.writeStream.format("memory").queryName("totals")
+      .outputMode("complete").start()
+    try {
+      ms.addData(log(1, 1), log(2, 1), log(3, 2))
+      q.processAllAvailable()
+      ms.addData(log(4, 2), log(5, 2))
+      q.processAllAvailable()
+      val rows = spark.table("totals")
+        .select(col("window.start").cast("string").as("h"), col("requests"))
+        .collect()
+      val hourly = rows.groupBy(_.getString(0).substring(0, 13))
+        .view.mapValues(_.map(_.getLong(1)).sum).toMap
+      assert(hourly("2024-01-01 01") == 2)
+      assert(hourly("2024-01-01 02") == 3)
+      // anonymization ran inside the stream
+      val addrs = spark.table("totals").select("remote_addr").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(addrs == Set("10.0.0.x"))
+    } finally q.stop()
+  }
+
+  test("streaming dedup restores exactly-once over at-least-once replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StreamLog]
+    val dd = HttpLogPipeline.dedupReplayed(
+      HttpLogPipeline.withEventTimeBounds(ms.toDF(), "1 hour"), Seq("log_id"))
+    val q = dd.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      ms.addData(log(1, 1), log(2, 1))
+      q.processAllAvailable()
+      ms.addData(log(2, 1), log(3, 1)) // log 2 re-delivered
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("log_id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("kafka-shaped frames decode with dead-letter split and anonymize") {
+    import spark.implicits._
+    val hl = graft.operators.HttpLog.view(Tables.events(spark, sfDir)).limit(20)
+      .withColumn("ts_milli", expr("unix_millis(ts)"))
+    val payloads = hl.select(
+      graft.functions.capnp_encode_http_log(
+        col("ts_milli"), col("resource_id"), col("bytes_sent"),
+        col("request_time_milli"), col("response_status"),
+        col("cache_status"), col("method"), col("remote_addr"), col("url")).as("value"),
+      col("log_id"))
+      // corrupt one payload
+      .withColumn("value",
+        when(col("log_id") === 0, expr("substring(value, 1, 4)")).otherwise(col("value")))
+    val frames = KafkaShaped.framesFromPayloads(payloads, "value", "log_id")
+    val (good, dead) = KafkaShaped.decodeSplit(frames)
+    assert(dead.count() == 1)
+    assert(good.count() == 19)
+    val logs = HttpLogPipeline.decodeAndAnonymize(frames)
+    assert(logs.count() == 19)
+    val addrs = logs.select("remote_addr").collect().map(_.getString(0))
+    assert(addrs.forall(_.endsWith(".x")))
+  }
+
+  test("idempotent sink: replaying a micro-batch does not duplicate rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "c"), (2L, "b"))
+      .toDF("log_id", "payload")
+    val sink = Sinks.idempotentParquet(dir, Seq("log_id"))
+    sink(batch, 0L)
+    val first = spark.read.parquet(dir).count()
+    sink(batch, 0L) // replay after simulated failure-before-commit
+    val second = spark.read.parquet(dir).count()
+    assert(first == 3, "within-batch dedup")
+    assert(second == 3, "replay is idempotent")
+  }
+
+  test("rate limiter enforces the proxy interval without real sleeping") {
+    var clock = 0L
+    var slept = 0L
+    val rl = new RateLimiter(60000, () => clock, ms => { slept += ms; clock += ms * 1000000 })
+    assert(rl.acquire() == 0L) // first insert free
+    clock += 10000L * 1000000 // 10s pass
+    assert(rl.acquire() == 50000L) // had to wait out the remaining 50s
+    clock += 70000L * 1000000 // 70s pass
+    assert(rl.acquire() == 0L)
+    assert(slept == 50000L)
+  }
+}
