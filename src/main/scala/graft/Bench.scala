@@ -21,15 +21,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Queries.all.filter(_.bench)
-    // one warm-up to move JIT/codegen/classloading out of the measurement
-    headline.headOption.foreach { q =>
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    val results = headline.map { q =>
-      val t0 = System.nanoTime()
+    def run(q: Q): Unit =
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }
+    // warm each query once (codegen compile, JIT, file index), then time it
+    val results = headline.map { q =>
+      run(q)
+      val t0 = System.nanoTime()
+      run(q)
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

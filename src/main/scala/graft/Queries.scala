@@ -62,7 +62,8 @@ object Queries {
       |SELECT CAST(epoch_ms(ts) AS BIGINT) AS ts_milli, resource_id, bytes_sent,
       |       request_time_milli, response_status, cache_status, method,
       |       remote_addr, url
-      |FROM http_log""".stripMargin))
+      |FROM http_log""".stripMargin),
+    bench = true)
 
   private val a02 = Q(
     "a02_anonymize_ip",
@@ -279,6 +280,20 @@ object Queries {
       |FROM http_log
       |GROUP BY 1""".stripMargin))
 
+  private val a11 = Q(
+    "a11_props_extract",
+    (s, dir) =>
+      // semi-structured payload extraction (events.props is a JSON string);
+      // regexp keeps the oracle engine-agnostic, Spark's get_json_object /
+      // from_json are drop-in for richer payloads
+      Tables.events(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("events"), round(avg("value"), 4).as("avg_value")),
+    Some("""SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_bucket,
+      |       count(*) AS events, round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------- group B
 
   private val b01 = Q(
@@ -421,6 +436,32 @@ object Queries {
       |       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low,
       |       round(sum(o_totalprice), 2) AS total_price
       |FROM orders GROUP BY 1""".stripMargin))
+
+  private val b08 = Q(
+    "b08_shipping_priority",
+    (s, dir) =>
+      // TPC-H Q3 shape: selective filters on both sides of a fact-fact join,
+      // top-N by aggregated revenue
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1997-01-01")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < lit("1997-01-01"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20),
+    Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 20""".stripMargin))
 
   // ---------------------------------------------------------------- group C
 
@@ -668,8 +709,8 @@ object Queries {
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
-    a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    b01, b02, b03, b04, b05, b06, b07,
+    a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11,
+    b01, b02, b03, b04, b05, b06, b07, b08,
     c01, c02, c03, c04, c05,
     d01, d02,
     e01, e02, e03, e04, e05,

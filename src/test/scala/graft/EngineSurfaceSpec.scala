@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the engine's outer surfaces: the driver contract (entry on a
+  * session without graft configs), the SQL function registry, and
+  * whole-stage-codegen participation of the native expressions.
+  */
+class EngineSurfaceSpec extends AnyFunSuite with SparkTestBase {
+
+  test("entry works on a session missing graft configs (driver smoke)") {
+    // simulate the driver's vanilla session: flag off until entry sets it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try {
+      val df = SparkEntry.entry(spark)
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  test("SQL surface: registered functions work through spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT anonymize_ip('1.2.3.4') AS a, anonymize_ip('junk') AS b").head()
+    assert(r.getString(0) == "1.2.3.x")
+    assert(r.getString(1) == "junk")
+    val rt = spark.sql(
+      """SELECT capnp_decode_http_log(
+        |  capnp_encode_http_log(5L, 7L, 9L, 11L, 200, 'HIT', 'GET', '1.2.3.4', '/u')
+        |).url AS url""".stripMargin).head()
+    assert(rt.getString(0) == "/u")
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    // parquet-backed input so the projection isn't constant-folded away
+    val df = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
+      .select(graft.functions.anonymize_ip(col("remote_addr")).as("a"),
+        graft.functions.simhash64(col("url")).as("h"))
+    val plan = df.queryExecution.executedPlan.toString()
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [anonymize_ip"), s"no WSCG span in:\n$plan")
+    val rows = df.limit(5).collect()
+    assert(rows.forall(_.getString(0).endsWith(".x")))
+  }
+
+  test("every query has matching column names with its oracle select list") {
+    // cheap structural check: oracle SQL aliases every output column with the
+    // same name Spark produces (the driver sorts columns by name)
+    val byName = Queries.all.map(q => q.name -> q).toMap
+    assert(byName.size == Queries.all.size, "duplicate query names")
+    assert(SparkEntry.queries.keySet == Queries.all.map(_.name).toSet)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
