@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, HttpLog, Multimodal, Similarity}
+import graft.operators.{Dedup, HttpLog, Multimodal, Similarity, Skew}
 
 /** One registered query of the engine.
   *
@@ -294,6 +294,19 @@ object Queries {
       |       count(*) AS events, round(avg(value), 4) AS avg_value
       |FROM events GROUP BY 1""".stripMargin))
 
+  private val a12 = Q(
+    "a12_salted_totals",
+    (s, dir) =>
+      // same totals as a06's aggregate but via the two-phase salted plan —
+      // the hot-key-safe variant; results must be identical to a direct agg
+      Skew.saltedSumCount(httpLog(s, dir), Seq("resource_id"), Seq("bytes_sent"))
+        .select(col("resource_id"), col("bytes_sent_sum").as("total_bytes"),
+          col("row_cnt").as("requests")),
+    Some(s"""${HttpLog.cte}
+      |SELECT resource_id, CAST(sum(bytes_sent) AS BIGINT) AS total_bytes,
+      |       count(*) AS requests
+      |FROM http_log GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------- group B
 
   private val b01 = Q(
@@ -463,6 +476,40 @@ object Queries {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 20""".stripMargin))
 
+  private val b09 = Q(
+    "b09_local_supplier_volume",
+    (s, dir) => {
+      // TPC-H Q5 shape: 6-table join, tiny dims broadcast, region filter
+      // pruned before the join chain
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n  = Tables.nation(s, dir)
+      val r  = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("line_cnt"))
+    },
+    Some("""SELECT n_name AS nation,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS line_cnt
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -566,6 +613,18 @@ object Queries {
       Similarity.lshTopK(aug, queries, 5)
     },
     None)
+
+  private val d03 = Q(
+    "d03_ann_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val aug = emb.unionByName(
+        emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+      val queries = aug.filter(col("vec_id") >= 100000)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfTopK(aug, queries, 5)
+    },
+    None) // coarse-quantizer assignment not SQL-expressible; twin recall in spec
 
   // ---------------------------------------------------------------- group E
 
@@ -709,10 +768,10 @@ object Queries {
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
-    a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11,
-    b01, b02, b03, b04, b05, b06, b07, b08,
+    a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12,
+    b01, b02, b03, b04, b05, b06, b07, b08, b09,
     c01, c02, c03, c04, c05,
-    d01, d02,
+    d01, d02, d03,
     e01, e02, e03, e04, e05,
     f01, f02,
     g01, g02)

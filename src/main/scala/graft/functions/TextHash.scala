@@ -77,24 +77,43 @@ object TextHash {
     new GenericArrayData(out)
   }
 
-  /** MinHash signature: sig(i) = min over shingles of splitmix64(x ^ seed_i)
-    * (unsigned min). One pass per shingle over all n hash functions; at 100 TB
-    * scale the one-permutation-hashing variant halves this cost, noted in
-    * SURVEY.md.
+  /** MinHash signature via densified one-permutation hashing (Shrivastava &
+    * Li): one hash per shingle routes it to bucket h mod n, keep the unsigned
+    * min per bucket, then empty buckets borrow from the nearest filled bucket
+    * to the right (rotation densification). O(shingles + n) per doc instead
+    * of the classic O(shingles · n) — the difference between 1× and 128× scan
+    * cost at 100 TB. Unbiased Jaccard estimator like classic MinHash.
     */
   def minhashSig(text: UTF8String, k: Int, n: Int): ArrayData = {
     val sh = wordShingles(text, k)
-    val sig = Array.fill[Long](n)(-1L) // 0xFFFF... = unsigned max
+    val sig = new Array[Long](n)
+    val filled = new Array[Boolean](n)
+    var any = false
     var s = 0
     while (s < sh.numElements()) {
       val x = sh.getLong(s)
-      var i = 0
-      while (i < n) {
-        val h = mix(x ^ mix(i.toLong))
-        if (java.lang.Long.compareUnsigned(h, sig(i)) < 0) sig(i) = h
-        i += 1
+      val h = mix(x ^ 0x5bd1e995L)
+      val b = java.lang.Long.remainderUnsigned(h, n.toLong).toInt
+      val v = mix(h)
+      if (!filled(b) || java.lang.Long.compareUnsigned(v, sig(b)) < 0) {
+        sig(b) = v; filled(b) = true; any = true
       }
       s += 1
+    }
+    if (!any) {
+      // empty text: deterministic constant signature
+      var i = 0
+      while (i < n) { sig(i) = mix(i.toLong); i += 1 }
+    } else {
+      var i = 0
+      while (i < n) {
+        if (!filled(i)) {
+          var j = 1
+          while (!filled((i + j) % n)) j += 1
+          sig(i) = sig((i + j) % n)
+        }
+        i += 1
+      }
     }
     new GenericArrayData(sig)
   }

@@ -26,6 +26,42 @@ object Similarity {
         round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (the `nCells`
+    * lowest-id corpus vectors as centroids — a k-means refinement would slot
+    * in here without changing the plan shape) assigns every vector to its
+    * nearest cell in one broadcast join + `max_by` aggregation; queries probe
+    * their `nProbe` nearest cells and rank candidates by exact cosine.
+    * At scale the corpus is write-once partitioned by `cell`, so a probe
+    * reads `nProbe/nCells` of the data (partition pruning), and assignment
+    * is embarrassingly parallel.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = broadcast(corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    val assignments = corpus.join(centroids)
+      .withColumn("cos_c", vec_cosine(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      // deterministic argmax: ties broken by centroid id
+      .agg(max_by(col("cid"), struct(col("cos_c"), col("cid"))).as("cell"))
+    val probeW = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cid"))
+    val probes = queries.join(centroids)
+      .withColumn("cos_c", vec_cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(probeW))
+      .filter(col("rnk") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val cand = corpus.join(assignments, "vec_id")
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    cand
+      .withColumn("cos_sim", vec_cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+  }
+
   /** LSH-bucketed ANN (the scale path): both sides key by random-hyperplane
     * sketches (`tables` independent tables of `bits` sign-bits), candidates
     * come from an equi-join on (table, key), then exact cosine ranks them.

@@ -26,6 +26,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IVF ANN always retrieves a planted exact twin at rank 1") {
+    val aug = emb.unionByName(
+      emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    val queries = aug.filter(col("vec_id") >= 100000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Similarity.ivfTopK(aug, queries, 5)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val qids = queries.select("qid").collect().map(_.getLong(0))
+    assert(qids.nonEmpty)
+    qids.foreach { qid =>
+      val (nbr, cos) = top(qid)
+      // the twin shares the query's vector ⇒ same cell ⇒ always probed
+      assert(nbr == qid - 100000, s"twin not at rank 1 for $qid (got $nbr)")
+      assert(cos > 0.9999)
+    }
+  }
+
+  test("IVF candidates are a subset of probed cells, results ranked") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val rows = Similarity.ivfTopK(emb, queries, 5).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("brute force top-k is ranked and bounded") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
