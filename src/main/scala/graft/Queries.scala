@@ -510,6 +510,43 @@ object Queries {
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name""".stripMargin))
 
+  private val b10 = Q(
+    "b10_volume_shipping",
+    (s, dir) => {
+      // TPC-H Q7 shape: nation self-referenced twice (supplier vs customer
+      // side), yearly trade volume between two fixed nations
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n1 = Tables.nation(s, dir).select(
+        col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(
+        col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("volume"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS INT) AS l_year,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+      |FROM lineitem
+      |JOIN orders    ON l_orderkey = o_orderkey
+      |JOIN customer  ON o_custkey = c_custkey
+      |JOIN supplier  ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -769,7 +806,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12,
-    b01, b02, b03, b04, b05, b06, b07, b08, b09,
+    b01, b02, b03, b04, b05, b06, b07, b08, b09, b10,
     c01, c02, c03, c04, c05,
     d01, d02, d03,
     e01, e02, e03, e04, e05,

@@ -101,6 +101,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(second == 3, "replay is idempotent")
   }
 
+  test("file-stream ETL recovers from checkpoint without loss or duplication") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recovery")
+    val frameDir = s"$tmp/frames"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val hl = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
+      .withColumn("ts_milli", expr("unix_millis(ts)")).limit(30)
+    val payloads = hl.select(
+      graft.functions.capnp_encode_http_log(
+        col("ts_milli"), col("resource_id"), col("bytes_sent"),
+        col("request_time_milli"), col("response_status"),
+        col("cache_status"), col("method"), col("remote_addr"), col("url")).as("value"),
+      col("log_id"))
+    val frames = KafkaShaped.framesFromPayloads(payloads, "value", "log_id")
+
+    def startQuery() = KafkaShaped.fileStream(spark, frameDir)
+      .transform(HttpLogPipeline.decodeAndAnonymize)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+
+    frames.filter(col("offset") < 15).coalesce(1).write.mode("append").parquet(frameDir)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst == 15)
+
+    // new data arrives while the pipeline is down, then it restarts from
+    // the checkpoint: nothing lost, the already-committed batch not replayed
+    frames.filter(col("offset") >= 15).coalesce(1).write.mode("append").parquet(frameDir)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 30, "loss or duplication across restart")
+    assert(out.select("remote_addr").collect().forall(_.getString(0).endsWith(".x")))
+  }
+
   test("rate limiter enforces the proxy interval without real sleeping") {
     var clock = 0L
     var slept = 0L
