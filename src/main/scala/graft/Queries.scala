@@ -253,7 +253,8 @@ object Queries {
       |  FROM marked)
       |SELECT user_id, session_id, count(*) AS n_events,
       |       CAST((max(ts_ns) - min(ts_ns)) // 1000000000 AS BIGINT) AS dur_sec
-      |FROM sess GROUP BY 1, 2""".stripMargin))
+      |FROM sess GROUP BY 1, 2""".stripMargin),
+    bench = true)
 
   private val a10 = Q(
     "a10_dead_letter",
@@ -508,7 +509,8 @@ object Queries {
       |JOIN nation   ON s_nationkey = n_nationkey
       |JOIN region   ON n_regionkey = r_regionkey
       |WHERE r_name = 'ASIA'
-      |GROUP BY n_name""".stripMargin))
+      |GROUP BY n_name""".stripMargin),
+    bench = true)
 
   private val b10 = Q(
     "b10_volume_shipping",

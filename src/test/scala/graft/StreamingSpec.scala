@@ -140,6 +140,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("remote_addr").collect().forall(_.getString(0).endsWith(".x")))
   }
 
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val sessions = graft.streaming.StatefulSessionize.sessions(
+      spark, ms.toDF().toDF("user_id", "ts"), gapMinutes = 30, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // user 1: two events 10 min apart (one session), then a 2h gap
+      ms.addData((1L, t("2024-01-01 01:00:00")), (1L, t("2024-01-01 01:10:00")))
+      q.processAllAvailable()
+      ms.addData((1L, t("2024-01-01 03:00:00"))) // gap > 30min → closes session 1
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions").as[graft.streaming.StatefulSessionize.Session]
+        .collect()
+      assert(afterGap.length == 1)
+      assert(afterGap.head.n_events == 2 && afterGap.head.dur_sec == 600)
+      // advance watermark far past user 1's last event → timeout closes session 2
+      ms.addData((2L, t("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      ms.addData((2L, t("2024-01-01 09:01:00"))) // one more batch so timeout fires
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[graft.streaming.StatefulSessionize.Session]
+        .collect()
+      assert(all.exists(s => s.user_id == 1 && s.n_events == 1), s"timeout session missing: ${all.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("rate limiter enforces the proxy interval without real sleeping") {
     var clock = 0L
     var slept = 0L
