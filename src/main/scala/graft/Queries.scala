@@ -549,6 +549,35 @@ object Queries {
       |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
       |GROUP BY 1, 2, 3""".stripMargin))
 
+  private val b11 = Q(
+    "b11_topk_urls",
+    (s, dir) => {
+      // top-3 URLs by traffic per resource through the k-bounded custom
+      // aggregate (operators.TopK) — partial aggregation instead of a
+      // whole-partition window sort; oracle is the window formulation
+      val perUrl = httpLog(s, dir)
+        .groupBy("resource_id", "url")
+        .agg(sum("bytes_sent").as("url_bytes"))
+      val agg = operators.TopK.top_k(3)
+      perUrl
+        .groupBy("resource_id")
+        .agg(agg(col("url"), col("url_bytes")).as("top"))
+        .select(col("resource_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("resource_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.key").as("url"), col("e.value").as("total_bytes"))
+    },
+    Some(s"""WITH ${HttpLog.cteBody},
+      |per_url AS (
+      |  SELECT resource_id, url, CAST(sum(bytes_sent) AS BIGINT) AS url_bytes
+      |  FROM http_log GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT resource_id, url, url_bytes,
+      |         row_number() OVER (PARTITION BY resource_id
+      |           ORDER BY url_bytes DESC, url) AS rn
+      |  FROM per_url)
+      |SELECT resource_id, CAST(rn AS INT) AS rank, url, url_bytes AS total_bytes
+      |FROM ranked WHERE rn <= 3""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -808,7 +837,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12,
-    b01, b02, b03, b04, b05, b06, b07, b08, b09, b10,
+    b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11,
     c01, c02, c03, c04, c05,
     d01, d02, d03,
     e01, e02, e03, e04, e05,

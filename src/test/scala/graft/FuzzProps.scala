@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{HttpLogCodec, IpAnon, TextHash}
+
+/** ScalaCheck fuzzing of the pure kernels: the decoder must never throw on
+  * arbitrary bytes (dead-letter, not crash — a poisoned Kafka message must
+  * not take down an executor), and encode∘decode must be the identity.
+  */
+object FuzzProps extends Properties("graft.kernels") {
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  // valid UTF-8-encodable strings (no lone surrogates)
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('ü', 'é', '日', '本', '語', '中')))
+      .map(_.mkString))
+
+  private val recordGen = for {
+    ts <- Gen.long; rid <- Gen.long; bs <- Gen.long; rtm <- Gen.long
+    st <- Gen.chooseNum(0, 65535)
+    a <- textGen; b <- textGen; c <- textGen; d <- textGen
+  } yield (ts, rid, bs, rtm, st, a, b, c, d)
+
+  property("codec round-trips arbitrary field values") =
+    forAll(recordGen) { case (ts, rid, bs, rtm, st, a, b, c, d) =>
+      val row = HttpLogCodec.decode(HttpLogCodec.encode(ts, rid, bs, rtm, st,
+        u(a), u(b), u(c), u(d)))
+      (row != null) &&
+        row.getLong(0) == ts && row.getLong(1) == rid &&
+        row.getLong(2) == bs && row.getLong(3) == rtm && row.getInt(4) == st &&
+        row.getUTF8String(5).toString == a && row.getUTF8String(6).toString == b &&
+        row.getUTF8String(7).toString == c && row.getUTF8String(8).toString == d
+    }
+
+  property("decoder never throws on arbitrary bytes") =
+    forAll(Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))) { bytes =>
+      HttpLogCodec.decode(bytes) // null or a row, but never an exception
+      Prop.passed
+    }
+
+  property("decoder never throws on bit-flipped valid messages") =
+    forAll(Gen.chooseNum(0, 200), Gen.chooseNum(0, 7)) { (pos, bit) =>
+      val good = HttpLogCodec.encode(1L, 2L, 3L, 4L, 5,
+        u("HIT"), u("GET"), u("1.2.3.4"), u("/some/url/path"))
+      val mutated = good.clone()
+      mutated(pos % mutated.length) =
+        (mutated(pos % mutated.length) ^ (1 << bit)).toByte
+      HttpLogCodec.decode(mutated)
+      Prop.passed
+    }
+
+  property("anonymize_ip never throws, never returns null") =
+    forAll(textGen) { s => IpAnon.anonymize(s) != null }
+
+  property("anonymize_ip masks every valid dotted quad") =
+    forAll(Gen.chooseNum(0, 255), Gen.chooseNum(0, 255),
+      Gen.chooseNum(0, 255), Gen.chooseNum(0, 255)) { (a, b, c, d) =>
+      IpAnon.anonymize(s"$a.$b.$c.$d") == s"$a.$b.$c.x"
+    }
+
+  property("anonymize_ip is idempotent on its own v4 output") =
+    forAll(Gen.chooseNum(0, 255), Gen.chooseNum(0, 255), Gen.chooseNum(0, 255)) {
+      (a, b, c) =>
+        val once = IpAnon.anonymize(s"$a.$b.$c.77")
+        IpAnon.anonymize(once) == once // "a.b.c.x" is not an IP → unchanged
+    }
+
+  property("text kernels never throw on arbitrary text") =
+    forAll(textGen) { s =>
+      TextHash.wordShingles(u(s), 3)
+      TextHash.minhashSig(u(s), 3, 64)
+      TextHash.simhash64(u(s))
+      TextHash.winnow(u(s), 8, 4)
+      TextHash.langId(u(s))
+      Prop.passed
+    }
+}
