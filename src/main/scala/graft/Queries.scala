@@ -308,6 +308,24 @@ object Queries {
       |       count(*) AS requests
       |FROM http_log GROUP BY 1""".stripMargin))
 
+  private val a13 = Q(
+    "a13_asof_enrich",
+    (s, dir) => {
+      // as-of self-enrichment: each event carries the user's most recent
+      // prior purchase value (operators.AsOf; see Scaladoc for why this is
+      // composed rather than a custom SparkPlan)
+      val ev = Tables.events(s, dir)
+      operators.AsOf.priorValue(ev, Seq("user_id"), "ts_ns",
+          col("event_type") === "purchase", "value", "prior_purchase")
+        .select(col("event_id"), col("user_id"),
+          round(col("prior_purchase"), 2).as("prior_purchase"))
+    },
+    Some("""SELECT event_id, user_id,
+      |       round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |             OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS prior_purchase
+      |FROM events""".stripMargin))
+
   // ---------------------------------------------------------------- group B
 
   private val b01 = Q(
@@ -836,7 +854,7 @@ object Queries {
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
-    a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12,
+    a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11,
     c01, c02, c03, c04, c05,
     d01, d02, d03,
