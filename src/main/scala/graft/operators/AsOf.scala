@@ -27,7 +27,7 @@ object AsOf {
     // align schemas: state rows carry nulls for left-only columns and v.v.
     val allCols = (l.columns ++ s.columns).distinct
     def conform(df: DataFrame): DataFrame =
-      df.select(allCols.map(c =>
+      df.select(allCols.toIndexedSeq.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
     val unioned = conform(l).unionByName(conform(s))
     // state rows sort before same-timestamp left rows (strictly-prior join)
