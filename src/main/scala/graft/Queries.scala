@@ -31,6 +31,54 @@ object Queries {
 
   // ---------------------------------------------------------------- group A
 
+  private val a00 = Q(
+    "a00_pipeline_e2e",
+    (s, dir) => {
+      // The reference's whole job as one plan: serialize each log to a capnp
+      // frame (standing in for the Kafka payload), decode with dead-letter
+      // split, anonymize, replay-dedup, aggregate hourly totals. The oracle
+      // computes the same totals directly — it matches iff codec,
+      // anonymization, dedup and aggregation all compose correctly.
+      val hl = HttpLog.view(Tables.events(s, dir))
+        .withColumn("ts_milli", expr("unix_millis(ts)"))
+      val payloads = hl.select(
+        graft.functions.capnp_encode_http_log(
+          col("ts_milli"), col("resource_id"), col("bytes_sent"),
+          col("request_time_milli"), col("response_status"),
+          col("cache_status"), col("method"), col("remote_addr"), col("url")).as("value"),
+        col("log_id"))
+      // at-least-once: 20% of frames delivered twice
+      val frames = sources.KafkaShaped.framesFromPayloads(
+        payloads.unionByName(payloads.filter(col("log_id") % 5 === 0)), "value", "log_id")
+      val (good, _) = sources.KafkaShaped.decodeSplit(frames)
+      val logs = streaming.HttpLogPipeline.anonymize(
+        good.select(expr("timestamp_millis(r.ts_milli)").as("ts"),
+          col("r.resource_id").as("resource_id"),
+          col("r.bytes_sent").as("bytes_sent"),
+          col("r.request_time_milli").as("request_time_milli"),
+          col("r.response_status").as("response_status"),
+          col("r.cache_status").as("cache_status"),
+          col("r.remote_addr").as("remote_addr"),
+          col("r.url").as("url"),
+          col("offset").as("log_id")))
+      val once = streaming.HttpLogPipeline.dedupReplayed(logs, Seq("log_id"))
+      once
+        .groupBy(date_trunc("hour", col("ts")).as("ts_hour"),
+          col("resource_id"), col("response_status"), col("cache_status"),
+          col("remote_addr"))
+        .agg(count(lit(1)).as("requests"),
+          sum("bytes_sent").as("total_bytes"))
+    },
+    Some(s"""${HttpLog.cte}
+      |SELECT date_trunc('hour', ts) AS ts_hour,
+      |       resource_id, response_status, cache_status,
+      |       regexp_replace(remote_addr, '\\.[0-9]+$$', '.x') AS remote_addr,
+      |       count(*) AS requests,
+      |       CAST(sum(bytes_sent) AS BIGINT) AS total_bytes
+      |FROM http_log
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin),
+    bench = true)
+
   private val a01 = Q(
     "a01_capnp_roundtrip",
     (s, dir) => {
@@ -854,7 +902,7 @@ object Queries {
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
-    a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13,
+    a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11,
     c01, c02, c03, c04, c05,
     d01, d02, d03,

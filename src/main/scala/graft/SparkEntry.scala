@@ -12,7 +12,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     GraftFunctions.register(spark)
-    Queries.all.find(_.name == "a04_traffic_totals").get.fn(spark, "/root/testdata/sf0.001")
+    Queries.all.find(_.name == "a00_pipeline_e2e").get.fn(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
