@@ -711,6 +711,12 @@ object Queries {
       |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin))
 
+  private val c06 = Q(
+    "c06_clean_corpus",
+    (s, dir) => Dedup.cleanCorpus(corpus(s, dir), "doc_id", "text"),
+    None, // pipeline composition; planted-dup guarantees in DedupSpec
+    bench = true)
+
   // ---------------------------------------------------------------- group D
 
   private val d01 = Q(
@@ -835,6 +841,65 @@ object Queries {
         col("doc_id"), explode(graft.functions.winnow(col("text"))).as("fp")),
     None)
 
+  private val e06 = Q(
+    "e06_bpe_tokens",
+    (s, dir) =>
+      // BPE-style pre-tokenization (GPT-2 pattern family, simplified to the
+      // RE2-safe subset so the oracle matches): leading-space word / number /
+      // punctuation runs. Token budget estimation for training pipelines.
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(expr(
+          "regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +', 0)"))
+          .as("bpe_tokens"),
+        (length(col("text")).cast("double") /
+          size(expr(
+            "regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +', 0)")))
+          .cast("double").as("chars_per_token_raw"))
+        .select(col("doc_id"), col("bpe_tokens"),
+          round(col("chars_per_token_raw"), 4).as("chars_per_token")),
+    Some("""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +')) AS INT) AS bpe_tokens,
+      |  round(CAST(length(text) AS DOUBLE)
+      |        / len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +')), 4) AS chars_per_token
+      |FROM documents""".stripMargin))
+
+  private val e07 = Q(
+    "e07_tfidf_top_terms",
+    (s, dir) => {
+      // classic TF-IDF over the corpus: explode tokens → document frequency
+      // → score → top-3 terms per doc. explode + two aggregations + a
+      // window, all shuffle-partitioned by token/doc.
+      val docs = Tables.documents(s, dir)
+      val n = docs.count() // corpus size: one tiny job, not a driver loop
+      val terms = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_raw").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score_raw", col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("score_raw"), 4).as("tfidf"))
+    },
+    Some("""WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf * ln(n.n / df.df) AS score_raw,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY tf * ln(n.n / df.df) DESC, term) AS rank
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term, round(score_raw, 4) AS tfidf
+      |FROM scored WHERE rank <= 3""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -904,9 +969,9 @@ object Queries {
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11,
-    c01, c02, c03, c04, c05,
+    c01, c02, c03, c04, c05, c06,
     d01, d02, d03,
-    e01, e02, e03, e04, e05,
+    e01, e02, e03, e04, e05, e06, e07,
     f01, f02,
     g01, g02)
 }

@@ -96,6 +96,28 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** The full corpus-cleaning pipeline a training-data run needs, composed
+    * from the family above: length floor → exact dedup (keep min id) →
+    * near-dup removal (greedy: the higher id of every verified MinHash pair
+    * is dropped). Each stage is a shuffle-partitioned join/agg — no stage
+    * materializes pairs beyond LSH candidates.
+    */
+  def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 5, nearThreshold: Double = 0.5): DataFrame = {
+    val longEnough = df.filter(
+      size(split(trim(col(textCol)), "\\s+")) >= minTokens)
+    val exactKept = longEnough
+      .withColumn("fp", md5(col(textCol).cast("binary")))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("exact_copies"))
+      .join(longEnough.select(col(idCol), col(textCol)), idCol)
+    val nearPairs = minhashPairs(exactKept, idCol, textCol, threshold = nearThreshold)
+    val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
+    exactKept
+      .join(dropIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col("fp"), col("exact_copies"))
+  }
+
   /** Embedding cosine near-dup pairs above a threshold. Nested-loop join —
     * intended for small or pre-blocked inputs; use LSH buckets at scale.
     */

@@ -66,6 +66,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("clean corpus drops every planted duplicate and keeps originals") {
+    val cleaned = Dedup.cleanCorpus(corpus, "doc_id", "text")
+    val ids = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted id (exact at +100000, near at +100000) must be gone:
+    // exact copies lose to min-id, near copies are the higher id of a pair
+    assert(!ids.exists(_ >= 100000L), s"planted ids survived: ${ids.filter(_ >= 100000L)}")
+    // all sufficiently-long originals survive
+    val originals = docs.filter(length(trim(col("text"))) > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(originals))
+    assert(ids.size > originals.size / 2, "cleaning dropped too much")
+  }
+
   test("exact dedup counts planted exact copies") {
     val byCopies = Dedup.exact(corpus, "doc_id", "text")
       .groupBy("n_copies").count().collect()
