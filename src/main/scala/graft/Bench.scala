@@ -21,18 +21,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Queries.all.filter(_.bench)
-    def run(q: Q): Unit =
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }
-    // warm each query once (codegen compile, JIT, file index), then time it
+    def run(q: Q): Boolean =
+      try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e"); false }
+    // warm each query once (codegen compile, JIT, file index), then time it;
+    // a failing query reports -1, never a flattering near-zero timing
     val results = headline.map { q =>
-      run(q)
+      val warmOk = run(q)
       val t0 = System.nanoTime()
-      run(q)
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = warmOk && run(q)
+      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

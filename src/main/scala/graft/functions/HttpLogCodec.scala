@@ -127,12 +127,14 @@ object HttpLogCodec {
       val rawOff = ((p >> 2).toInt & 0x3fffffff)
       val o = (rawOff << 2) >> 2
       val elemSize = ((p >>> 32) & 7).toInt
-      val count = (p >>> 35).toInt
+      val count = (p >>> 35) // element count incl. NUL; up to 2^29
       if (elemSize != 2 || count < 1) return null
-      val start = (pw + 1 + o) * 8
-      if (start < 0 || seg0Start + start + count > seg0End) return null
+      // all bounds arithmetic in Long: crafted offsets/counts near 2^29
+      // overflow Int and would sneak past the checks into unsafe reads
+      val start = (pw.toLong + 1L + o.toLong) * 8L
+      if (start < 0L || seg0Start.toLong + start + count > seg0End.toLong) return null
       // count includes the NUL terminator
-      UTF8String.fromBytes(bytes, seg0Start + start, count - 1)
+      UTF8String.fromBytes(bytes, (seg0Start + start).toInt, (count - 1).toInt)
     }
 
     val cache = text(0); val method = text(1); val addr = text(2); val url = text(3)

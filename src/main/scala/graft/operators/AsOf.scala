@@ -30,9 +30,10 @@ object AsOf {
       df.select(allCols.toIndexedSeq.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
     val unioned = conform(l).unionByName(conform(s))
-    // state rows sort before same-timestamp left rows (strictly-prior join)
+    // left rows sort before same-timestamp state rows, so state at exactly
+    // the left row's timestamp is NOT visible — strictly-prior semantics
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_is_state").desc)
+      .orderBy(col(tsCol).asc, col("_is_state").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carried = stateCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"asof_$c",

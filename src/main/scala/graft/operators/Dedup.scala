@@ -32,10 +32,13 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, n: Int = 128, bands: Int = 32,
                    threshold: Double = 0.5): DataFrame = {
+    // the sig subtree feeds four plan branches (both join sides, twice);
+    // persist so shingling+minhashing runs once per doc, not four times
     val sigs = df.select(
       col(idCol).as("id"),
       word_shingles(col(textCol), k).as("sh"),
       lsh_band_keys(minhash_sig(col(textCol), k, n), bands).as("keys"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -54,12 +57,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs: 4×16-bit bands (any band equal → candidate;
-    * guarantees recall for hamming ≤ 3 by pigeonhole), verified by exact
-    * hamming distance.
+  /** SimHash near-dup pairs: 4×16-bit bands (any band equal → candidate),
+    * verified by exact hamming distance. The pigeonhole guarantee only
+    * covers hamming ≤ 3 — the default threshold matches it; raising
+    * `maxHamming` above 3 returns extra pairs best-effort (a pair's 4+
+    * differing bits can straddle all four bands and never collide).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("h"))
     val bandCols = array((0 until 4).map(i =>
       shiftrightunsigned(col("h"), i * 16).bitwiseAND(lit(0xffffL))): _*)
@@ -106,10 +111,8 @@ object Dedup {
                   minTokens: Int = 5, nearThreshold: Double = 0.5): DataFrame = {
     val longEnough = df.filter(
       size(split(trim(col(textCol)), "\\s+")) >= minTokens)
-    val exactKept = longEnough
-      .withColumn("fp", md5(col(textCol).cast("binary")))
-      .groupBy("fp")
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("exact_copies"))
+    val exactKept = exact(longEnough, idCol, textCol)
+      .select(col("fp"), col("keeper_id").as(idCol), col("n_copies").as("exact_copies"))
       .join(longEnough.select(col(idCol), col(textCol)), idCol)
     val nearPairs = minhashPairs(exactKept, idCol, textCol, threshold = nearThreshold)
     val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()

@@ -18,7 +18,11 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
                      salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+    // salt must be a deterministic function of row CONTENT: an ordinal salt
+    // (monotonically_increasing_id / partition id) changes across task
+    // retries of shuffled inputs and can double-count or drop partials
+    val salted = df.withColumn("_salt",
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val phase1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(

@@ -37,9 +37,9 @@ object Sinks {
 
   /** Idempotent parquet sink — the ReplacingMergeTree analog. Each
     * micro-batch is deduplicated on `keys` and written with dynamic
-    * partition overwrite on `batch_bucket` (derived from the first key), so
-    * a replayed micro-batch (failure between write and checkpoint commit)
-    * overwrites its own partitions instead of duplicating rows:
+    * partition overwrite on its own `batch_id` partition, so a replayed
+    * micro-batch (failure between write and checkpoint commit) overwrites
+    * exactly itself — earlier batches' partitions are untouched:
     * at-least-once replay + idempotent write = effectively exactly-once,
     * the same argument as reference lib.rs:99-116.
     */
@@ -48,11 +48,11 @@ object Sinks {
     limiter.foreach(_.acquire())
     batch
       .dropDuplicates(keys)
-      .withColumn("batch_bucket", pmod(hash(col(keys.head)), lit(64)))
+      .withColumn("batch_id", lit(batchId))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_bucket")
+      .partitionBy("batch_id")
       .parquet(path)
   }
 

@@ -43,7 +43,9 @@ object StatefulSessionize {
             closed += close(user, s)
             cur = Some(SessionState(t, t, 1))
           case Some(s) =>
-            cur = Some(SessionState(s.start_ms, math.max(s.last_ms, t), s.n_events + 1))
+            // late-but-within-watermark events may extend the session backwards
+            cur = Some(SessionState(math.min(s.start_ms, t), math.max(s.last_ms, t),
+              s.n_events + 1))
           case None =>
             cur = Some(SessionState(t, t, 1))
         }

@@ -19,7 +19,7 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> Option(r.getString(3)))
       .toMap
     assert(got((1L, 50L, "e0")).isEmpty)            // nothing prior
-    assert(got((1L, 100L, "e1")).contains("s@100")) // state at same ts sorts first
+    assert(got((1L, 100L, "e1")).isEmpty)           // same-ts state NOT visible (strict)
     assert(got((1L, 200L, "e2")).contains("s@150"))
     assert(got((2L, 100L, "x1")).isEmpty)           // state only later
   }

@@ -51,6 +51,19 @@ class HttpLogCodecSpec extends AnyFunSuite {
     assert(HttpLogCodec.decode(corrupt) == null)
   }
 
+  test("crafted near-Int.MaxValue text pointer dead-letters instead of unsafe read") {
+    // list pointer with offset ≈ 2^28 and count ≈ 2^28: start*8 ≈ 2^31 and
+    // start+count overflows Int — must be caught by Long-domain bounds checks
+    val msg = java.nio.ByteBuffer.allocate(8 + 3 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    msg.putInt(0); msg.putInt(3)
+    msg.putLong(1L << 48) // root struct: 0 data words, 1 pointer word
+    val o = (1 << 28) - 1
+    val count = 1L << 28
+    msg.putLong(1L | ((o.toLong & 0x3fffffffL) << 2) | (2L << 32) | (count << 35))
+    msg.putLong(0L)
+    assert(HttpLogCodec.decode(msg.array()) == null)
+  }
+
   test("short data section yields defaults (older-schema message)") {
     // struct with 0 data words / 0 pointers: header + root pointer only
     val msg = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -99,6 +99,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val second = spark.read.parquet(dir).count()
     assert(first == 3, "within-batch dedup")
     assert(second == 3, "replay is idempotent")
+    // a LATER batch must accumulate, not clobber earlier partitions
+    val batch2 = Seq((7L, "g"), (8L, "h")).toDF("log_id", "payload")
+    sink(batch2, 1L)
+    assert(spark.read.parquet(dir).count() == 5, "later batch clobbered earlier rows")
+    sink(batch2, 1L) // replaying the later batch is also idempotent
+    assert(spark.read.parquet(dir).count() == 5)
   }
 
   test("file-stream ETL recovers from checkpoint without loss or duplication") {
@@ -168,6 +174,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .collect()
       assert(all.exists(s => s.user_id == 1 && s.n_events == 1), s"timeout session missing: ${all.mkString(",")}")
     } finally q.stop()
+  }
+
+  test("sessionize state extends backwards for late-but-within-watermark events") {
+    import graft.streaming.StatefulSessionize._
+    val gs = org.apache.spark.sql.streaming.TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.of(SessionState(100000L, 100000L, 1)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(50000L), hasTimedOut = false)
+    val out = sessionizeFn(30 * 60 * 1000)(
+      1L, Iterator(Event(1L, new Timestamp(95000L))), gs).toSeq
+    assert(out.isEmpty) // within gap → no session closed
+    assert(gs.get.start_ms == 95000L, "session start must move back for late events")
+    assert(gs.get.last_ms == 100000L && gs.get.n_events == 2)
   }
 
   test("rate limiter enforces the proxy interval without real sleeping") {
