@@ -644,6 +644,44 @@ object Queries {
       |SELECT resource_id, CAST(rn AS INT) AS rank, url, url_bytes AS total_bytes
       |FROM ranked WHERE rn <= 3""".stripMargin))
 
+  private val b12 = Q(
+    "b12_product_profit",
+    (s, dir) =>
+      // TPC-H Q9 shape (adapted: no partsupp table in the testdata): profit
+      // by nation and year for parts whose type matches a pattern
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type").contains("PROMO"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("profit")),
+    Some("""SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+      |FROM lineitem
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE p_type LIKE '%PROMO%'
+      |GROUP BY 1, 2""".stripMargin))
+
+  private val b13 = Q(
+    "b13_loyal_customers",
+    (s, dir) => {
+      // relational division: customers with ≥1 order, ALL of them finished
+      // ('F') — semi join for existence, anti join against violators
+      val o = Tables.orders(s, dir)
+      Tables.customer(s, dir)
+        .join(o.select("o_custkey").distinct(), col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(o.filter(col("o_orderstatus") =!= "F").select(col("o_custkey").as("viol")),
+          col("c_custkey") === col("viol"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus <> 'F')""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -968,7 +1006,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13,
-    b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11,
+    b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13,
     c01, c02, c03, c04, c05, c06,
     d01, d02, d03,
     e01, e02, e03, e04, e05, e06, e07,

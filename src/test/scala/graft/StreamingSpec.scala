@@ -176,6 +176,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming totals over chunked real data equal the batch computation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // real events (sf0.001), fed through the stream in 10 arbitrary chunks
+    val hl = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
+      .select(col("ts"), col("resource_id"), col("response_status"),
+        col("cache_status"), col("remote_addr"), col("bytes_sent"),
+        col("request_time_milli"), col("log_id"))
+    val rows = hl.as[StreamLog].collect()
+    val ms = MemoryStream[StreamLog]
+    val totals = HttpLogPipeline.windowedTotals(
+      HttpLogPipeline.withEventTimeBounds(HttpLogPipeline.anonymize(ms.toDF())))
+    val q = totals.writeStream.format("memory").queryName("equiv_totals")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 10)).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("equiv_totals")
+        .select(col("window.start").as("ts_hour"), col("resource_id"),
+          col("response_status"), col("cache_status"), col("remote_addr"),
+          col("requests"), col("total_bytes"), col("total_time_milli"))
+        .collect().map(_.toSeq).toSet
+      val batch = HttpLogPipeline.windowedTotals(HttpLogPipeline.anonymize(hl))
+        .select(col("window.start").as("ts_hour"), col("resource_id"),
+          col("response_status"), col("cache_status"), col("remote_addr"),
+          col("requests"), col("total_bytes"), col("total_time_milli"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, "stream/batch divergence on identical input")
+    } finally q.stop()
+  }
+
   test("sessionize state extends backwards for late-but-within-watermark events") {
     import graft.streaming.StatefulSessionize._
     val gs = org.apache.spark.sql.streaming.TestGroupState.create[SessionState](
