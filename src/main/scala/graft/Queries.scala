@@ -61,7 +61,10 @@ object Queries {
           col("r.remote_addr").as("remote_addr"),
           col("r.url").as("url"),
           col("offset").as("log_id")))
-      val once = streaming.HttpLogPipeline.dedupReplayed(logs, Seq("log_id"))
+      // replayed frames are byte-identical ⇒ dedup over ALL columns, which
+      // plans as a bufferless codegen HashAggregate instead of the
+      // SortAggregate + First-object buffers a keyed dropDuplicates needs
+      val once = streaming.HttpLogPipeline.dedupReplayed(logs, logs.columns.toSeq)
       once
         .groupBy(date_trunc("hour", col("ts")).as("ts_hour"),
           col("resource_id"), col("response_status"), col("cache_status"),
