@@ -29,6 +29,27 @@ object Queries {
   private def httpLog(s: SparkSession, dir: String): DataFrame =
     HttpLog.view(Tables.events(s, dir))
 
+  /** http_log view + epoch-millis column, as the capnp encoder wants it. */
+  private def httpLogMs(s: SparkSession, dir: String): DataFrame =
+    httpLog(s, dir).withColumn("ts_milli", expr("unix_millis(ts)"))
+
+  /** The 9-field HttpLogRecord encode over [[httpLogMs]] columns. */
+  private def capnpMsg: org.apache.spark.sql.Column =
+    graft.functions.capnp_encode_http_log(
+      col("ts_milli"), col("resource_id"), col("bytes_sent"),
+      col("request_time_milli"), col("response_status"),
+      col("cache_status"), col("method"), col("remote_addr"), col("url"))
+
+  /** embeddings + planted exact twins at vec_id+100000 (every 25th vector). */
+  private def augEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    emb.unionByName(
+      emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+  }
+
+  /** DuckDB equivalent of anonymize_ip over the view's IPv4 addresses. */
+  private val anonV4Sql = """regexp_replace(remote_addr, '\.[0-9]+$', '.x')"""
+
   // ---------------------------------------------------------------- group A
 
   private val a00 = Q(
@@ -39,14 +60,7 @@ object Queries {
       // split, anonymize, replay-dedup, aggregate hourly totals. The oracle
       // computes the same totals directly — it matches iff codec,
       // anonymization, dedup and aggregation all compose correctly.
-      val hl = HttpLog.view(Tables.events(s, dir))
-        .withColumn("ts_milli", expr("unix_millis(ts)"))
-      val payloads = hl.select(
-        graft.functions.capnp_encode_http_log(
-          col("ts_milli"), col("resource_id"), col("bytes_sent"),
-          col("request_time_milli"), col("response_status"),
-          col("cache_status"), col("method"), col("remote_addr"), col("url")).as("value"),
-        col("log_id"))
+      val payloads = httpLogMs(s, dir).select(capnpMsg.as("value"), col("log_id"))
       // at-least-once: 20% of frames delivered twice
       val frames = sources.KafkaShaped.framesFromPayloads(
         payloads.unionByName(payloads.filter(col("log_id") % 5 === 0)), "value", "log_id")
@@ -75,7 +89,7 @@ object Queries {
     Some(s"""${HttpLog.cte}
       |SELECT date_trunc('hour', ts) AS ts_hour,
       |       resource_id, response_status, cache_status,
-      |       regexp_replace(remote_addr, '\\.[0-9]+$$', '.x') AS remote_addr,
+      |       $anonV4Sql AS remote_addr,
       |       count(*) AS requests,
       |       CAST(sum(bytes_sent) AS BIGINT) AS total_bytes
       |FROM http_log
@@ -88,26 +102,10 @@ object Queries {
       // Encode every http_log row as a framed capnp message, then decode it
       // back — the oracle projects the same fields directly, so the compare
       // passes iff the codec round-trips the public wire format faithfully.
-      val hl = HttpLog.view(Tables.events(s, dir))
-        .withColumn("ts_milli", expr("unix_millis(ts)"))
-      val enc = hl.select(
-        graft.functions.capnp_encode_http_log(
-          col("ts_milli"), col("resource_id"), col("bytes_sent"),
-          col("request_time_milli"), col("response_status"),
-          col("cache_status"), col("method"), col("remote_addr"), col("url")
-        ).as("msg"))
-      enc
+      httpLogMs(s, dir)
+        .select(capnpMsg.as("msg"))
         .select(graft.functions.capnp_decode_http_log(col("msg")).as("r"))
-        .select(
-          col("r.ts_milli").as("ts_milli"),
-          col("r.resource_id").as("resource_id"),
-          col("r.bytes_sent").as("bytes_sent"),
-          col("r.request_time_milli").as("request_time_milli"),
-          col("r.response_status").as("response_status"),
-          col("r.cache_status").as("cache_status"),
-          col("r.method").as("method"),
-          col("r.remote_addr").as("remote_addr"),
-          col("r.url").as("url"))
+        .select("r.*") // struct fields already carry the output names
     },
     Some(s"""${HttpLog.cte}
       |SELECT CAST(epoch_ms(ts) AS BIGINT) AS ts_milli, resource_id, bytes_sent,
@@ -122,7 +120,7 @@ object Queries {
       // Reference anonymize_ip semantics over three shapes: the view's IPv4
       // addresses, synthesized canonical IPv6 addresses, and non-IP garbage
       // (must pass through unchanged, lib.rs:255).
-      val hl = HttpLog.view(Tables.events(s, dir))
+      val hl = httpLog(s, dir)
         .withColumn("v6", format_string("2001:db8:%x:1::%x",
           col("resource_id") + 1, (col("log_id") % 65535) + 1))
       hl.select(
@@ -133,7 +131,7 @@ object Queries {
     },
     Some(s"""${HttpLog.cte}
       |SELECT log_id,
-      |       regexp_replace(remote_addr, '\\.[0-9]+$$', '.x') AS anon_v4,
+      |       $anonV4Sql AS anon_v4,
       |       printf('2001:db8:%x:1::%x', resource_id + 1, (log_id % 65535) + 1) || ':xxxx' AS anon_v6,
       |       url AS anon_junk
       |FROM http_log""".stripMargin))
@@ -313,12 +311,8 @@ object Queries {
       // Invalid-message routing through the real decode path: corrupt every
       // 97th frame (truncate to 8 bytes) and count what dead-letters. The
       // reference drops unparsable messages idempotently (lib.rs:112).
-      val hl = HttpLog.view(Tables.events(s, dir))
-        .withColumn("ts_milli", expr("unix_millis(ts)"))
-      hl.withColumn("msg", graft.functions.capnp_encode_http_log(
-          col("ts_milli"), col("resource_id"), col("bytes_sent"),
-          col("request_time_milli"), col("response_status"),
-          col("cache_status"), col("method"), col("remote_addr"), col("url")))
+      httpLogMs(s, dir)
+        .withColumn("msg", capnpMsg)
         .withColumn("msg", when(col("log_id") % 97 === 0,
           expr("substring(msg, 1, 8)")).otherwise(col("msg")))
         .withColumn("decoded", graft.functions.capnp_decode_http_log(col("msg")))
@@ -737,12 +731,7 @@ object Queries {
 
   private val c05 = Q(
     "c05_embedding_neardup",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val aug = emb.unionByName(
-        emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
-      Dedup.embeddingPairs(aug, "vec_id", "embedding")
-    },
+    (s, dir) => Dedup.embeddingPairs(augEmbeddings(s, dir), "vec_id", "embedding"),
     Some("""WITH aug AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
       |  UNION ALL
@@ -786,9 +775,7 @@ object Queries {
     (s, dir) => {
       // query the planted twins: their exact copies must be retrieved
       // (hyperplane collision probability 1 at cosine 1) — asserted in spec
-      val emb = Tables.embeddings(s, dir)
-      val aug = emb.unionByName(
-        emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+      val aug = augEmbeddings(s, dir)
       val queries = aug.filter(col("vec_id") >= 100000)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.lshTopK(aug, queries, 5)
@@ -798,9 +785,7 @@ object Queries {
   private val d03 = Q(
     "d03_ann_ivf",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val aug = emb.unionByName(
-        emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+      val aug = augEmbeddings(s, dir)
       val queries = aug.filter(col("vec_id") >= 100000)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfTopK(aug, queries, 5)
@@ -983,7 +968,7 @@ object Queries {
     Some(s"""${HttpLog.cte}
       |SELECT date_trunc('hour', ts) AS ts_hour,
       |       resource_id, response_status, cache_status,
-      |       regexp_replace(remote_addr, '\\.[0-9]+$$', '.x') AS remote_addr,
+      |       $anonV4Sql AS remote_addr,
       |       count(*) AS requests,
       |       CAST(sum(bytes_sent) AS BIGINT) AS total_bytes,
       |       CAST(sum(request_time_milli) AS BIGINT) AS total_time_milli

@@ -17,6 +17,17 @@ import graft.functions._
   */
 object Dedup {
 
+  /** LSH candidate pairs: self-join banded rows on (band, key), id_a < id_b,
+    * distinct. The shared core of every banding scheme here.
+    */
+  private def bandJoinCandidates(banded: DataFrame): DataFrame =
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
   /** Exact dedup by content hash: keeper = min id per hash. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("fp", md5(col(textCol).cast("binary")))
@@ -40,12 +51,7 @@ object Dedup {
       lsh_band_keys(minhash_sig(col(textCol), k, n), bands).as("keys"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cand = bandJoinCandidates(banded)
     val sh = sigs.select(col("id"), col("sh"))
     cand
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
@@ -69,13 +75,7 @@ object Dedup {
     val bandCols = array((0 until 4).map(i =>
       shiftrightunsigned(col("h"), i * 16).bitwiseAND(lit(0xffffL))): _*)
     val banded = sh.select(col("id"), posexplode(bandCols).as(Seq("band", "key")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand
+    bandJoinCandidates(banded)
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id"))
       .withColumn("hamming", bit_count(col("sa.h").bitwiseXOR(col("sb.h"))))

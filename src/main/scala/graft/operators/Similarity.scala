@@ -11,20 +11,24 @@ import graft.functions._
   */
 object Similarity {
 
-  /** Exact top-k cosine neighbors for a (small, broadcast) query set — the
-    * correctness baseline. One scan of the corpus per batch of queries.
+  /** Shared tail: exact-cosine score candidates (qid, qv, vec_id, embedding),
+    * rank per query, keep top k.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus
-      .join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", vec_cosine(col("embedding"), col("qv")))
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
-    scored
+    cand
+      .withColumn("cos_sim", vec_cosine(col("embedding"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("neighbor"),
         round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
   }
+
+  /** Exact top-k cosine neighbors for a (small, broadcast) query set — the
+    * correctness baseline. One scan of the corpus per batch of queries.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankTopK(corpus.join(broadcast(queries), col("vec_id") =!= col("qid")), k)
 
   /** IVF-style ANN: a deterministic coarse quantizer (the `nCells`
     * lowest-id corpus vectors as centroids — a k-means refinement would slot
@@ -53,13 +57,7 @@ object Similarity {
     val cand = corpus.join(assignments, "vec_id")
       .join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
-    cand
-      .withColumn("cos_sim", vec_cosine(col("embedding"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("neighbor"),
-        round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+    rankTopK(cand, k)
   }
 
   /** LSH-bucketed ANN (the scale path): both sides key by random-hyperplane
@@ -78,12 +76,6 @@ object Similarity {
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qv"), col("vec_id"), col("embedding"))
       .distinct()
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
-    cand
-      .withColumn("cos_sim", vec_cosine(col("embedding"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("neighbor"),
-        round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+    rankTopK(cand, k)
   }
 }

@@ -8,11 +8,12 @@ import graft.sources.Formats
 
 class FormatsSpec extends AnyFunSuite with SparkTestBase {
 
+  private lazy val src = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
+    .select("log_id", "resource_id", "response_status", "cache_status", "remote_addr", "url")
+
   private def roundTrip(name: String)(write: (DataFrame, String) => Unit,
                                       read: String => DataFrame): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft_fmt_$name").toString
-    val src = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
-      .select("log_id", "resource_id", "response_status", "cache_status", "remote_addr", "url")
     write(src, tmp)
     val back = read(tmp)
     assert(back.count() == src.count())
@@ -26,14 +27,10 @@ class FormatsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("csv round trip") {
-    val src = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
-      .select("log_id", "resource_id", "response_status", "cache_status", "remote_addr", "url")
     roundTrip("csv")(Formats.writeCsv, p => Formats.readCsv(spark, p, src))
   }
 
   test("json lines round trip") {
-    val src = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
-      .select("log_id", "resource_id", "response_status", "cache_status", "remote_addr", "url")
     roundTrip("json")(Formats.writeJsonLines, p => Formats.readJsonLines(spark, p, src))
   }
 

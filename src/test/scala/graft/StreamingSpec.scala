@@ -19,6 +19,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     StreamLog(Timestamp.valueOf(f"2024-01-01 $hour%02d:10:00"), id % 5, 200, "HIT",
       addr, 100 + id, 10, id)
 
+  /** (value: capnp frame bytes, log_id) for the first n real events. */
+  private def encodedPayloads(n: Int) =
+    graft.operators.HttpLog.view(Tables.events(spark, sfDir)).limit(n)
+      .withColumn("ts_milli", expr("unix_millis(ts)"))
+      .select(
+        graft.functions.capnp_encode_http_log(
+          col("ts_milli"), col("resource_id"), col("bytes_sent"),
+          col("request_time_milli"), col("response_status"),
+          col("cache_status"), col("method"), col("remote_addr"), col("url")).as("value"),
+        col("log_id"))
+
   test("streaming windowed totals match the batch transform") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -65,16 +76,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("kafka-shaped frames decode with dead-letter split and anonymize") {
-    import spark.implicits._
-    val hl = graft.operators.HttpLog.view(Tables.events(spark, sfDir)).limit(20)
-      .withColumn("ts_milli", expr("unix_millis(ts)"))
-    val payloads = hl.select(
-      graft.functions.capnp_encode_http_log(
-        col("ts_milli"), col("resource_id"), col("bytes_sent"),
-        col("request_time_milli"), col("response_status"),
-        col("cache_status"), col("method"), col("remote_addr"), col("url")).as("value"),
-      col("log_id"))
-      // corrupt one payload
+    // corrupt one payload
+    val payloads = encodedPayloads(20)
       .withColumn("value",
         when(col("log_id") === 0, expr("substring(value, 1, 4)")).otherwise(col("value")))
     val frames = KafkaShaped.framesFromPayloads(payloads, "value", "log_id")
@@ -111,15 +114,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_recovery")
     val frameDir = s"$tmp/frames"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    val hl = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
-      .withColumn("ts_milli", expr("unix_millis(ts)")).limit(30)
-    val payloads = hl.select(
-      graft.functions.capnp_encode_http_log(
-        col("ts_milli"), col("resource_id"), col("bytes_sent"),
-        col("request_time_milli"), col("response_status"),
-        col("cache_status"), col("method"), col("remote_addr"), col("url")).as("value"),
-      col("log_id"))
-    val frames = KafkaShaped.framesFromPayloads(payloads, "value", "log_id")
+    val frames = KafkaShaped.framesFromPayloads(encodedPayloads(30), "value", "log_id")
 
     def startQuery() = KafkaShaped.fileStream(spark, frameDir)
       .transform(HttpLogPipeline.decodeAndAnonymize)
