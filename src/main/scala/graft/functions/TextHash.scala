@@ -136,7 +136,10 @@ object TextHash {
     new GenericArrayData(out)
   }
 
-  /** 64-bit SimHash over unigram token hashes (unweighted bit votes). */
+  /** 64-bit SimHash over unigram token hashes. Votes iterate tokens with
+    * repetition, so bits are implicitly term-frequency weighted (Charikar's
+    * weighted form with w = tf).
+    */
   def simhash64(text: UTF8String): Long = {
     val toks = tokens(text.toString)
     val votes = new Array[Int](64)

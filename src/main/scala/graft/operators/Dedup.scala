@@ -19,14 +19,27 @@ object Dedup {
 
   /** LSH candidate pairs: self-join banded rows on (band, key), id_a < id_b,
     * distinct. The shared core of every banding scheme here.
+    *
+    * `maxBucket` caps degenerate buckets (e.g., a boilerplate fragment shared
+    * by millions of documents makes one (band, key) quadratic — the classic
+    * LSH hot-bucket failure at 100 TB). Oversized buckets are dropped before
+    * the join; their members still pair through their other bands, so recall
+    * only degrades for documents similar *solely* via the degenerate band.
     */
-  private def bandJoinCandidates(banded: DataFrame): DataFrame =
-    banded.as("a")
-      .join(banded.as("b"),
+  private def bandJoinCandidates(banded: DataFrame,
+                                 maxBucket: Int = 100000): DataFrame = {
+    // map-side-combined count finds the (few) hot buckets; a broadcast anti
+    // join drops their rows — no sort, no extra full shuffle
+    val hot = banded.groupBy("band", "key").count()
+      .filter(col("count") > maxBucket).select("band", "key")
+    val cold = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    cold.as("a")
+      .join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
 
   /** Exact dedup by content hash: keeper = min id per hash. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
