@@ -30,26 +30,49 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     rankTopK(corpus.join(broadcast(queries), col("vec_id") =!= col("qid")), k)
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the `nCells`
-    * lowest-id corpus vectors as centroids — a k-means refinement would slot
-    * in here without changing the plan shape) assigns every vector to its
-    * nearest cell in one broadcast join + `max_by` aggregation; queries probe
-    * their `nProbe` nearest cells and rank candidates by exact cosine.
-    * At scale the corpus is write-once partitioned by `cell`, so a probe
-    * reads `nProbe/nCells` of the data (partition pruning), and assignment
-    * is embarrassingly parallel.
+  /** Assign every corpus vector to its nearest centroid: one broadcast join
+    * + `max_by` argmax (ties broken by centroid id).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = broadcast(corpus.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
-    val assignments = corpus.join(centroids)
+  private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.join(broadcast(centroids))
       .withColumn("cos_c", vec_cosine(col("embedding"), col("cv")))
       .groupBy("vec_id")
-      // deterministic argmax: ties broken by centroid id
       .agg(max_by(col("cid"), struct(col("cos_c"), col("cid"))).as("cell"))
+
+  /** One Lloyd iteration in pure DataFrame ops: new centroid = elementwise
+    * mean of the vectors assigned to the cell (posexplode → per-(cell, dim)
+    * mean → reassembled array). Cells that lose all members keep their id
+    * absent (nProbe probing tolerates fewer cells).
+    */
+  private def refineCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cells = corpus.join(assign(corpus, centroids), "vec_id")
+    cells
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg("v").as("m"))
+      .groupBy("cell")
+      .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+      .select(col("cell").as("cid"),
+        expr("transform(array_sort(pm), x -> CAST(x.m AS FLOAT))").as("cv"))
+  }
+
+  /** IVF-style ANN: deterministic seed centroids (the `nCells` lowest-id
+    * corpus vectors) refined by `refineIters` Lloyd iterations, then every
+    * vector is assigned to its nearest cell; queries probe their `nProbe`
+    * nearest cells and rank candidates by exact cosine.
+    * At scale the corpus is write-once partitioned by `cell`, so a probe
+    * reads `nProbe/nCells` of the data (partition pruning), and both
+    * assignment and refinement are embarrassingly parallel.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 1): DataFrame = {
+    val seeds = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val centroids = (1 to refineIters).foldLeft(seeds) { (c, _) =>
+      refineCentroids(corpus, c)
+    }
+    val assignments = assign(corpus, centroids)
     val probeW = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cid"))
-    val probes = queries.join(centroids)
+    val probes = queries.join(broadcast(centroids))
       .withColumn("cos_c", vec_cosine(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(probeW))
       .filter(col("rnk") <= nProbe)
