@@ -778,7 +778,7 @@ object Queries {
       val aug = augEmbeddings(s, dir)
       val queries = aug.filter(col("vec_id") >= 100000)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Similarity.lshTopK(aug, queries, 5)
+      Similarity.lshTopK(aug, queries, 5, multiProbe = true)
     },
     None)
 

@@ -87,13 +87,24 @@ object Similarity {
     * sketches (`tables` independent tables of `bits` sign-bits), candidates
     * come from an equi-join on (table, key), then exact cosine ranks them.
     * Planes are re-derived from hashes on every executor — nothing broadcast.
+    *
+    * `multiProbe` additionally probes every hamming-1 neighbor of each query
+    * key (bits+1 keys per table instead of 1): near-miss sign bits — the
+    * dominant LSH failure for vectors close to a hyperplane — stop costing
+    * recall, for `bits`× more (tiny, broadcast) probe rows and the same
+    * corpus-side plan.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              tables: Int = 4, bits: Int = 8): DataFrame = {
+              tables: Int = 4, bits: Int = 8, multiProbe: Boolean = false): DataFrame = {
     val db = corpus.select(col("vec_id"), col("embedding"),
       posexplode(hyperplane_sketches(col("embedding"), tables, bits)).as(Seq("tbl", "key")))
-    val q = queries.select(col("qid"), col("qv"),
-      posexplode(hyperplane_sketches(col("qv"), tables, bits)).as(Seq("tbl", "key")))
+    val q0 = queries.select(col("qid"), col("qv"),
+      posexplode(hyperplane_sketches(col("qv"), tables, bits)).as(Seq("tbl", "key0")))
+    val q =
+      if (!multiProbe) q0.withColumnRenamed("key0", "key")
+      else q0.select(col("qid"), col("qv"), col("tbl"),
+        explode(array((col("key0") +: (0 until bits).map(b =>
+          col("key0").bitwiseXOR(lit(1L << b)))): _*)).as("key"))
     val cand = db
       .join(broadcast(q), db("tbl") === q("tbl") && db("key") === q("key") &&
         col("vec_id") =!= col("qid"))

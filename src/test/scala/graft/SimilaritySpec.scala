@@ -66,6 +66,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-probe LSH recall dominates single-probe recall") {
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(hits: Set[(Long, Long)]) = (exact & hits).size.toDouble / exact.size
+    val single = Similarity.lshTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopK(emb, queries, 10, multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"recall@10 single=${recall(single)}%.2f multi=${recall(multi)}%.2f")
+    // multi-probe candidates are a strict superset per query key, so its
+    // recall can never be lower
+    assert(recall(multi) >= recall(single))
+  }
+
   test("LSH recall vs brute force is reported") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
