@@ -679,6 +679,44 @@ object Queries {
       |  AND NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey AND o_orderstatus <> 'F')""".stripMargin))
 
+  private val b14 = Q(
+    "b14_sole_late_supplier",
+    (s, dir) => {
+      // TPC-H Q21 shape, decorrelated: suppliers who were the ONLY late
+      // shipper in a multi-supplier order. The correlated EXISTS/NOT EXISTS
+      // pair becomes two distinct-count aggregates — one shuffle each,
+      // instead of per-row subquery probes.
+      val lo = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .cast("int").as("late"))
+      val perOrder = lo.groupBy("l_orderkey").agg(
+        countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+      val sole = lo.join(perOrder, "l_orderkey")
+        .filter(col("late") === 1 && col("n_supp") >= 2 && col("late_supp") === 1)
+        .select("l_orderkey", "l_suppkey").distinct()
+      sole.join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+    },
+    Some("""WITH lo AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |per_order AS (
+      |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+      |         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      |  FROM lo GROUP BY 1),
+      |sole AS (
+      |  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+      |  FROM lo JOIN per_order USING (l_orderkey)
+      |  WHERE late = 1 AND n_supp >= 2 AND late_supp = 1)
+      |SELECT s_name, count(*) AS numwait
+      |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -994,7 +1032,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13,
-    b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13,
+    b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14,
     c01, c02, c03, c04, c05, c06,
     d01, d02, d03,
     e01, e02, e03, e04, e05, e06, e07,
