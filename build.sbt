@@ -13,7 +13,6 @@ Test / fork := true
 run / fork := true
 // Pass forked program output through verbatim (no `[info] ` log prefix) so
 // the driver can parse Bench's single JSON stdout line.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

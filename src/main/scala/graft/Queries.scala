@@ -371,6 +371,41 @@ object Queries {
       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS prior_purchase
       |FROM events""".stripMargin))
 
+  private val a14 = Q(
+    "a14_url_stats",
+    (s, dir) => {
+      // URL decomposition + per-host rollup, the access-log companion to the
+      // totals family: rebuild a full URL from the view's path, parse it with
+      // Spark's native parse_url (host / path / query-param extraction all
+      // codegen-friendly string ops), aggregate per (host, cache param).
+      val hl = httpLog(s, dir).withColumn("full_url",
+        format_string("https://h%d.example.com%s?cache=%s&u=%d",
+          col("resource_id") % 5, col("url"), col("cache_status"), col("log_id") % 97))
+      hl.select(
+          expr("parse_url(full_url, 'HOST')").as("host"),
+          expr("parse_url(full_url, 'PATH')").as("path"),
+          expr("parse_url(full_url, 'QUERY', 'cache')").as("cache"),
+          col("bytes_sent"))
+        .groupBy("host", "cache")
+        .agg(
+          count(lit(1)).as("requests"),
+          countDistinct(col("path")).as("uniq_paths"),
+          sum("bytes_sent").as("total_bytes"))
+    },
+    Some(s"""WITH ${HttpLog.cteBody},
+      |urls AS (
+      |  SELECT printf('https://h%d.example.com%s?cache=%s&u=%d',
+      |                resource_id % 5, url, cache_status, log_id % 97) AS full_url,
+      |         bytes_sent
+      |  FROM http_log)
+      |SELECT regexp_extract(full_url, '^https://([^/]+)', 1) AS host,
+      |       regexp_extract(full_url, '[?&]cache=([A-Z]+)', 1) AS cache,
+      |       count(*) AS requests,
+      |       count(DISTINCT regexp_extract(full_url, '^https://[^/]+([^?]*)', 1)) AS uniq_paths,
+      |       CAST(sum(bytes_sent) AS BIGINT) AS total_bytes
+      |FROM urls
+      |GROUP BY 1, 2""".stripMargin))
+
   // ---------------------------------------------------------------- group B
 
   private val b01 = Q(
@@ -717,6 +752,61 @@ object Queries {
       |FROM sole JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1""".stripMargin))
 
+  private val b15 = Q(
+    "b15_grouping_sets",
+    (s, dir) =>
+      // arbitrary GROUPING SETS (not a rollup chain — (status, priority),
+      // (priority), () skips the (status) level): one pass, Spark's Expand
+      // replicates rows per set before a single shuffle-agg. gid built from
+      // grouping() flags so NULL group values stay distinguishable from the
+      // aggregated-away level.
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("int").as("gid"),
+          count(lit(1)).as("orders_cnt"),
+          round(sum("o_totalprice"), 2).as("total_price")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+      |       count(*) AS orders_cnt,
+      |       round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())""".stripMargin))
+
+  private val b16 = Q(
+    "b16_inflight_by_day",
+    (s, dir) => {
+      // interval (range) join: lineitems in flight (ordered but not yet
+      // shipped) on each sampled day. The probe side is 12 rows — a broadcast
+      // nested-loop join IS the right plan here: ≤12× row amplification
+      // straight into a partial agg, no shuffle of the fact table at all.
+      val days = s.sql(
+        """SELECT explode(sequence(
+          |  to_date('1996-01-01'), to_date('1996-12-01'), interval 1 month)) AS d"""
+          .stripMargin)
+        .select(col("d").cast("timestamp").as("d"))
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_shipdate")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(days),
+          col("o_orderdate") <= col("d") && col("d") < col("l_shipdate"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("in_flight"),
+          round(sum("l_quantity"), 2).as("qty_in_flight"))
+    },
+    Some("""WITH days AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+      |                                TIMESTAMP '1996-12-01', INTERVAL 1 MONTH)) AS d)
+      |SELECT d, count(*) AS in_flight, round(sum(l_quantity), 2) AS qty_in_flight
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN days ON o_orderdate <= d AND d < l_shipdate
+      |GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -765,7 +855,28 @@ object Queries {
   private val c04 = Q(
     "c04_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(corpus(s, dir), "doc_id", "text", "source"),
-    None)
+    // Spark computes Jaccard over 64-bit-hashed distinct word 3-grams of the
+    // normalized (lowercase, whitespace-collapsed) text; the oracle builds
+    // the same 3-gram sets as strings (hashing is collision-free at this
+    // cardinality), so values must match exactly.
+    Some(s"""WITH $corpusCte,
+      |toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      |  FROM corpus),
+      |grams AS (
+      |  SELECT doc_id, source,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN list_transform(range(1, len(t) - 1),
+      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |           ELSE t END) AS g
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |           / len(list_distinct(list_concat(a.g, b.g))) AS j
+      |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(j, 4) AS jaccard
+      |FROM pairs WHERE j >= 0.6""".stripMargin))
 
   private val c05 = Q(
     "c05_embedding_neardup",
@@ -964,6 +1075,88 @@ object Queries {
       |SELECT doc_id, CAST(rank AS INT) AS rank, term, round(score_raw, 4) AS tfidf
       |FROM scored WHERE rank <= 3""".stripMargin))
 
+  private val e08 = Q(
+    "e08_pii_redact",
+    (s, dir) => {
+      // The reference's GDPR anonymization (lib.rs:253-271 masks client IPs)
+      // extended to free text — the training-corpus version of the same
+      // obligation. The corpus is synthetic word-salad, so deterministic PII
+      // (email, phone, private IP) is planted per doc and must come back out.
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val ipRe    = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val withPii = Tables.documents(s, dir).withColumn("text_pii",
+        concat(col("text"), format_string(
+          " contact user%d@mail-%d.example.org or +1-555-%04d from 10.%d.%d.%d",
+          col("doc_id") % 1000, col("doc_id") % 7, col("doc_id") % 10000,
+          col("doc_id") % 2, col("doc_id") % 16, col("doc_id") % 16)))
+      // lit() patterns sidestep SQL string-literal escaping (expr("'\+...'")
+      // would eat the backslash and leave an invalid dangling quantifier)
+      withPii.select(
+        col("doc_id"),
+        (size(regexp_extract_all(col("text_pii"), lit(emailRe), lit(0))) +
+          size(regexp_extract_all(col("text_pii"), lit(phoneRe), lit(0))) +
+          size(regexp_extract_all(col("text_pii"), lit(ipRe), lit(0)))).as("pii_found"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text_pii"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ipRe, "<IP>").as("redacted"))
+    },
+    Some("""WITH pii AS (
+      |  SELECT doc_id,
+      |         text || printf(' contact user%d@mail-%d.example.org or +1-555-%04d from 10.%d.%d.%d',
+      |                        doc_id % 1000, doc_id % 7, doc_id % 10000,
+      |                        doc_id % 2, doc_id % 16, doc_id % 16) AS text_pii
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text_pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |          + len(regexp_extract_all(text_pii, '\+1-555-[0-9]{4}'))
+      |          + len(regexp_extract_all(text_pii, '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS pii_found,
+      |       regexp_replace(
+      |         regexp_replace(
+      |           regexp_replace(text_pii,
+      |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+      |         '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+      |FROM pii""".stripMargin))
+
+  private val e09 = Q(
+    "e09_repetition",
+    (s, dir) => {
+      // Gopher-style repetition signals: fraction of tokens that are the
+      // single most frequent token, and distinct/total ratio. Two
+      // shuffle-partitioned aggs (doc×term, then doc) — explode never leaves
+      // the partition a doc's tokens hash to. The repetitive flag compares in
+      // integer arithmetic (top*5 > total) so no float boundary can flip it.
+      val terms = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("toks"), count(lit(1)).as("uniq_toks"),
+          max("cnt").as("top_cnt"))
+        .select(col("doc_id"), col("toks"), col("uniq_toks"),
+          round(col("uniq_toks").cast("double") / col("toks"), 4).as("distinct_ratio"),
+          round(col("top_cnt").cast("double") / col("toks"), 4).as("top_tok_ratio"),
+          (col("top_cnt") * 5 > col("toks")).as("repetitive"))
+    },
+    Some("""WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |per_term AS (
+      |  SELECT doc_id, term, count(*) AS cnt
+      |  FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS toks, count(*) AS uniq_toks,
+      |         CAST(max(cnt) AS BIGINT) AS top_cnt
+      |  FROM per_term GROUP BY 1)
+      |SELECT doc_id, toks, uniq_toks,
+      |       round(CAST(uniq_toks AS DOUBLE) / toks, 4) AS distinct_ratio,
+      |       round(CAST(top_cnt AS DOUBLE) / toks, 4) AS top_tok_ratio,
+      |       top_cnt * 5 > toks AS repetitive
+      |FROM per_doc""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -1031,11 +1224,11 @@ object Queries {
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
-    a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13,
-    b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14,
+    a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14,
+    b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     c01, c02, c03, c04, c05, c06,
     d01, d02, d03,
-    e01, e02, e03, e04, e05, e06, e07,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09,
     f01, f02,
     g01, g02)
 }
