@@ -878,6 +878,12 @@ object Queries {
       |SELECT id_a, id_b, round(j, 4) AS jaccard
       |FROM pairs WHERE j >= 0.6""".stripMargin))
 
+  private val c07 = Q(
+    "c07_weighted_minhash",
+    (s, dir) => Dedup.weightedMinhashPairs(corpus(s, dir), "doc_id", "text"),
+    None, // idf-weighted banding not SQL-expressible; properties in DedupSpec
+    bench = true)
+
   private val c05 = Q(
     "c05_embedding_neardup",
     (s, dir) => Dedup.embeddingPairs(augEmbeddings(s, dir), "vec_id", "embedding"),
@@ -940,6 +946,16 @@ object Queries {
       Similarity.ivfTopK(aug, queries, 5)
     },
     None) // coarse-quantizer assignment not SQL-expressible; twin recall in spec
+
+  private val d04 = Q(
+    "d04_ann_ivf_adaptive",
+    (s, dir) => {
+      val aug = augEmbeddings(s, dir)
+      val queries = aug.filter(col("vec_id") >= 100000)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfTopKAdaptive(aug, queries, 5)
+    },
+    None) // adaptive probe depth not SQL-expressible; twin recall in spec
 
   // ---------------------------------------------------------------- group E
 
@@ -1226,8 +1242,8 @@ object Queries {
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
-    c01, c02, c03, c04, c05, c06,
-    d01, d02, d03,
+    c01, c02, c03, c04, c05, c06, c07,
+    d01, d02, d03, d04,
     e01, e02, e03, e04, e05, e06, e07, e08, e09,
     f01, f02,
     g01, g02)

@@ -100,8 +100,16 @@ object TextHash {
       }
       s += 1
     }
+    densify(sig, filled, any, n)
+    new GenericArrayData(sig)
+  }
+
+  /** Rotation densification (shared by the OPH variants): empty buckets
+    * borrow from the nearest filled bucket to the right; an all-empty
+    * signature becomes a deterministic constant.
+    */
+  private def densify(sig: Array[Long], filled: Array[Boolean], any: Boolean, n: Int): Unit = {
     if (!any) {
-      // empty text: deterministic constant signature
       var i = 0
       while (i < n) { sig(i) = mix(i.toLong); i += 1 }
     } else {
@@ -115,6 +123,35 @@ object TextHash {
         i += 1
       }
     }
+  }
+
+  /** Weighted MinHash signature over pre-hashed shingles with integer
+    * weights: each shingle is expanded into `w` independently-salted hashes
+    * (integer-weight expansion of the classic estimator), then the same
+    * densified one-permutation scheme as [[minhashSig]]. Signature agreement
+    * estimates the weighted Jaccard  J_w = Σ min(w_a,w_b) / Σ max(w_a,w_b).
+    */
+  def minhashSigWeighted(sh: ArrayData, ws: ArrayData, n: Int): ArrayData = {
+    val sig = new Array[Long](n)
+    val filled = new Array[Boolean](n)
+    var any = false
+    var s = 0
+    while (s < sh.numElements()) {
+      val x = sh.getLong(s)
+      val w = ws.getInt(s)
+      var r = 0
+      while (r < w) {
+        val h = mix(x ^ mix(0xabcdef1234L + r))
+        val b = java.lang.Long.remainderUnsigned(h, n.toLong).toInt
+        val v = mix(h)
+        if (!filled(b) || java.lang.Long.compareUnsigned(v, sig(b)) < 0) {
+          sig(b) = v; filled(b) = true; any = true
+        }
+        r += 1
+      }
+      s += 1
+    }
+    densify(sig, filled, any, n)
     new GenericArrayData(sig)
   }
 

@@ -32,6 +32,10 @@ package object functions {
   def minhash_sig(c: Column, k: Int = 3, n: Int = 128): Column =
     column(MinHashSig(expression(c), k, n))
 
+  /** Weighted MinHash signature over pre-hashed shingles + integer weights. */
+  def minhash_sig_weighted(sh: Column, w: Column, n: Int = 128): Column =
+    column(MinHashSigWeighted(expression(sh), expression(w), n))
+
   /** One hashed LSH key per signature band. */
   def lsh_band_keys(sig: Column, bands: Int = 32): Column =
     column(LshBandKeys(expression(sig), bands))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -94,6 +94,57 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sa.h").bitwiseXOR(col("sb.h"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Weighted (idf) MinHash+LSH near-dup pairs: shingles shared by many
+    * documents (boilerplate) get weight 1, rare content-bearing shingles get
+    * up to `maxWeight` — so two documents that only share ubiquitous
+    * boilerplate no longer bucket together, the classic precision failure of
+    * unweighted MinHash on web corpora.
+    *
+    * Plan shape: shingle → one df aggregation (map-side combined; shingles
+    * are distinct per doc) → weight = clamp(ln(N/df), 1, maxWeight) → per-doc
+    * weighted signature ([[graft.functions.minhash_sig_weighted]], integer-
+    * weight expansion OPH) → the usual band equi-join → verified on exact
+    * weighted Jaccard  Σ min(w_a,w_b) / Σ max(w_a,w_b)  via a map lookup,
+    * computed only for candidate pairs.
+    */
+  def weightedMinhashPairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, n: Int = 128, bands: Int = 32,
+                           threshold: Double = 0.5, maxWeight: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), word_shingles(col(textCol), k).as("sh"))
+    val exploded = base.select(col("id"), explode(col("sh")).as("shingle"))
+    val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // corpus size: one tiny count job (same pattern as TF-IDF's N)
+    val nDocs = base.count()
+    val packed = exploded.join(dfreq, "shingle")
+      .withColumn("w", greatest(lit(1),
+        least(lit(maxWeight), ceil(log(lit(nDocs.toDouble) / col("df"))))).cast("int"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("shingle"), col("w"))).as("sw"))
+      .select(col("id"),
+        transform(col("sw"), x => x.getField("shingle")).as("shs"),
+        transform(col("sw"), x => x.getField("w")).as("ws"))
+      .select(col("id"),
+        lsh_band_keys(minhash_sig_weighted(col("shs"), col("ws"), n), bands).as("keys"),
+        map_from_arrays(col("shs"), col("ws")).as("wmap"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = packed.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
+    val maps = packed.select(col("id"), col("wmap"))
+    def wsum(merge: (Column, Column) => Column): Column =
+      aggregate(
+        array_union(map_keys(col("ma")), map_keys(col("mb"))), lit(0L),
+        (acc, key) => acc + merge(
+          coalesce(element_at(col("ma"), key), lit(0)).cast("long"),
+          coalesce(element_at(col("mb"), key), lit(0)).cast("long")))
+    bandJoinCandidates(banded)
+      .join(maps.select(col("id"), col("wmap").as("ma")), col("id_a") === col("id"))
+      .drop("id")
+      .join(maps.select(col("id"), col("wmap").as("mb")), col("id_b") === col("id"))
+      .withColumn("wjaccard",
+        wsum(least(_, _)).cast("double") / wsum(greatest(_, _)))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("wjaccard"), 4).as("wjaccard"))
   }
 
   /** Exact n-gram Jaccard pairs within an explicit blocking column (the

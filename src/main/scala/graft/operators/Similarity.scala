@@ -83,6 +83,60 @@ object Similarity {
     rankTopK(cand, k)
   }
 
+  /** IVF with per-query adaptive nProbe: instead of a fixed probe count,
+    * each query keeps probing its cosine-ranked cells until the probed cells
+    * cover `coverage` of the corpus (cell sizes come from the assignment —
+    * already computed, broadcast-tiny). A query whose nearest cell is huge
+    * probes 1–2 cells; one landing in a run of small cells probes more —
+    * equal *work* per query instead of equal probe count, which is what
+    * keeps tail latency flat when cell sizes skew at scale.
+    */
+  def ivfTopKAdaptive(corpus: DataFrame, queries: DataFrame, k: Int,
+                      nCells: Int = 16, coverage: Double = 0.25,
+                      maxProbe: Int = 8, refineIters: Int = 1): DataFrame = {
+    val seeds = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val centroids = (1 to refineIters).foldLeft(seeds) { (c, _) =>
+      refineCentroids(corpus, c)
+    }
+    val assignments = assign(corpus, centroids)
+    val cellSizes = assignments.groupBy(col("cell").as("cid"))
+      .agg(count(lit(1)).as("cell_n"))
+    val tot = cellSizes.agg(sum("cell_n").as("tot"))
+    val probeW = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cid"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("cos_c", vec_cosine(col("qv"), col("cv")))
+      .join(broadcast(cellSizes), Seq("cid")) // drops member-less centroids
+      .crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(probeW))
+      .withColumn("cum_before",
+        sum("cell_n").over(probeW.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("rnk") <= maxProbe &&
+        (col("rnk") === 1 ||
+          coalesce(col("cum_before"), lit(0L)) < col("tot") * coverage))
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val cand = corpus.join(assignments, "vec_id")
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+    rankTopK(cand, k)
+  }
+
+  /** Nearest-centroid assignment as a stateless per-row map: centroids are
+    * folded into a single broadcast array row and the argmax runs inside one
+    * `transform` + `array_max` over it — no shuffle, no aggregation state.
+    * Identical tie-break to [[assign]] (max (cosine, cid)), so the two are
+    * interchangeable; this form is legal inside a Structured Streaming plan,
+    * which is what incremental IVF index maintenance needs.
+    */
+  def assignStateless(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val packed = centroids.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+    vectors.crossJoin(broadcast(packed))
+      .withColumn("scored", transform(col("cs"), c =>
+        struct(vec_cosine(col("embedding"), c.getField("cv")).as("sc"),
+          c.getField("cid").as("cid"))))
+      .select(col("vec_id"), array_max(col("scored")).getField("cid").as("cell"))
+  }
+
   /** LSH-bucketed ANN (the scale path): both sides key by random-hyperplane
     * sketches (`tables` independent tables of `bits` sign-bits), candidates
     * come from an equi-join on (table, key), then exact cosine ranks them.

@@ -149,6 +149,26 @@ case class MinHashSig(child: Expression, k: Int, n: Int)
     copy(child = newChild)
 }
 
+/** `minhash_sig_weighted(shingles, weights, n)` — weighted MinHash signature
+  * over pre-hashed shingles with integer weights (idf-style importance).
+  */
+case class MinHashSigWeighted(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false), ArrayType(IntegerType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig_weighted"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.TextHash.minhashSigWeighted(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.minhashSigWeighted($a, $b, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSigWeighted =
+    copy(left = l, right = r)
+}
+
 /** `lsh_band_keys(sig, bands)` — one hashed key per signature band. */
 case class LshBandKeys(child: Expression, bands: Int)
     extends UnaryExpression with ImplicitCastInputTypes {

@@ -79,6 +79,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.size > originals.size / 2, "cleaning dropped too much")
   }
 
+  test("weighted minhash finds every planted exact dup at weighted jaccard 1.0") {
+    val pairs = Dedup.weightedMinhashPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    exactIds.foreach { id =>
+      val j = pairs.get((id, id + 100000))
+      assert(j.contains(1.0), s"exact dup pair ($id, ${id + 100000}) missing or jw!=1: $j")
+    }
+  }
+
+  test("idf weighting scores boilerplate-only overlap below unweighted jaccard") {
+    import spark.implicits._
+    // 20 docs all carry the same long boilerplate preamble; docs 0 and 1
+    // share ONLY that boilerplate (their content differs), docs 2..19 give
+    // the boilerplate shingles a high document frequency (low idf weight)
+    val boiler = "all rights reserved contact the site operator for takedown requests here"
+    val synth = (0 until 20).map { i =>
+      val content = s"unique subject $i covers topic $i with detail $i and angle $i today"
+      (i.toLong, s"$boiler $content")
+    }.toDF("doc_id", "text")
+    def pairJ(dfp: org.apache.spark.sql.DataFrame): Double =
+      dfp.filter(col("id_a") === 0 && col("id_b") === 1)
+        .collect().headOption.map(_.getDouble(2)).getOrElse(0.0)
+    val unweighted = pairJ(
+      Dedup.minhashPairs(synth, "doc_id", "text", threshold = 0.0))
+    val weighted = pairJ(
+      Dedup.weightedMinhashPairs(synth, "doc_id", "text", threshold = 0.0))
+    info(f"boilerplate-only pair: unweighted=$unweighted%.3f weighted=$weighted%.3f")
+    assert(unweighted > 0.3, "sanity: the pair does share substantial boilerplate")
+    assert(weighted < unweighted * 0.75,
+      "idf weighting must discount the shared high-df boilerplate shingles")
+  }
+
   test("exact dedup counts planted exact copies") {
     val byCopies = Dedup.exact(corpus, "doc_id", "text")
       .groupBy("n_copies").count().collect()

@@ -44,6 +44,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("adaptive-nProbe IVF always retrieves a planted exact twin at rank 1") {
+    val aug = emb.unionByName(
+      emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    val queries = aug.filter(col("vec_id") >= 100000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Similarity.ivfTopKAdaptive(aug, queries, 5)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val qids = queries.select("qid").collect().map(_.getLong(0))
+    assert(qids.nonEmpty)
+    qids.foreach { qid =>
+      val (nbr, cos) = top(qid)
+      // the twin shares the query's vector ⇒ its cell ranks first ⇒ probed
+      assert(nbr == qid - 100000, s"twin not at rank 1 for $qid (got $nbr)")
+      assert(cos > 0.9999)
+    }
+  }
+
+  test("stateless centroid assignment equals the aggregate form") {
+    val centroids = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // private assign() drives ivfTopK; reproduce its contract via the public
+    // maintenance surface and compare against a direct argmax recomputation
+    val stateless = Similarity.assignStateless(emb, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = emb.join(broadcast(centroids))
+      .withColumn("cos_c", graft.functions.vec_cosine(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos_c"), col("cid"))).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stateless.size == direct.size)
+    assert(stateless == direct, "tie-break or argmax divergence")
+  }
+
   test("IVF candidates are a subset of probed cells, results ranked") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))

@@ -217,6 +217,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(gs.get.last_ms == 100000L && gs.get.n_events == 2)
   }
 
+  test("streaming IVF maintenance equals batch assignment across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val arriving = emb.filter(col("vec_id") >= 8)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val ms = MemoryStream[(Long, Array[Float])]
+    val indexed = graft.streaming.IvfMaintenance.attach(
+      ms.toDF().toDF("vec_id", "embedding"), centroids)
+    val q = indexed.writeStream.format("memory").queryName("ivf_index")
+      .outputMode("append").start()
+    try {
+      // two arrival waves: the index must grow incrementally, never reshuffle
+      val (first, second) = arriving.splitAt(arriving.length / 2)
+      ms.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      val afterFirst = spark.table("ivf_index").count()
+      assert(afterFirst == first.length)
+      ms.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ivf_index")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Similarity.assignStateless(
+        emb.filter(col("vec_id") >= 8), centroids)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, "stream/batch divergence in IVF assignment")
+    } finally q.stop()
+  }
+
   test("rate limiter enforces the proxy interval without real sleeping") {
     var clock = 0L
     var slept = 0L
