@@ -104,7 +104,10 @@ object Queries {
       // passes iff the codec round-trips the public wire format faithfully.
       httpLogMs(s, dir)
         .select(capnpMsg.as("msg"))
-        .select(graft.functions.capnp_decode_http_log(col("msg")).as("r"))
+        // fenced: the 9-field expansion below would otherwise let project
+        // collapse re-derive the decode once per extracted field
+        .select(graft.functions.opt_fence(
+          graft.functions.capnp_decode_http_log(col("msg"))).as("r"))
         .select("r.*") // struct fields already carry the output names
     },
     Some(s"""${HttpLog.cte}
@@ -841,10 +844,48 @@ object Queries {
       |FROM corpus GROUP BY 1""".stripMargin),
     bench = true)
 
+  /** Shared oracle CTE chain: distinct word-3-gram sets of normalized text
+    * (c04's template), then pair intersection sizes via a gram equi-join —
+    * the DuckDB mirror of what [[graft.functions.TextHash.wordShingles]]
+    * hashes (collision-free at this cardinality, so counts match exactly).
+    * Token-less docs are excluded on both sides (see ngramJaccardPairs).
+    */
+  private def gramCtes(src: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      |  FROM $src
+      |  WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |                        x -> x <> '')) > 0),
+      |grams AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN list_transform(range(1, len(t) - 1),
+      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |           ELSE t END) AS g
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+      |pair_inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gram
+      |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id)""".stripMargin
+
   private val c02 = Q(
     "c02_minhash_lsh",
     (s, dir) => Dedup.minhashPairs(corpus(s, dir), "doc_id", "text"),
-    None, // LSH banding not SQL-expressible; known-answer recall in DedupSpec
+    // The banding itself is not SQL-expressible, but its OUTPUT is: on this
+    // corpus every pair at Jaccard ≥ 0.5 is caught by at least one of the 32
+    // bands (verified deterministic at sf0.001/0.01/0.1), so the verified
+    // pair set equals the exact 3-gram-Jaccard threshold pairs.
+    Some(s"""WITH $corpusCte,
+      |${gramCtes("corpus")},
+      |inter AS (
+      |  SELECT id_a, id_b, count(*) AS i FROM pair_inter GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(g) AS n FROM grams)
+      |SELECT id_a, id_b,
+      |       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin),
     bench = true)
 
   private val c03 = Q(
@@ -862,7 +903,9 @@ object Queries {
     Some(s"""WITH $corpusCte,
       |toks AS (
       |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-      |  FROM corpus),
+      |  FROM corpus
+      |  WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |                        x -> x <> '')) > 0),
       |grams AS (
       |  SELECT doc_id, source,
       |         list_distinct(CASE WHEN len(t) >= 3
@@ -881,7 +924,29 @@ object Queries {
   private val c07 = Q(
     "c07_weighted_minhash",
     (s, dir) => Dedup.weightedMinhashPairs(corpus(s, dir), "doc_id", "text"),
-    None, // idf-weighted banding not SQL-expressible; properties in DedupSpec
+    // Same planted-pair argument as c02's oracle, with the idf weights
+    // reproduced exactly: integer weights and integer weight sums are
+    // engine-exact, so the final double division matches bit-for-bit.
+    Some(s"""WITH $corpusCte,
+      |${gramCtes("corpus")},
+      |nd AS (SELECT count(*) AS n_docs FROM corpus),
+      |wt AS (
+      |  SELECT gram,
+      |         greatest(1, least(8,
+      |           CAST(ceil(ln(CAST(n_docs AS DOUBLE) / count(*))) AS BIGINT))) AS w
+      |  FROM ex, nd GROUP BY gram, n_docs),
+      |tot AS (
+      |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw
+      |  FROM ex JOIN wt USING (gram) GROUP BY doc_id),
+      |inter AS (
+      |  SELECT id_a, id_b, CAST(sum(w) AS BIGINT) AS iw
+      |  FROM pair_inter JOIN wt USING (gram) GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       round(CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw), 4) AS wjaccard
+      |FROM inter
+      |JOIN tot ta ON ta.doc_id = id_a
+      |JOIN tot tb ON tb.doc_id = id_b
+      |WHERE CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw) >= 0.5""".stripMargin),
     bench = true)
 
   private val c05 = Q(
@@ -899,7 +964,33 @@ object Queries {
   private val c06 = Q(
     "c06_clean_corpus",
     (s, dir) => Dedup.cleanCorpus(corpus(s, dir), "doc_id", "text"),
-    None, // pipeline composition; planted-dup guarantees in DedupSpec
+    // Whole-pipeline oracle: length floor → exact dedup (keep min id) →
+    // drop the higher id of every exact-Jaccard ≥ 0.5 pair among keepers
+    // (LSH recall is 1 on this corpus — same argument as c02's oracle).
+    Some(s"""WITH $corpusCte,
+      |longe AS (
+      |  SELECT doc_id, text FROM corpus
+      |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5),
+      |exd AS (
+      |  SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      |         count(*) AS exact_copies
+      |  FROM longe GROUP BY 1),
+      |kept AS (
+      |  SELECT keeper_id AS doc_id, fp, exact_copies, text
+      |  FROM exd JOIN longe ON doc_id = keeper_id),
+      |${gramCtes("kept")},
+      |inter AS (
+      |  SELECT id_a, id_b, count(*) AS i FROM pair_inter GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+      |drops AS (
+      |  SELECT DISTINCT id_b AS doc_id
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+      |SELECT doc_id, fp, exact_copies
+      |FROM kept
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin),
     bench = true)
 
   // ---------------------------------------------------------------- group D

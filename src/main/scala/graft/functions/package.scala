@@ -25,6 +25,12 @@ package object functions {
   /** Parse a framed capnp HttpLogRecord; null struct on malformed input. */
   def capnp_decode_http_log(c: Column): Column = column(CapnpDecodeHttpLog(expression(c)))
 
+  /** Optimization fence: identity, but Catalyst will not duplicate the
+    * wrapped expression into pushed-down filters or collapsed projects.
+    * Wrap the single evaluation point of an expensive expression.
+    */
+  def opt_fence(c: Column): Column = column(OptFence(expression(c)))
+
   /** Distinct hashes of word k-gram shingles of normalized text. */
   def word_shingles(c: Column, k: Int = 3): Column = column(WordShingles(expression(c), k))
 

@@ -47,6 +47,20 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Materialize the (tiny) verified-pair frame eagerly, then release the
+    * operator's internal caches. Without this, every invocation leaks a
+    * MEMORY_AND_DISK cache into the session — in a long-lived service or a
+    * benchmark loop those accumulate until they evict each other and every
+    * unrelated query pays the GC bill. localCheckpoint also truncates
+    * lineage, so downstream reuse replays the small pair set, not the LSH
+    * join.
+    */
+  private def materializedPairs(pairs: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = pairs.localCheckpoint(true)
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     *
     * sig(n hashes) → `bands` bands → equi-join on (band, key) → distinct
@@ -66,14 +80,17 @@ object Dedup {
     val banded = sigs.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
     val cand = bandJoinCandidates(banded)
     val sh = sigs.select(col("id"), col("sh"))
-    cand
+    val pairs = cand
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id"))
-      .withColumn("jaccard",
+      // fenced: otherwise the threshold filter is rewritten to contain the
+      // intersect/union expressions and verification runs twice per candidate
+      .withColumn("jaccard", opt_fence(
         size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          size(array_union(col("sa.sh"), col("sb.sh"))))
+          size(array_union(col("sa.sh"), col("sb.sh")))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    materializedPairs(pairs, sigs)
   }
 
   /** SimHash near-dup pairs: 4×16-bit bands (any band equal → candidate),
@@ -112,11 +129,14 @@ object Dedup {
   def weightedMinhashPairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, n: Int = 128, bands: Int = 32,
                            threshold: Double = 0.5, maxWeight: Int = 8): DataFrame = {
+    // corpus size N for idf: a column-pruned count of the input — no shingling
+    val nDocs = df.count()
+    // shingle once per doc, cache; the array feeds both the df aggregation
+    // and the per-doc packing below (exploding from the cache is cheap)
     val base = df.select(col(idCol).as("id"), word_shingles(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = base.select(col("id"), explode(col("sh")).as("shingle"))
     val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // corpus size: one tiny count job (same pattern as TF-IDF's N)
-    val nDocs = base.count()
     val packed = exploded.join(dfreq, "shingle")
       .withColumn("w", greatest(lit(1),
         least(lit(maxWeight), ceil(log(lit(nDocs.toDouble) / col("df"))))).cast("int"))
@@ -127,24 +147,33 @@ object Dedup {
         transform(col("sw"), x => x.getField("w")).as("ws"))
       .select(col("id"),
         lsh_band_keys(minhash_sig_weighted(col("shs"), col("ws"), n), bands).as("keys"),
-        map_from_arrays(col("shs"), col("ws")).as("wmap"))
+        map_from_arrays(col("shs"), col("ws")).as("wmap"),
+        // per-doc total weight, precomputed once: turns pair verification
+        // into a single pass (Σmax = tot_a + tot_b − Σ∩, see below)
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + w.cast("long")).as("tot"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = packed.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
-    val maps = packed.select(col("id"), col("wmap"))
-    def wsum(merge: (Column, Column) => Column): Column =
-      aggregate(
-        array_union(map_keys(col("ma")), map_keys(col("mb"))), lit(0L),
-        (acc, key) => acc + merge(
-          coalesce(element_at(col("ma"), key), lit(0)).cast("long"),
-          coalesce(element_at(col("mb"), key), lit(0)).cast("long")))
-    bandJoinCandidates(banded)
-      .join(maps.select(col("id"), col("wmap").as("ma")), col("id_a") === col("id"))
+    val maps = packed.select(col("id"), col("wmap"), col("tot"))
+    // Both docs carry the same global idf weight for a shared shingle, so
+    //   Σ min(w_a,w_b) = Σ_{g∈A∩B} w(g)          (one pass over A's keys)
+    //   Σ max(w_a,w_b) = tot_a + tot_b − Σ_{g∈A∩B} w(g)
+    // — ONE map walk per pair instead of the two-pass min/max merge over the
+    // key union. try_element_at: null (→ 0) for shingles absent from B.
+    val interW = aggregate(
+      map_keys(col("ma")), lit(0L),
+      (acc, key) => acc + coalesce(try_element_at(col("mb"), key).cast("long"), lit(0L)))
+    val pairs = bandJoinCandidates(banded)
+      .join(maps.select(col("id"), col("wmap").as("ma"), col("tot").as("tot_a")),
+        col("id_a") === col("id"))
       .drop("id")
-      .join(maps.select(col("id"), col("wmap").as("mb")), col("id_b") === col("id"))
+      .join(maps.select(col("id"), col("wmap").as("mb"), col("tot").as("tot_b")),
+        col("id_b") === col("id"))
+      .withColumn("inter_w", opt_fence(interW)) // fenced: single evaluation
       .withColumn("wjaccard",
-        wsum(least(_, _)).cast("double") / wsum(greatest(_, _)))
+        col("inter_w").cast("double") / (col("tot_a") + col("tot_b") - col("inter_w")))
       .filter(col("wjaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("wjaccard"), 4).as("wjaccard"))
+    materializedPairs(pairs, base, packed)
   }
 
   /** Exact n-gram Jaccard pairs within an explicit blocking column (the
@@ -155,11 +184,15 @@ object Dedup {
                         threshold: Double = 0.6): DataFrame = {
     val sh = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"), word_shingles(col(textCol), k).as("sh"))
+      // token-less docs (empty/whitespace-only) have no shingle set and no
+      // meaningful Jaccard — excluded explicitly so the semantics don't hinge
+      // on how 0/0 divides
+      .filter(size(col("sh")) > 0)
     sh.as("a")
       .join(sh.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("jaccard",
+      .withColumn("jaccard", opt_fence(
         size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh"))))
+          size(array_union(col("a.sh"), col("b.sh")))))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("jaccard"), 4).as("jaccard"))
@@ -193,7 +226,8 @@ object Dedup {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     v.as("a")
       .join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos_sim", vec_cosine(col("a.vec"), col("b.vec")))
+      // fenced: one cosine per pair (the filter would otherwise re-derive it)
+      .withColumn("cos_sim", opt_fence(vec_cosine(col("a.vec"), col("b.vec"))))
       .filter(col("cos_sim") >= threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         round(col("cos_sim"), 4).as("cos_sim"))

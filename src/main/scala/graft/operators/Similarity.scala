@@ -71,7 +71,9 @@ object Similarity {
       refineCentroids(corpus, c)
     }
     val assignments = assign(corpus, centroids)
-    val probeW = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cid"))
+    // cid DESC on cosine ties — the same tie-break as assign/assignStateless's
+    // argmax, so a query's own cell can never be cut off by the probe bound
+    val probeW = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cid").desc)
     val probes = queries.join(broadcast(centroids))
       .withColumn("cos_c", vec_cosine(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(probeW))
@@ -103,7 +105,8 @@ object Similarity {
     val cellSizes = assignments.groupBy(col("cell").as("cid"))
       .agg(count(lit(1)).as("cell_n"))
     val tot = cellSizes.agg(sum("cell_n").as("tot"))
-    val probeW = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cid"))
+    // tie-break matches assign (see ivfTopK)
+    val probeW = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cid").desc)
     val probes = queries.join(broadcast(centroids))
       .withColumn("cos_c", vec_cosine(col("qv"), col("cv")))
       .join(broadcast(cellSizes), Seq("cid")) // drops member-less centroids
@@ -150,20 +153,28 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 4, bits: Int = 8, multiProbe: Boolean = false): DataFrame = {
-    val db = corpus.select(col("vec_id"), col("embedding"),
+    // corpus side carries ONLY (vec_id, tbl, key): the multi-table candidate
+    // dedup below then shuffles bare id pairs — never embedding payloads,
+    // which dominate bytes at scale
+    val db = corpus.select(col("vec_id"),
       posexplode(hyperplane_sketches(col("embedding"), tables, bits)).as(Seq("tbl", "key")))
-    val q0 = queries.select(col("qid"), col("qv"),
+    val q0 = queries.select(col("qid"),
       posexplode(hyperplane_sketches(col("qv"), tables, bits)).as(Seq("tbl", "key0")))
     val q =
       if (!multiProbe) q0.withColumnRenamed("key0", "key")
-      else q0.select(col("qid"), col("qv"), col("tbl"),
+      else q0.select(col("qid"), col("tbl"),
         explode(array((col("key0") +: (0 until bits).map(b =>
           col("key0").bitwiseXOR(lit(1L << b)))): _*)).as("key"))
-    val cand = db
-      .join(broadcast(q), db("tbl") === q("tbl") && db("key") === q("key") &&
-        col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("vec_id"), col("embedding"))
+    val candIds = db
+      .join(broadcast(q), Seq("tbl", "key"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
       .distinct()
+    // re-attach vectors after the dedup: query vectors by broadcast, corpus
+    // vectors by a second (cheap, column-pruned) scan joined to the tiny
+    // candidate set
+    val cand = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candIds.join(broadcast(queries), "qid")), "vec_id")
     rankTopK(cand, k)
   }
 }

@@ -51,7 +51,11 @@ object KafkaShaped {
     * a failure topic/audit).
     */
   def decodeSplit(frames: DataFrame): (DataFrame, DataFrame) = {
-    val marked = frames.withColumn("r", graft.functions.capnp_decode_http_log(col("value")))
+    // opt_fence pins ONE decode per frame: without it, predicate pushdown
+    // rewrites the null-check filter to contain the full decode expression,
+    // so the costliest expression in the pipeline runs twice per row
+    val marked = frames.withColumn(
+      "r", graft.functions.opt_fence(graft.functions.capnp_decode_http_log(col("value"))))
     val good = marked.filter(col("r").isNotNull)
     val dead = marked.filter(col("r").isNull)
       .select(col("topic"), col("partition"), col("offset"), col("value"))

@@ -24,7 +24,9 @@ object HttpLogPipeline {
     */
   def decodeAndAnonymize(frames: DataFrame): DataFrame = {
     val decoded = frames
-      .withColumn("r", graft.functions.capnp_decode_http_log(col("value")))
+      // fenced: one decode per frame (see KafkaShaped.decodeSplit)
+      .withColumn("r",
+        graft.functions.opt_fence(graft.functions.capnp_decode_http_log(col("value"))))
       .filter(col("r").isNotNull)
       .select(
         expr("timestamp_millis(r.ts_milli)").as("ts"),

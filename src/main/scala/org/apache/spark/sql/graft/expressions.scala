@@ -107,6 +107,31 @@ case class CapnpDecodeHttpLog(child: Expression)
     copy(child = newChild)
 }
 
+/** `opt_fence(expr)` — identity optimization fence. Reports itself as
+  * non-deterministic so Catalyst neither inlines the child into consumers
+  * (CollapseProject) nor substitutes it into pushed-down predicates
+  * (PushDownPredicates). The wrapped value IS deterministic — the flag only
+  * pins one evaluation of an expensive expression (codec decode, pairwise
+  * similarity) at a single place in the plan instead of letting the optimizer
+  * duplicate it into both a Filter and a Project, which otherwise doubles the
+  * most expensive expression in the pipeline (observed on the capnp decode
+  * and every dedup-verify filter).
+  */
+case class OptFence(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "opt_fence"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): OptFence =
+    copy(child = newChild)
+}
+
 /** Column/Expression conversions for code outside the sql package. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
