@@ -79,7 +79,10 @@ object Queries {
       // plans as a bufferless codegen HashAggregate instead of the
       // SortAggregate + First-object buffers a keyed dropDuplicates needs
       val once = streaming.HttpLogPipeline.dedupReplayed(logs, logs.columns.toSeq)
-      once
+      // in-query telemetry (reference telemetry.rs counters): rows/bytes/5xx
+      // ride the plan as observed metrics — no extra pass, asserted in
+      // ObservabilitySpec against the same counts the oracle checks
+      telemetry.Observability.observedLogs(once)
         .groupBy(date_trunc("hour", col("ts")).as("ts_hour"),
           col("resource_id"), col("response_status"), col("cache_status"),
           col("remote_addr"))
@@ -1294,7 +1297,8 @@ object Queries {
       // Batch run of the exact transform the streaming pipeline uses
       // (StreamingSpec drives the same functions through MemoryStream):
       // anonymize → (watermark on stream) → hourly windowed totals.
-      val hl = streaming.HttpLogPipeline.anonymize(httpLog(s, dir))
+      val hl = telemetry.Observability.observedLogs(
+        streaming.HttpLogPipeline.anonymize(httpLog(s, dir)))
       streaming.HttpLogPipeline.windowedTotals(
         streaming.HttpLogPipeline.withEventTimeBounds(hl))
         .select(

@@ -63,26 +63,64 @@ object Similarity {
     * reads `nProbe/nCells` of the data (partition pruning), and both
     * assignment and refinement are embarrassingly parallel.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 1): DataFrame = {
+  /** Deterministic IVF centroids: the `nCells` lowest-id corpus vectors as
+    * seeds, refined by `refineIters` Lloyd iterations. Public so an index
+    * build and later probes share the exact same quantizer.
+    */
+  def ivfCentroids(corpus: DataFrame, nCells: Int = 16, refineIters: Int = 1): DataFrame = {
     val seeds = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val centroids = (1 to refineIters).foldLeft(seeds) { (c, _) =>
-      refineCentroids(corpus, c)
-    }
-    val assignments = assign(corpus, centroids)
-    // cid DESC on cosine ties — the same tie-break as assign/assignStateless's
-    // argmax, so a query's own cell can never be cut off by the probe bound
+    (1 to refineIters).foldLeft(seeds) { (c, _) => refineCentroids(corpus, c) }
+  }
+
+  /** Each query's `nProbe` cosine-nearest cells: (qid, qv, cell).
+    * cid DESC on cosine ties — the same tie-break as assign/assignStateless's
+    * argmax, so a query's own cell can never be cut off by the probe bound.
+    */
+  private def probeCells(queries: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cid").desc)
-    val probes = queries.join(broadcast(centroids))
+    queries.join(broadcast(centroids))
       .withColumn("cos_c", vec_cosine(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(probeW))
       .filter(col("rnk") <= nProbe)
       .select(col("qid"), col("qv"), col("cid").as("cell"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 1): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells, refineIters)
+    val assignments = assign(corpus, centroids)
+    val probes = probeCells(queries, centroids, nProbe)
     val cand = corpus.join(assignments, "vec_id")
       .join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
     rankTopK(cand, k)
+  }
+
+  /** Write the IVF serving layout: every corpus vector stored in its cell's
+    * partition (`cell=<cid>/…`). This is the write-once index the ivfTopK
+    * Scaladoc promises: probes then read `nProbe/nCells` of the data via
+    * partition pruning instead of scanning the corpus.
+    */
+  def writeIndex(corpus: DataFrame, centroids: DataFrame, path: String): Unit =
+    corpus.join(assign(corpus, centroids), "vec_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a written index: resolve each query's `nProbe` cells, then scan
+    * ONLY those cells' partitions — the `.filter(isin(cells))` lands in the
+    * scan's `PartitionFilters`, so unprobed cells are never even listed.
+    * Collecting the probed cell ids is per-query-batch routing metadata
+    * (≤ |queries|·nProbe longs), not data movement.
+    */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: DataFrame, centroids: DataFrame, k: Int,
+                 nProbe: Int = 4): DataFrame = {
+    val probes = probeCells(queries, centroids, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+    rankTopK(
+      idx.join(broadcast(probes), "cell").filter(col("vec_id") =!= col("qid")), k)
   }
 
   /** IVF with per-query adaptive nProbe: instead of a fixed probe count,
@@ -96,11 +134,7 @@ object Similarity {
   def ivfTopKAdaptive(corpus: DataFrame, queries: DataFrame, k: Int,
                       nCells: Int = 16, coverage: Double = 0.25,
                       maxProbe: Int = 8, refineIters: Int = 1): DataFrame = {
-    val seeds = corpus.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val centroids = (1 to refineIters).foldLeft(seeds) { (c, _) =>
-      refineCentroids(corpus, c)
-    }
+    val centroids = ivfCentroids(corpus, nCells, refineIters)
     val assignments = assign(corpus, centroids)
     val cellSizes = assignments.groupBy(col("cell").as("cid"))
       .agg(count(lit(1)).as("cell_n"))

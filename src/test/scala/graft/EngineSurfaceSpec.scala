@@ -43,6 +43,19 @@ class EngineSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.getString(0).endsWith(".x")))
   }
 
+  test("flagship plan evaluates the codec exactly once, never in a Filter") {
+    // regression guard for the opt_fence: without it, predicate pushdown
+    // duplicates decode(encode(...)) into every null-check Filter AND pushes
+    // the decode projection below the replay Union (once per branch) — 4
+    // decode evaluations per surviving row instead of 1
+    val df = Queries.all.find(_.name == "a00_pipeline_e2e").get.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    val decodes = "capnp_decode_http_log".r.findAllIn(plan).length
+    assert(decodes == 1, s"decode must appear exactly once, saw $decodes")
+    assert("Filter [^\\n]*capnp_decode".r.findFirstIn(plan).isEmpty,
+      "decode leaked into a Filter condition")
+  }
+
   test("every query has matching column names with its oracle select list") {
     // cheap structural check: oracle SQL aliases every output column with the
     // same name Spark produces (the driver sorts columns by name)
