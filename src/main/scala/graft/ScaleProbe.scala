@@ -2,50 +2,112 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-up probe: inflates the sf0.1 events table N× into /tmp (other
-  * tables symlinked), then times the ETL-heavy queries on it. Evidence for
-  * SURVEY.md §4 that the plans scale linearly in input size rather than
-  * degrading (shuffle spill, skew, quadratic blowups).
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-up probe: inflates the sf0.1 tables N× into /tmp, then times the
+  * scale-critical paths on them. Evidence for SURVEY.md §4 that the plans
+  * scale ≤ linearly in input size rather than degrading (shuffle spill,
+  * skew, quadratic candidate blowups).
   *
-  * Usage: runMain graft.ScaleProbe [multiplier] [queries...]
+  * Two modes:
+  *  - `etl` (default): inflate events, time the ETL-heavy queries.
+  *  - `dedup`: inflate documents AND embeddings with per-replica salting
+  *    (alphabet rotation for text, deterministic sign flips for vectors) so
+  *    replicas are DISSIMILAR — the probe then measures the LSH/ANN
+  *    machinery growing with corpus size, not an artificial explosion of
+  *    duplicate groups — and times minhash/weighted-minhash dedup plus
+  *    LSH/IVF ANN with a fixed 50-query batch.
+  *
+  * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|queryName...]
   */
 object ScaleProbe {
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+  private def rot(r: Int) = alpha.drop(r % 26) + alpha.take(r % 26)
+
+  /** N replicas with non-colliding ids; `salt` makes replica content
+    * unrelated to the original's (rep 0 is the original).
+    */
+  private def inflate(df: DataFrame, mult: Int, idCol: String,
+                      salt: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until mult).map { r =>
+      salt(df.withColumn(idCol, col(idCol) + lit(r.toLong * 10000000L)), r)
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(100)
-    val names = if (args.length > 1) args.tail.toSet
-                else Set("a00_pipeline_e2e", "a03_dedup_replacing", "a04_traffic_totals")
+    val mode = args.drop(1).headOption.getOrElse("etl")
     val base = "/root/testdata/sf0.1"
-    val out = s"/tmp/graft_scale_${mult}x"
+    val out = s"/tmp/graft_scale_${mode}_${mult}x"
     val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
 
-    if (!Files.exists(Paths.get(s"$out/events.parquet"))) {
+    if (!Files.exists(Paths.get(s"$out/_done"))) {
       Files.createDirectories(Paths.get(out))
-      // events.ts arrives as epoch-nano long (nanosAsLong) and is written
-      // back as plain BIGINT — Tables.events handles both identically
-      spark.read.parquet(s"$base/events.parquet")
-        .crossJoin(spark.range(mult).toDF("rep"))
-        .withColumn("event_id", col("event_id") * mult + col("rep"))
-        .withColumn("user_id", col("user_id") + col("rep") % 10 * 150)
-        .drop("rep")
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
-      Tables.names.filterNot(_ == "events").foreach { t =>
+      if (mode == "dedup") {
+        inflate(spark.read.parquet(s"$base/documents.parquet"), mult, "doc_id",
+          (d, r) => if (r == 0) d
+            else d.withColumn("text", translate(col("text"), alpha, rot(r))))
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        inflate(spark.read.parquet(s"$base/embeddings.parquet"), mult, "vec_id",
+          (d, r) => if (r == 0) d
+            else d.withColumn("embedding", expr(
+              s"transform(embedding, (x, i) -> CAST(IF((i + $r) % 7 < 3, -x, x) AS FLOAT))")))
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      } else {
+        // events.ts arrives as epoch-nano long (nanosAsLong) and is written
+        // back as plain BIGINT — Tables.events handles both identically
+        spark.read.parquet(s"$base/events.parquet")
+          .crossJoin(spark.range(mult).toDF("rep"))
+          .withColumn("event_id", col("event_id") * mult + col("rep"))
+          .withColumn("user_id", col("user_id") + col("rep") % 10 * 150)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+      }
+      Tables.names.foreach { t =>
         val link = Paths.get(s"$out/$t.parquet")
         if (!Files.exists(link)) Files.createSymbolicLink(link, Paths.get(s"$base/$t.parquet"))
       }
+      Files.createFile(Paths.get(s"$out/_done"))
     }
-    val rows = spark.read.parquet(s"$out/events.parquet").count()
 
-    val results = Queries.all.filter(q => names(q.name)).map { q =>
-      def run(): Unit = q.fn(spark, out).write.format("noop").mode("overwrite").save()
+    val probes: Seq[(String, () => DataFrame)] =
+      if (mode == "dedup") {
+        val docs = () => Tables.documents(spark, out)
+        val emb = () => Tables.embeddings(spark, out)
+        val queries = () => emb().filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Seq(
+          "c01_exact" -> (() => Dedup.exact(docs(), "doc_id", "text")),
+          "c02_minhash" -> (() => Dedup.minhashPairs(docs(), "doc_id", "text")),
+          "c07_weighted" -> (() => Dedup.weightedMinhashPairs(docs(), "doc_id", "text")),
+          "d02_lsh_ann_50q" -> (() =>
+            Similarity.lshTopK(emb(), queries(), 10, multiProbe = true)),
+          "d03_ivf_ann_50q" -> (() => Similarity.ivfTopK(emb(), queries(), 10)))
+      } else {
+        val names = if (mode == "etl")
+          Seq("a00_pipeline_e2e", "a03_dedup_replacing", "a04_traffic_totals")
+        else args.drop(1).toSeq
+        Queries.all.filter(q => names.contains(q.name))
+          .map(q => q.name -> (() => q.fn(spark, out)))
+      }
+
+    val rows =
+      if (mode == "dedup") spark.read.parquet(s"$out/documents.parquet").count()
+      else spark.read.parquet(s"$out/events.parquet").count()
+
+    val results = probes.map { case (name, mk) =>
+      def run(): Unit = mk().write.format("noop").mode("overwrite").save()
       run() // warm
       val t0 = System.nanoTime()
       run()
-      q.name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","rows":$rows,"mult":$mult,"queries":$qs}""")
+    println(s"""{"metric":"scale_probe","mode":"$mode","rows":$rows,"mult":$mult,"queries":$qs}""")
     spark.stop()
   }
 }
