@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog}
+import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog, KeepLatest}
 
 /** SQL-surface registration of the engine's native expressions, so
   * `spark.sql("SELECT anonymize_ip(addr) ...")` works. Idempotent; usable on
@@ -18,7 +18,9 @@ object GraftFunctions {
   val all: Seq[(String, Builder)] = Seq(
     "anonymize_ip"           -> ((es: Seq[Expression]) => AnonymizeIp(es.head)),
     "capnp_encode_http_log"  -> ((es: Seq[Expression]) => CapnpEncodeHttpLog(es)),
-    "capnp_decode_http_log"  -> ((es: Seq[Expression]) => CapnpDecodeHttpLog(es.head)))
+    "capnp_decode_http_log"  -> ((es: Seq[Expression]) => CapnpDecodeHttpLog(es.head)),
+    // the analyzer wraps a bare AggregateFunction in AggregateExpression
+    "keep_latest"            -> ((es: Seq[Expression]) => KeepLatest(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

@@ -20,6 +20,13 @@ object GraftSession {
     // parquet reader rejects by default; read as epoch-nano longs instead and
     // convert to a microsecond timestamp in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ObjectHashAggregate (keep_latest, collect_list) falls back to
+    // sort-based aggregation after this many hash-map keys per task; the
+    // 128-key default sorts almost immediately, re-creating the
+    // SortAggregate cost the operator exists to avoid. 256k keys of small
+    // object buffers is tens of MB per task; past that the sort fallback is
+    // the right call anyway (same group-per-task sizing HashAggregate needs).
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
     .config("spark.ui.enabled", "false")
 
   /** Local session sized by SPARK_GRAFT_CPUS (driver contract). */

@@ -146,14 +146,16 @@ object Queries {
     "a03_dedup_replacing",
     (s, dir) => {
       // ReplacingMergeTree-FINAL semantics (reference DDL http_log.rs:105-107):
-      // latest row per sort key. max_by(struct, log_id) keeps it one shuffle
-      // with map-side partial aggregation — no per-partition sort like a
-      // row_number window would need.
+      // latest row per sort key, via the native keep_latest
+      // TypedImperativeAggregate. The declarative forms (max_by, max(struct))
+      // carry variable-width agg buffers → SortAggregate on both map and
+      // reduce side (the 100× probe measured a03 at 2.4× a04 from those
+      // sorts); keep_latest plans as ObjectHashAggregate — one shuffle,
+      // map-side combine, no sorts.
       val hl = httpLog(s, dir).withColumn("ts_sec", date_trunc("second", col("ts")))
       hl.groupBy("resource_id", "response_status", "remote_addr", "ts_sec")
-        .agg(max_by(
-          struct(col("log_id"), col("bytes_sent"), col("url")),
-          col("log_id")).as("r"))
+        .agg(graft.functions.keep_latest(col("log_id"),
+          struct(col("log_id"), col("bytes_sent"), col("url"))).as("r"))
         .select(
           col("resource_id"), col("response_status"), col("remote_addr"), col("ts_sec"),
           col("r.log_id").as("log_id"),

@@ -126,10 +126,19 @@ object TextHash {
   }
 
   /** Weighted MinHash signature over pre-hashed shingles with integer
-    * weights: each shingle is expanded into `w` independently-salted hashes
-    * (integer-weight expansion of the classic estimator), then the same
-    * densified one-permutation scheme as [[minhashSig]]. Signature agreement
-    * estimates the weighted Jaccard  J_w = Σ min(w_a,w_b) / Σ max(w_a,w_b).
+    * weights, in CONSTANT work per shingle: an exponential race (Gollapudi &
+    * Panigrahy-style consistent sampling). Each shingle draws a deterministic
+    * uniform u from its hash and competes with value v = −ln(u)/w — an
+    * Exp(rate = w) sample, so heavier shingles win the per-bucket minimum
+    * proportionally to weight:  P(bucket agrees) = Σ_{∩} w / Σ_{∪} w, the
+    * weighted Jaccard when weights are global (idf weights are). Routing and
+    * densification are the same one-permutation scheme as [[minhashSig]].
+    *
+    * Replaces integer-weight expansion (w salted hash rounds per shingle),
+    * which made the weighted pass ~6× the unweighted one at maxWeight = 8.
+    * v ≥ 0 always, so `doubleToRawLongBits` preserves ordering and the
+    * signature stays an Array[Long]; StrictMath.log keeps it bit-identical
+    * across JVMs/executors.
     */
   def minhashSigWeighted(sh: ArrayData, ws: ArrayData, n: Int): ArrayData = {
     val sig = new Array[Long](n)
@@ -139,20 +148,37 @@ object TextHash {
     while (s < sh.numElements()) {
       val x = sh.getLong(s)
       val w = ws.getInt(s)
-      var r = 0
-      while (r < w) {
-        val h = mix(x ^ mix(0xabcdef1234L + r))
-        val b = java.lang.Long.remainderUnsigned(h, n.toLong).toInt
-        val v = mix(h)
-        if (!filled(b) || java.lang.Long.compareUnsigned(v, sig(b)) < 0) {
-          sig(b) = v; filled(b) = true; any = true
-        }
-        r += 1
+      val h = mix(x ^ 0x5bd1e995L)
+      val b = java.lang.Long.remainderUnsigned(h, n.toLong).toInt
+      // u ∈ (0, 1]: top 53 bits of a second mix, +1 to exclude zero
+      val u = ((mix(h) >>> 11) + 1).toDouble * 1.1102230246251565e-16
+      val v = java.lang.Double.doubleToRawLongBits(-StrictMath.log(u) / w)
+      if (!filled(b) || v < sig(b)) {
+        sig(b) = v; filled(b) = true; any = true
       }
       s += 1
     }
     densify(sig, filled, any, n)
     new GenericArrayData(sig)
+  }
+
+  /** Σ weight over the intersection of two ascending shingle arrays (the
+    * sorted-merge pair-verification kernel for weighted MinHash). Weights are
+    * positionally aligned with their shingles and globally identical for
+    * shared shingles (idf), so A's weight is the pair's weight. O(|A|+|B|)
+    * per pair — replaces an O(|A|·|B|) per-key map probe.
+    */
+  def weightedIntersectSum(sa: ArrayData, wa: ArrayData,
+                           sb: ArrayData): Long = {
+    var i = 0; var j = 0; var acc = 0L
+    val na = sa.numElements(); val nb = sb.numElements()
+    while (i < na && j < nb) {
+      val x = sa.getLong(i); val y = sb.getLong(j)
+      if (x == y) { acc += wa.getInt(i); i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    acc
   }
 
   /** LSH band keys: hash each (bandIdx, sig-slice) to one long. Signature

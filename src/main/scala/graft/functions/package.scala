@@ -31,6 +31,13 @@ package object functions {
     */
   def opt_fence(c: Column): Column = column(OptFence(expression(c)))
 
+  /** Aggregate: keep the payload struct of the highest `version` per group
+    * (ReplacingMergeTree-FINAL keep-latest). Plans as ObjectHashAggregate —
+    * no SortAggregate demotion like max_by/max(struct).
+    */
+  def keep_latest(version: Column, payload: Column): Column =
+    column(KeepLatest(expression(version), expression(payload)).toAggregateExpression())
+
   /** Distinct hashes of word k-gram shingles of normalized text. */
   def word_shingles(c: Column, k: Int = 3): Column = column(WordShingles(expression(c), k))
 
@@ -41,6 +48,13 @@ package object functions {
   /** Weighted MinHash signature over pre-hashed shingles + integer weights. */
   def minhash_sig_weighted(sh: Column, w: Column, n: Int = 128): Column =
     column(MinHashSigWeighted(expression(sh), expression(w), n))
+
+  /** Σ weight over the sorted-merge intersection of two ascending shingle
+    * arrays; weights aligned to A's shingles (global idf → A's weight is the
+    * pair's weight).
+    */
+  def weighted_intersect_sum(shsA: Column, wsA: Column, shsB: Column): Column =
+    column(WeightedIntersectSum(expression(shsA), expression(wsA), expression(shsB)))
 
   /** One hashed LSH key per signature band. */
   def lsh_band_keys(sig: Column, bands: Int = 32): Column =

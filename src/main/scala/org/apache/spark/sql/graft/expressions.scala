@@ -1,11 +1,14 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{HttpLogCodec, IpAnon}
@@ -132,6 +135,98 @@ case class OptFence(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Mutable buffer for [[KeepLatest]]: highest version seen + its payload. */
+final class KeepLatestBuf(var version: Long, var row: UnsafeRow)
+
+/** `keep_latest(version, payload) -> payload` — arg-max of a struct `payload`
+  * by a long `version` column (ClickHouse ReplacingMergeTree-FINAL keep-latest
+  * semantics, reference `http_log.rs:105-107`).
+  *
+  * Exists because the declarative forms (`max_by`, `max(struct)`) carry a
+  * variable-width aggregation buffer, which HashAggregate's fixed-width
+  * UnsafeRow map cannot hold — Catalyst demotes them to SortAggregate and the
+  * map+reduce-side sorts dominate at scale (the 100× probe measured the
+  * SortAggregate dedup at 2.4× its HashAggregate sibling). As a
+  * TypedImperativeAggregate this plans as ObjectHashAggregate: hash-based on
+  * both sides, map-side combine, no sorts. Pair with a raised
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (GraftSession)
+  * — the 128-key default would fall back to sorting almost immediately.
+  */
+case class KeepLatest(
+    version: Expression,
+    payload: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KeepLatestBuf] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(version, payload)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, payload.dataType)
+  override def dataType: DataType = payload.dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = "keep_latest"
+
+  private def numFields: Int = payload.dataType.asInstanceOf[StructType].length
+  @transient private lazy val toUnsafe =
+    UnsafeProjection.create(payload.dataType.asInstanceOf[StructType])
+
+  override def createAggregationBuffer(): KeepLatestBuf =
+    new KeepLatestBuf(Long.MinValue, null)
+
+  override def update(buf: KeepLatestBuf, input: InternalRow): KeepLatestBuf = {
+    val v = version.eval(input)
+    if (v != null) {
+      val ver = v.asInstanceOf[Long]
+      if (buf.row == null || ver > buf.version) {
+        val p = payload.eval(input)
+        if (p != null) {
+          buf.version = ver
+          // copy: the evaluated row aliases the input iterator's buffer
+          buf.row = toUnsafe(p.asInstanceOf[InternalRow]).copy()
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: KeepLatestBuf, b: KeepLatestBuf): KeepLatestBuf = {
+    if (b.row != null && (a.row == null || b.version > a.version)) {
+      a.version = b.version
+      a.row = b.row
+    }
+    a
+  }
+
+  override def eval(buf: KeepLatestBuf): Any = buf.row
+
+  override def serialize(buf: KeepLatestBuf): Array[Byte] =
+    if (buf.row == null) Array.emptyByteArray
+    else {
+      val rowBytes = buf.row.getBytes
+      val out = new Array[Byte](8 + rowBytes.length)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putLong(buf.version)
+      bb.put(rowBytes)
+      out
+    }
+
+  override def deserialize(bytes: Array[Byte]): KeepLatestBuf =
+    if (bytes.isEmpty) createAggregationBuffer()
+    else {
+      val ver = java.nio.ByteBuffer.wrap(bytes).getLong
+      val row = new UnsafeRow(numFields)
+      row.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET + 8, bytes.length - 8)
+      new KeepLatestBuf(ver, row)
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KeepLatest =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KeepLatest =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KeepLatest =
+    copy(version = newChildren(0), payload = newChildren(1))
+}
+
 /** Column/Expression conversions for code outside the sql package. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
@@ -192,6 +287,36 @@ case class MinHashSigWeighted(left: Expression, right: Expression, n: Int)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.minhashSigWeighted($a, $b, $n)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSigWeighted =
     copy(left = l, right = r)
+}
+
+/** `weighted_intersect_sum(shs_a, ws_a, shs_b) -> long` — Σ weight over the
+  * sorted-merge intersection of two ascending shingle arrays (weighted-
+  * MinHash pair verification). Weights are positionally aligned with A's
+  * shingles and globally identical for shared shingles (idf), so only A's
+  * weights are consulted — the B side of the verify join carries no weight
+  * array at all.
+  */
+case class WeightedIntersectSum(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(LongType, containsNull = false),
+    ArrayType(IntegerType, containsNull = false),
+    ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "weighted_intersect_sum"
+  override protected def nullSafeEval(a: Any, wa: Any, b: Any): Any =
+    graft.functions.TextHash.weightedIntersectSum(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      wa.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, wa, b) => s"graft.functions.TextHash.weightedIntersectSum($a, $wa, $b)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WeightedIntersectSum =
+    copy(first = f, second = s, third = t)
 }
 
 /** `lsh_band_keys(sig, bands)` — one hashed key per signature band. */
