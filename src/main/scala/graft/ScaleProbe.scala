@@ -26,7 +26,20 @@ import graft.operators.{Dedup, Similarity}
 object ScaleProbe {
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
-  private def rot(r: Int) = alpha.drop(r % 26) + alpha.take(r % 26)
+
+  /** Distinct affine substitution cipher per replica:
+    * c → alpha[(a·idx(c) + b) mod 26] with a coprime to 26 — injective in r
+    * for r < 312 (12 multipliers × 26 shifts), so no replica is ever an
+    * exact copy of another. (A plain rotation degenerates to the identity at
+    * r % 26 == 0, re-admitting the duplicate-pair explosion the dedup mode
+    * exists to avoid.)
+    */
+  private val coprimes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private def cipher(r: Int): String = {
+    val a = coprimes((r / 26) % coprimes.length)
+    val b = r % 26
+    (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
+  }
 
   /** N replicas with non-colliding ids; `salt` makes replica content
     * unrelated to the original's (rep 0 is the original).
@@ -50,12 +63,14 @@ object ScaleProbe {
       if (mode == "dedup") {
         inflate(spark.read.parquet(s"$base/documents.parquet"), mult, "doc_id",
           (d, r) => if (r == 0) d
-            else d.withColumn("text", translate(col("text"), alpha, rot(r))))
+            else d.withColumn("text", translate(col("text"), alpha, cipher(r))))
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        // sign-flip mask from murmur3(hash(dim, r)) — distinct per replica for
+        // every r (the old (i + r) % 7 pattern repeated with period 7)
         inflate(spark.read.parquet(s"$base/embeddings.parquet"), mult, "vec_id",
           (d, r) => if (r == 0) d
             else d.withColumn("embedding", expr(
-              s"transform(embedding, (x, i) -> CAST(IF((i + $r) % 7 < 3, -x, x) AS FLOAT))")))
+              s"transform(embedding, (x, i) -> CAST(IF(pmod(hash(i, $r), 2) = 0, -x, x) AS FLOAT))")))
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       } else {
         // events.ts arrives as epoch-nano long (nanosAsLong) and is written

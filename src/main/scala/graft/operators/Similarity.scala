@@ -30,14 +30,27 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     rankTopK(corpus.join(broadcast(queries), col("vec_id") =!= col("qid")), k)
 
-  /** Assign every corpus vector to its nearest centroid: one broadcast join
-    * + `max_by` argmax (ties broken by centroid id).
+  /** Nearest-centroid assignment carrying every input column through, plus
+    * `cell`: centroids fold into one broadcast array row and the argmax runs
+    * inside a `transform` + `array_max` per row — NO shuffle, no aggregation,
+    * no corpus re-join (the previous `max_by` groupBy form cost a corpus-wide
+    * shuffle + SortAggregate + an SMJ join to re-attach the embedding).
+    * Tie-break: max (cosine, cid) — identical to [[assignStateless]].
     */
+  private def assigned(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val packed = centroids.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("scored", transform(col("cs"), c =>
+        struct(vec_cosine(col("embedding"), c.getField("cv")).as("sc"),
+          c.getField("cid").as("cid"))))
+      .withColumn("cell", array_max(col("scored")).getField("cid"))
+      .drop("scored", "cs")
+  }
+
+  /** (vec_id, cell) nearest-centroid assignment. */
   private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.join(broadcast(centroids))
-      .withColumn("cos_c", vec_cosine(col("embedding"), col("cv")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("cos_c"), col("cid"))).as("cell"))
+    assigned(corpus.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"), col("cell"))
 
   /** One Lloyd iteration in pure DataFrame ops: new centroid = elementwise
     * mean of the vectors assigned to the cell (posexplode → per-(cell, dim)
@@ -45,7 +58,7 @@ object Similarity {
     * absent (nProbe probing tolerates fewer cells).
     */
   private def refineCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cells = corpus.join(assign(corpus, centroids), "vec_id")
+    val cells = assigned(corpus, centroids)
     cells
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cell", "pos").agg(avg("v").as("m"))
@@ -89,9 +102,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 1): DataFrame = {
     val centroids = ivfCentroids(corpus, nCells, refineIters)
-    val assignments = assign(corpus, centroids)
     val probes = probeCells(queries, centroids, nProbe)
-    val cand = corpus.join(assignments, "vec_id")
+    // assignment is per-row (no shuffle) and carries the embedding, so the
+    // whole candidate path is shuffle-free: only rankTopK's per-qid window
+    // exchanges data
+    val cand = assigned(corpus, centroids)
       .join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
     rankTopK(cand, k)
@@ -103,7 +118,7 @@ object Similarity {
     * partition pruning instead of scanning the corpus.
     */
   def writeIndex(corpus: DataFrame, centroids: DataFrame, path: String): Unit =
-    corpus.join(assign(corpus, centroids), "vec_id")
+    assigned(corpus, centroids)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
@@ -152,7 +167,7 @@ object Similarity {
         (col("rnk") === 1 ||
           coalesce(col("cum_before"), lit(0L)) < col("tot") * coverage))
       .select(col("qid"), col("qv"), col("cid").as("cell"))
-    val cand = corpus.join(assignments, "vec_id")
+    val cand = assigned(corpus, centroids)
       .join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
     rankTopK(cand, k)
@@ -204,11 +219,14 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
       .distinct()
-    // re-attach vectors after the dedup: query vectors by broadcast, corpus
-    // vectors by a second (cheap, column-pruned) scan joined to the tiny
-    // candidate set
+    // re-attach vectors after the dedup: query vectors by broadcast (bounded
+    // — the query batch), corpus vectors by a second (cheap, column-pruned)
+    // scan. The candidate side gets NO broadcast hint: its size is
+    // data-dependent (a hot sketch bucket under maxBucket can yield
+    // ~queries × bucket-size rows), so AQE picks broadcast vs shuffle from
+    // the observed size instead of a hint OOM-ing the driver at scale.
     val cand = corpus.select(col("vec_id"), col("embedding"))
-      .join(broadcast(candIds.join(broadcast(queries), "qid")), "vec_id")
+      .join(candIds.join(broadcast(queries), "qid"), "vec_id")
     rankTopK(cand, k)
   }
 }

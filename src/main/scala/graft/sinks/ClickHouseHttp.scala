@@ -1,8 +1,9 @@
 package graft.sinks
 
-import java.io.IOException
+import java.io.{BufferedOutputStream, IOException, OutputStream}
 import java.net.{HttpURLConnection, URI, URLEncoder}
 import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types.StructType
@@ -22,40 +23,75 @@ import org.apache.spark.sql.types.StructType
   * Unlike the single-node reference, the insert itself runs per PARTITION on
   * the executors — N parallel inserts per micro-batch, which is the posture
   * a 1000-executor cluster needs (the driver never sees the rows).
+  *
+  * Memory posture: a partition is spilled once to a local temp file and the
+  * POST streams it with chunked transfer encoding — the insert body is never
+  * held on heap (a partition at 100 TB scale is easily GBs), and a retry
+  * re-streams the same file instead of needing the consumed row iterator.
   */
 object ClickHouseHttp {
 
-  /** One row as a ClickHouse `TabSeparated` line (tab/newline/backslash
-    * escaped; timestamps in ClickHouse's `YYYY-MM-DD hh:mm:ss` form; UTC).
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** Write one row as a ClickHouse `TabSeparated` line directly as bytes
+    * (tab/newline/CR/backslash escaped; timestamps in ClickHouse's
+    * `YYYY-MM-DD hh:mm:ss` form, UTC; binary passes through raw-escaped —
+    * possible at all only because this writes bytes, not a String).
     */
-  def tsvLine(row: Row): String = {
-    val sb = new java.lang.StringBuilder
+  def writeTsvRow(row: Row, out: OutputStream): Unit = {
     var i = 0
     while (i < row.length) {
-      if (i > 0) sb.append('\t')
+      if (i > 0) out.write('\t')
       row.get(i) match {
-        case null => sb.append("\\N")
+        case null => out.write('\\'); out.write('N')
+        case b: Array[Byte] => writeEscaped(b, out)
         case ts: java.sql.Timestamp =>
-          val fmt = java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd HH:mm:ss")
-            .withZone(java.time.ZoneOffset.UTC)
-          sb.append(fmt.format(ts.toInstant))
-        case s: String =>
-          s.foreach {
-            case '\t' => sb.append("\\t")
-            case '\n' => sb.append("\\n")
-            case '\\' => sb.append("\\\\")
-            case c    => sb.append(c)
-          }
-        case other => sb.append(other.toString)
+          out.write(tsFmt.format(ts.toInstant).getBytes(StandardCharsets.UTF_8))
+        case ts: java.time.Instant => // spark.sql.datetime.java8API.enabled
+          out.write(tsFmt.format(ts).getBytes(StandardCharsets.UTF_8))
+        case d: java.sql.Date => // both render ISO yyyy-MM-dd, what CH expects
+          out.write(d.toString.getBytes(StandardCharsets.UTF_8))
+        case d: java.time.LocalDate =>
+          out.write(d.toString.getBytes(StandardCharsets.UTF_8))
+        case s: String => writeEscaped(s.getBytes(StandardCharsets.UTF_8), out)
+        case other => out.write(other.toString.getBytes(StandardCharsets.UTF_8))
       }
       i += 1
     }
-    sb.toString
+    out.write('\n')
+  }
+
+  private def writeEscaped(bs: Array[Byte], out: OutputStream): Unit = {
+    var j = 0
+    while (j < bs.length) {
+      val b = bs(j)
+      if (b == '\t') { out.write('\\'); out.write('t') }
+      else if (b == '\n') { out.write('\\'); out.write('n') }
+      else if (b == '\r') { out.write('\\'); out.write('r') }
+      else if (b == '\\') { out.write('\\'); out.write('\\') }
+      else out.write(b)
+      j += 1
+    }
+  }
+
+  /** One row as a TSV line string — convenience for tests/debugging; the
+    * sink itself streams bytes via [[writeTsvRow]].
+    */
+  def tsvLine(row: Row): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeTsvRow(row, bos)
+    new String(bos.toByteArray, StandardCharsets.UTF_8).stripSuffix("\n")
   }
 
   /** Fixed-delay retry, reference `async_retry` semantics: run `f`; on
-    * failure sleep and retry while attempts remain; rethrow the final error.
+    * RETRYABLE failure (IO-class: connection refused/reset, non-2xx) sleep
+    * and retry while attempts remain; rethrow the final error. Interruption
+    * — Spark cancelling the task (job abort, speculation) — is never
+    * swallowed: the task must stop POSTing, not keep hammering ClickHouse
+    * after the job gave up on it. Other non-IO exceptions (serialization
+    * bugs, OOM wrappers) are programming errors and rethrow immediately.
     */
   def retry[T](tries: Int, delayMs: Long, sleep: Long => Unit = Thread.sleep)
               (f: => T): T = {
@@ -63,7 +99,9 @@ object ClickHouseHttp {
     while (true) {
       try return f
       catch {
-        case e: Exception =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case e: IOException =>
           if (remaining <= 0) throw e
           remaining -= 1
           sleep(delayMs)
@@ -72,11 +110,12 @@ object ClickHouseHttp {
     throw new IllegalStateException("unreachable")
   }
 
-  /** POST `body` to `endpoint/?query=<query>`; non-2xx → IOException carrying
-    * the server's error text (the reference surfaces ClickHouse's exception
-    * body the same way).
+  /** POST the file at `body` to `endpoint/?query=<query>` with chunked
+    * transfer encoding (bounded buffering regardless of body size); non-2xx →
+    * IOException carrying the server's error text (the reference surfaces
+    * ClickHouse's exception body the same way).
     */
-  def post(endpoint: String, query: String, body: Array[Byte]): Unit = {
+  def post(endpoint: String, query: String, body: Path): Unit = {
     val url = URI.create(
       endpoint + "/?query=" + URLEncoder.encode(query, StandardCharsets.UTF_8)).toURL
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
@@ -85,8 +124,9 @@ object ClickHouseHttp {
       conn.setDoOutput(true)
       conn.setConnectTimeout(10000)
       conn.setReadTimeout(60000)
+      conn.setChunkedStreamingMode(1 << 16) // 64 KiB chunks, never whole-body
       val out = conn.getOutputStream
-      try { out.write(body); out.flush() } finally out.close()
+      try { Files.copy(body, out); out.flush() } finally out.close()
       val code = conn.getResponseCode
       if (code / 100 != 2) {
         val err = Option(conn.getErrorStream)
@@ -103,7 +143,9 @@ object ClickHouseHttp {
   /** `foreachBatch` sink: every partition posts its rows as one
     * `INSERT INTO … FORMAT TabSeparated` with retry. Any partition that
     * exhausts its retries fails the Spark task → the micro-batch fails → the
-    * checkpoint does not advance → the batch replays (at-least-once).
+    * checkpoint does not advance → the batch replays (at-least-once). The
+    * partition is written once to a local temp file (executor-local disk,
+    * like shuffle spill); retries re-stream the file.
     */
   def insertSink(endpoint: String, table: String, schema: StructType,
                  tries: Int = 3, delayMs: Long = 100): (DataFrame, Long) => Unit = {
@@ -111,9 +153,12 @@ object ClickHouseHttp {
     (batch: DataFrame, _: Long) =>
       batch.foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
-          val body = rows.map(tsvLine).mkString("", "\n", "\n")
-            .getBytes(StandardCharsets.UTF_8)
-          retry(tries, delayMs)(post(endpoint, query, body))
+          val tmp = Files.createTempFile("graft-ch-insert-", ".tsv")
+          try {
+            val out = new BufferedOutputStream(Files.newOutputStream(tmp), 1 << 16)
+            try rows.foreach(writeTsvRow(_, out)) finally out.close()
+            retry(tries, delayMs)(post(endpoint, query, tmp))
+          } finally Files.deleteIfExists(tmp)
         }
       }
   }

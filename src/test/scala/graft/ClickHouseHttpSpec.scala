@@ -22,6 +22,7 @@ class ClickHouseHttpSpec extends AnyFunSuite with SparkTestBase {
     */
   private class Stub(failFirst: Int) {
     val requests = new AtomicInteger(0)
+    val chunked = new java.util.concurrent.atomic.AtomicBoolean(false)
     private val failing = new AtomicInteger(failFirst)
     val bodies = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
     val queries = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
@@ -30,6 +31,8 @@ class ClickHouseHttpSpec extends AnyFunSuite with SparkTestBase {
       def handle(ex: HttpExchange): Unit = {
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
         requests.incrementAndGet()
+        if (Option(ex.getRequestHeaders.getFirst("Transfer-encoding"))
+              .exists(_.equalsIgnoreCase("chunked"))) chunked.set(true)
         if (failing.getAndUpdate(n => math.max(0, n - 1)) > 0) {
           val msg = "DB::Exception: simulated outage".getBytes("UTF-8")
           ex.sendResponseHeaders(500, msg.length)
@@ -88,6 +91,40 @@ class ClickHouseHttpSpec extends AnyFunSuite with SparkTestBase {
       assert(e.getMessage != null)
       assert(stub.requests.get() >= 3, "tries+1 attempts expected")
       assert(stub.bodies.isEmpty, "no insert may be recorded as successful")
+    } finally stub.stop()
+  }
+
+  test("tsv bytes: binary raw-escaped, java.time + sql dates, CR escaped, null") {
+    import org.apache.spark.sql.Row
+    val bos = new java.io.ByteArrayOutputStream()
+    ClickHouseHttp.writeTsvRow(Row(
+      Array[Byte]('a', '\t', '\n', '\r', '\\', 0xff.toByte),
+      java.time.Instant.parse("2024-02-29T12:34:56Z"),
+      java.sql.Date.valueOf("2024-02-29"),
+      java.time.LocalDate.of(2024, 2, 29),
+      "a\rb",
+      null), bos)
+    // binary passes through as raw bytes (0xff intact, not a UTF-8
+    // replacement), with \t \n \r \\ escaped; Instant renders in ClickHouse
+    // DateTime form (no ISO 'T'); dates ISO; CR in a string escaped; \N null
+    val expected =
+      "a\\t\\n\\r\\\\".getBytes("UTF-8") ++ Array(0xff.toByte) ++
+      "\t2024-02-29 12:34:56\t2024-02-29\t2024-02-29\ta\\rb\t\\N\n".getBytes("UTF-8")
+    assert(bos.toByteArray.toSeq == expected.toSeq)
+  }
+
+  test("multi-thousand-row partition streams chunked and survives a retry") {
+    val stub = new Stub(failFirst = 1) // first attempt rejected → file re-streams
+    try {
+      val df = spark.range(0, 5000).select(
+        col("id").as("log_id"), concat(lit("payload_"), col("id")).as("payload"))
+        .coalesce(1)
+      val sink = ClickHouseHttp.insertSink(
+        stub.endpoint, "http_log", df.schema, tries = 3, delayMs = 1)
+      sink(df, 0L)
+      val ids = stub.lines.map(_.split("\t")(0).toLong).sorted
+      assert(ids == (0L until 5000L), s"got ${ids.size} rows")
+      assert(stub.chunked.get(), "insert must use chunked transfer encoding")
     } finally stub.stop()
   }
 
