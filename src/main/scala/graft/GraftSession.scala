@@ -5,12 +5,25 @@ import org.apache.spark.sql.SparkSession
 /** Canonical session configuration for the graft engine.
   *
   * The reference pipeline (see `/root/reference/anonymizer/src/main.rs`) scales
-  * by spawning N parallel Kafka consumers; here the analog is `local[N]` with N
-  * shuffle partitions. On a real cluster the master/partition settings come
-  * from spark-submit and AQE handles runtime re-planning (skew splits, shuffle
-  * coalescing), so everything below except the nanos flag is advisory.
+  * by spawning N parallel Kafka consumers and reads every knob from the
+  * environment (`config.rs:1-187`); the analog here is `local[N]` with N
+  * shuffle partitions and the same env-first discipline — every knob below
+  * has an `SPARK_GRAFT_*` override, so bench/probe/deploy sizing is an env
+  * edit, not a code edit. On a real cluster the master/partition settings
+  * come from spark-submit and AQE handles runtime re-planning (skew splits,
+  * shuffle coalescing), so everything except the nanos flag is advisory.
+  *
+  * | env                             | default    | meaning                    |
+  * |---------------------------------|------------|----------------------------|
+  * | SPARK_GRAFT_CPUS                | 32         | local[N] + shuffle default |
+  * | SPARK_GRAFT_SHUFFLE_PARTITIONS  | = CPUS     | spark.sql.shuffle.partitions |
+  * | SPARK_GRAFT_MASTER              | local[CPUS]| master URL                 |
+  * | SPARK_GRAFT_OBJ_AGG_FALLBACK    | 1048576     | ObjectHashAggregate sort-fallback keys |
   */
 object GraftSession {
+
+  private def env(name: String, default: => String): String =
+    sys.env.getOrElse(name, default)
 
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
@@ -23,20 +36,22 @@ object GraftSession {
     // ObjectHashAggregate (keep_latest, collect_list) falls back to
     // sort-based aggregation after this many hash-map keys per task; the
     // 128-key default sorts almost immediately, re-creating the
-    // SortAggregate cost the operator exists to avoid. 256k keys of small
-    // object buffers is tens of MB per task; past that the sort fallback is
+    // SortAggregate cost the operator exists to avoid. 1M keys of small
+    // object buffers is ~100 MB per task; past that the sort fallback is
     // the right call anyway (same group-per-task sizing HashAggregate needs).
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      env("SPARK_GRAFT_OBJ_AGG_FALLBACK", "1048576"))
     .config("spark.ui.enabled", "false")
 
   /** Local session sized by SPARK_GRAFT_CPUS (driver contract). */
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+  def local(cpus: String = env("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = configure(
       SparkSession
         .builder()
-        .master(s"local[$cpus]")
+        .master(env("SPARK_GRAFT_MASTER", s"local[$cpus]"))
         .appName("graft")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions",
+          env("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1053,6 +1053,36 @@ object Queries {
     },
     None) // adaptive probe depth not SQL-expressible; twin recall in spec
 
+  /** Known-answer oracle for the ANN family: every planted query's rank-1
+    * neighbor MUST be its exact twin at cosine 1.0. The full top-k set is
+    * approximation-defined (not SQL-expressible), but this sub-assertion is —
+    * a partial oracle on the same plan, run per ANN variant below. The
+    * `CAST(1.0 AS DOUBLE)` keeps DuckDB from typing cos_sim DECIMAL.
+    */
+  private val twinRank1Sql: String =
+    """SELECT CAST(vec_id + 100000 AS BIGINT) AS qid, vec_id AS neighbor,
+      |       CAST(1.0 AS DOUBLE) AS cos_sim, CAST(1 AS INT) AS rank
+      |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
+
+  private def annTwinQuery(
+      topK: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => topK(s, dir).filter(col("rank") === 1)
+
+  private val d05 = Q(
+    "d05_lsh_twin_rank1",
+    annTwinQuery((s, dir) => d02.fn(s, dir)),
+    Some(twinRank1Sql))
+
+  private val d06 = Q(
+    "d06_ivf_twin_rank1",
+    annTwinQuery((s, dir) => d03.fn(s, dir)),
+    Some(twinRank1Sql))
+
+  private val d07 = Q(
+    "d07_ivf_adaptive_twin_rank1",
+    annTwinQuery((s, dir) => d04.fn(s, dir)),
+    Some(twinRank1Sql))
+
   // ---------------------------------------------------------------- group E
 
   private val e01 = Q(
@@ -1123,10 +1153,47 @@ object Queries {
 
   private val e05 = Q(
     "e05_winnow",
-    (s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"), explode(graft.functions.winnow(col("text"))).as("fp")),
-    None)
+    // Winnowing (Schleimer et al., SIGMOD'03) in pure declarative form so the
+    // selection is DuckDB-reproducible: gram hash = first 16 hex chars of
+    // md5(char 8-gram) over the normalized text, fingerprints = distinct
+    // minima of each 4-gram window (lexicographic min on fixed-width hex =
+    // unsigned numeric min; ties pick equal values, so tie-break order can't
+    // change the output SET). All builtins — codegen end to end. The
+    // rolling-hash variant ([[graft.functions.winnow]], one multiply per
+    // gram vs an md5) remains the 100 TB fast path, property-tested in
+    // TextAnalysisSpec; this query pins the algorithm itself to an oracle.
+    (s, dir) => {
+      val k = 8; val w = 4
+      // n and gs are FENCED: the window transform references gs three times
+      // and each gram references n twice — CollapseProject would otherwise
+      // inline the whole gram-array computation into every lambda reference
+      // (≈|windows|×|grams| md5+regexp evaluations per doc instead of
+      // |grams|; measured 16 min vs <1 s at sf0.01)
+      Tables.documents(s, dir)
+        .withColumn("n", graft.functions.opt_fence(
+          trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        .filter(length(col("n")) >= k)
+        .withColumn("gs", graft.functions.opt_fence(expr(
+          s"transform(sequence(1, length(n) - $k + 1), i -> substring(md5(substring(n, i, $k)), 1, 16))")))
+        .withColumn("fps", expr(
+          s"array_distinct(transform(sequence(1, greatest(size(gs) - $w + 1, 1), 1), s -> array_min(slice(gs, s, least($w, size(gs))))))"))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+    },
+    Some("""WITH norm AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, length(n) - 8 + 2),
+      |                        i -> substr(md5(substr(n, i, 8)), 1, 16)) AS gs
+      |  FROM norm WHERE length(n) >= 8),
+      |fps AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           range(1, greatest(len(gs) - 4 + 1, 1) + 1),
+      |           s -> list_aggregate(list_slice(gs, s, s + least(4, len(gs)) - 1), 'min'))) AS fp
+      |  FROM g)
+      |SELECT doc_id, unnest(fp) AS fp FROM fps""".stripMargin))
 
   private val e06 = Q(
     "e06_bpe_tokens",
@@ -1340,7 +1407,7 @@ object Queries {
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     c01, c02, c03, c04, c05, c06, c07,
-    d01, d02, d03, d04,
+    d01, d02, d03, d04, d05, d06, d07,
     e01, e02, e03, e04, e05, e06, e07, e08, e09,
     f01, f02,
     g01, g02)

@@ -11,6 +11,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     GraftFunctions.register(spark)
     Queries.all.find(_.name == "a00_pipeline_e2e").get.fn(spark, "/root/testdata/sf0.001")
   }

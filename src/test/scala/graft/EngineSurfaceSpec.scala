@@ -56,6 +56,25 @@ class EngineSurfaceSpec extends AnyFunSuite with SparkTestBase {
       "decode leaked into a Filter condition")
   }
 
+  test("a03 keep_latest plans hash-based — no SortAggregate demotion") {
+    // regression guard for the keep_latest TypedImperativeAggregate: the
+    // declarative forms (max_by, max(struct)) carry variable-width buffers
+    // and demote to SortAggregate on both map and reduce side (2.4× a04 at
+    // the 100× probe); keep_latest must stay ObjectHashAggregate
+    val df = Queries.all.find(_.name == "a03_dedup_replacing").get.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"SortAggregate demotion in:\n$plan")
+    // and keep_latest is SQL-registered
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT g, keep_latest(v, struct(v, s)).s AS latest
+        |FROM VALUES (1, 10L, 'old'), (1, 20L, 'new'), (2, 5L, 'only') AS t(g, v, s)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("new", "only"))
+  }
+
   test("every query has matching column names with its oracle select list") {
     // cheap structural check: oracle SQL aliases every output column with the
     // same name Spark produces (the driver sorts columns by name)
