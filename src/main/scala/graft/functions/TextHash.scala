@@ -181,6 +181,24 @@ object TextHash {
     acc
   }
 
+  /** |A ∩ B| of two ascending long arrays by sorted merge — the unweighted
+    * verification kernel (Jaccard = i / (|A| + |B| − i)). Replaces
+    * `array_intersect`/`array_union`, which build a hash set per pair per
+    * side; at the 100× probe the merge made the weighted pass 4× cheaper
+    * than the set-based unweighted one.
+    */
+  def intersectCount(sa: ArrayData, sb: ArrayData): Long = {
+    var i = 0; var j = 0; var acc = 0L
+    val na = sa.numElements(); val nb = sb.numElements()
+    while (i < na && j < nb) {
+      val x = sa.getLong(i); val y = sb.getLong(j)
+      if (x == y) { acc += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    acc
+  }
+
   /** LSH band keys: hash each (bandIdx, sig-slice) to one long. Signature
     * length must be a multiple of `bands`.
     */

@@ -56,6 +56,10 @@ package object functions {
   def weighted_intersect_sum(shsA: Column, wsA: Column, shsB: Column): Column =
     column(WeightedIntersectSum(expression(shsA), expression(wsA), expression(shsB)))
 
+  /** |A ∩ B| of two ascending long arrays by sorted merge. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
+
   /** One hashed LSH key per signature band. */
   def lsh_band_keys(sig: Column, bands: Int = 32): Column =
     column(LshBandKeys(expression(sig), bands))

@@ -89,14 +89,18 @@ object Dedup {
     val banded = sigs.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
     val cand = bandJoinCandidates(banded)
     val sh = sigs.select(col("id"), col("sh"))
+    // verification by sorted merge over the ascending shingle arrays
+    // (wordShingles emits them sorted): i / (|A| + |B| − i) — no per-pair
+    // hash-set builds like array_intersect/array_union. Fenced: otherwise
+    // the threshold filter is rewritten to contain the merge expression and
+    // verification runs twice per candidate.
     val pairs = cand
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id"))
-      // fenced: otherwise the threshold filter is rewritten to contain the
-      // intersect/union expressions and verification runs twice per candidate
-      .withColumn("jaccard", opt_fence(
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          size(array_union(col("sa.sh"), col("sb.sh")))))
+      .withColumn("inter",
+        opt_fence(sorted_intersect_count(col("sa.sh"), col("sb.sh"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa.sh")) + size(col("sb.sh")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     materializedPairs(pairs, sigs)
@@ -201,9 +205,10 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     sh.as("a")
       .join(sh.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("jaccard", opt_fence(
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh")))))
+      .withColumn("inter",
+        opt_fence(sorted_intersect_count(col("a.sh"), col("b.sh"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("jaccard"), 4).as("jaccard"))

@@ -201,12 +201,21 @@ object Similarity {
     * corpus-side plan.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              tables: Int = 4, bits: Int = 8, multiProbe: Boolean = false): DataFrame = {
+              tables: Int = 4, bits: Int = 8, multiProbe: Boolean = false,
+              maxBucket: Int = 100000): DataFrame = {
     // corpus side carries ONLY (vec_id, tbl, key): the multi-table candidate
     // dedup below then shuffles bare id pairs — never embedding payloads,
     // which dominate bytes at scale
-    val db = corpus.select(col("vec_id"),
+    val db0 = corpus.select(col("vec_id"),
       posexplode(hyperplane_sketches(col("embedding"), tables, bits)).as(Seq("tbl", "key")))
+    // hot-bucket guard (same failure mode as the dedup band join): a sketch
+    // bucket holding a large fraction of the corpus — near-duplicate floods,
+    // or low-entropy embedding dims — would emit ~|queries|·|bucket|
+    // candidate rows. Drop oversized buckets via a broadcast anti-join; a
+    // vector stays reachable through its other `tables − 1` sketches.
+    val hot = db0.groupBy("tbl", "key").count()
+      .filter(col("count") > maxBucket).select("tbl", "key")
+    val db = db0.join(broadcast(hot), Seq("tbl", "key"), "left_anti")
     val q0 = queries.select(col("qid"),
       posexplode(hyperplane_sketches(col("qv"), tables, bits)).as(Seq("tbl", "key0")))
     val q =

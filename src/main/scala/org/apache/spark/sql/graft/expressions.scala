@@ -319,6 +319,30 @@ case class WeightedIntersectSum(first: Expression, second: Expression, third: Ex
     copy(first = f, second = s, third = t)
 }
 
+/** `sorted_intersect_count(a, b) -> long` — |A ∩ B| of two ascending long
+  * arrays by sorted merge (unweighted dedup verification; Jaccard derives as
+  * i / (|A| + |B| − i) with the sizes already at hand).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(LongType, containsNull = false),
+    ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.TextHash.intersectCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.intersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCount = copy(left = l, right = r)
+}
+
 /** `lsh_band_keys(sig, bands)` — one hashed key per signature band. */
 case class LshBandKeys(child: Expression, bands: Int)
     extends UnaryExpression with ImplicitCastInputTypes {

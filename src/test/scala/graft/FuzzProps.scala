@@ -79,4 +79,49 @@ object FuzzProps extends Properties("graft.kernels") {
       TextHash.langId(u(s))
       Prop.passed
     }
+
+  // --- sorted-merge verification kernels vs brute-force set reference ------
+
+  private def arr(xs: Seq[Long]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray)
+  private val sortedSetGen: Gen[Seq[Long]] =
+    Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)
+
+  property("intersectCount equals set intersection size on sorted inputs") =
+    forAll(sortedSetGen, sortedSetGen) { (a, b) =>
+      TextHash.intersectCount(arr(a), arr(b)) == a.toSet.intersect(b.toSet).size.toLong
+    }
+
+  property("weightedIntersectSum equals brute-force Σw over shared keys") =
+    forAll(sortedSetGen, Gen.chooseNum(1, 8), sortedSetGen) { (a, maxW, b) =>
+      // weights derive from the key (global-weight model, like idf)
+      def w(x: Long): Int = (Math.floorMod(x, maxW.toLong) + 1).toInt
+      val wa = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        a.map(w).toArray)
+      val expected = a.toSet.intersect(b.toSet).toSeq.map(x => w(x).toLong).sum
+      TextHash.weightedIntersectSum(arr(a), wa, arr(b)) == expected
+    }
+
+  property("weighted minhash signature agreement tracks weighted Jaccard") =
+    forAll(Gen.chooseNum(5, 40), Gen.chooseNum(0, 30)) { (shared, extra) =>
+      // two sets: `shared` common keys + `extra` keys only in B, weight 1..4
+      val a = (0 until shared).map(_.toLong * 7 + 1).sorted
+      val b = (a ++ (0 until extra).map(i => -(i.toLong * 11 + 3))).sorted
+      def ws(xs: Seq[Long]) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        xs.map(x => (Math.floorMod(x, 4L) + 1).toInt).toArray)
+      val n = 64
+      val sa = TextHash.minhashSigWeighted(arr(a), ws(a), n)
+      val sb = TextHash.minhashSigWeighted(arr(b), ws(b), n)
+      val agree = (0 until n).count(i => sa.getLong(i) == sb.getLong(i))
+      val jw = {
+        val wOf = (x: Long) => Math.floorMod(x, 4L) + 1
+        val inter = a.toSet.intersect(b.toSet).toSeq.map(wOf).sum.toDouble
+        val union = (a.toSet ++ b.toSet).toSeq.map(wOf).sum.toDouble
+        inter / union
+      }
+      // identical sets must agree everywhere; otherwise the agreement rate
+      // estimates J_w — allow a generous ±0.35 band for n=64
+      if (a == b) agree == n
+      else Math.abs(agree.toDouble / n - jw) <= 0.35
+    }
 }
