@@ -954,6 +954,38 @@ object Queries {
       |WHERE CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw) >= 0.5""".stripMargin),
     bench = true)
 
+  private val c08 = Q(
+    "c08_contamination",
+    // benchmark decontamination: training corpus (with planted near-dups) vs
+    // a deterministic "benchmark" subset (every 17th document). Planted
+    // copies of doc_id % 170 == 0 docs surface as cross-document
+    // contamination hits; every benchmark doc long enough also matches its
+    // own corpus copy — both mirrored exactly by the oracle.
+    (s, dir) => Dedup.contamination(
+      corpus(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 17 === 0),
+      "doc_id", "text"),
+    Some(s"""WITH $corpusCte,
+      |${gramCtes("corpus")},
+      |btoks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      |  FROM documents WHERE doc_id % 17 = 0
+      |    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |                        x -> x <> '')) > 0),
+      |bgrams AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE t END) AS g
+      |  FROM btoks),
+      |bex AS (SELECT doc_id AS bench_id, unnest(g) AS gram FROM bgrams),
+      |hot AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) > 10000)
+      |SELECT d.doc_id, bench_id, count(*) AS shared_grams
+      |FROM ex d JOIN bex USING (gram)
+      |WHERE gram NOT IN (SELECT gram FROM hot)
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 5""".stripMargin))
+
   private val c05 = Q(
     "c05_embedding_neardup",
     (s, dir) => Dedup.embeddingPairs(augEmbeddings(s, dir), "vec_id", "embedding"),
@@ -1406,7 +1438,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
-    c01, c02, c03, c04, c05, c06, c07,
+    c01, c02, c03, c04, c05, c06, c07, c08,
     d01, d02, d03, d04, d05, d06, d07,
     e01, e02, e03, e04, e05, e06, e07, e08, e09,
     f01, f02,

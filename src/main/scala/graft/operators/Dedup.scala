@@ -234,6 +234,33 @@ object Dedup {
       .select(col(idCol), col("fp"), col("exact_copies"))
   }
 
+  /** Benchmark decontamination: flag (training doc, benchmark doc) pairs
+    * sharing at least `minShared` word k-grams — the standard guard against
+    * eval-set leakage in a training-data pipeline. Pure equi-join on gram
+    * hashes, shuffle-partitioned by gram, with map-side-combined counts.
+    *
+    * `maxDf` drops grams appearing in more than that many training docs
+    * before the join (broadcast anti-join, same pattern as the LSH
+    * hot-bucket guard): ubiquitous boilerplate grams carry no contamination
+    * signal but each would emit |docs-with-gram| × |bench-with-gram| join
+    * rows — the quadratic failure mode at 100 TB.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3, minShared: Int = 5,
+                    maxDf: Int = 10000): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"),
+      explode(word_shingles(col(textCol), k)).as("gram"))
+    val b = bench.select(col(idCol).as("bench_id"),
+      explode(word_shingles(col(textCol), k)).as("gram"))
+    val hot = d.groupBy("gram").count()
+      .filter(col("count") > maxDf).select("gram")
+    d.join(broadcast(hot), Seq("gram"), "left_anti")
+      .join(b, "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** Embedding cosine near-dup pairs above a threshold. Nested-loop join —
     * intended for small or pre-blocked inputs; use LSH buckets at scale.
     */

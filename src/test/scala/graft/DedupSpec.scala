@@ -111,6 +111,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "idf weighting must discount the shared high-df boilerplate shingles")
   }
 
+  test("contamination flags training docs sharing grams with a benchmark set") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val train = Seq(
+      (1L, s"training sample one $shared and then some extra prose"),
+      (2L, "completely unrelated training text about spark physical plans"),
+      (3L, shared)  // verbatim benchmark leak
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, shared)).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hits.contains((3L, 100L)), "verbatim leak must be flagged")
+    assert(hits.contains((1L, 100L)), "embedded leak must be flagged")
+    assert(!hits.exists(_._1._1 == 2L), "unrelated doc must not be flagged")
+    // the verbatim copy shares every benchmark gram (13 tokens → 11 trigrams)
+    assert(hits((3L, 100L)) == 11L)
+  }
+
+  test("contamination hot-gram cap drops boilerplate grams before the join") {
+    import spark.implicits._
+    val boiler = "standard legal footer text all rights reserved worldwide"
+    val train = (0 until 50).map(i => (i.toLong, s"doc number $i body $boiler"))
+      .toDF("doc_id", "text")
+    val bench = Seq((999L, s"benchmark question $boiler")).toDF("doc_id", "text")
+    // maxDf=10: the boilerplate grams appear in 50 training docs → dropped,
+    // so no (train, bench) pair reaches minShared
+    val capped = Dedup.contamination(train, bench, "doc_id", "text", maxDf = 10)
+    assert(capped.count() == 0, "hot grams past the cap must not create pairs")
+    // with the cap lifted the same pairs DO surface — proving the guard, not
+    // the tokenization, removed them
+    val uncapped = Dedup.contamination(train, bench, "doc_id", "text", maxDf = 1000000)
+    assert(uncapped.count() == 50L)
+  }
+
   test("exact dedup counts planted exact copies") {
     val byCopies = Dedup.exact(corpus, "doc_id", "text")
       .groupBy("n_copies").count().collect()
