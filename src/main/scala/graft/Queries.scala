@@ -986,6 +986,35 @@ object Queries {
       |GROUP BY 1, 2
       |HAVING count(*) >= 5""".stripMargin))
 
+  private val c09 = Q(
+    "c09_neardup_clusters",
+    // near-dup clusters: verified MinHash pairs → connected components
+    // (alternating star contraction) → (doc, component-min rep, size). The
+    // oracle recomputes the same components from the exact 3-gram-Jaccard
+    // pair set (== the verified LSH output on this corpus, as c02 proves)
+    // with a recursive min-label closure.
+    (s, dir) => Dedup.nearDupClusters(corpus(s, dir), "doc_id", "text"),
+    Some(s"""WITH RECURSIVE $corpusCte,
+      |${gramCtes("corpus")},
+      |inter AS (
+      |  SELECT id_a, id_b, count(*) AS i FROM pair_inter GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+      |pj AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |nodes AS (SELECT id_a AS id FROM pj UNION SELECT id_b FROM pj),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pj
+      |          UNION ALL SELECT id_b, id_a FROM pj),
+      |reach(id, r) AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |cc AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+      |sz AS (SELECT rep, count(*) AS cluster_size FROM cc GROUP BY rep)
+      |SELECT doc_id, cc.rep, cluster_size FROM cc JOIN sz USING (rep)""".stripMargin))
+
   private val c05 = Q(
     "c05_embedding_neardup",
     (s, dir) => Dedup.embeddingPairs(augEmbeddings(s, dir), "vec_id", "embedding"),
@@ -1438,7 +1467,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
-    c01, c02, c03, c04, c05, c06, c07, c08,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09,
     d01, d02, d03, d04, d05, d06, d07,
     e01, e02, e03, e04, e05, e06, e07, e08, e09,
     f01, f02,

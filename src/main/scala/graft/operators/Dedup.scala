@@ -234,6 +234,105 @@ object Dedup {
       .select(col(idCol), col("fp"), col("exact_copies"))
   }
 
+  /** Connected components of an undirected pair graph via alternating
+    * large-star / small-star contractions (the MapReduce CC algorithm of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * converges in O(log²) rounds regardless of component diameter, unlike
+    * naive label propagation whose round count is the graph diameter (a
+    * near-dup *chain* of n documents would need n rounds). Every round is
+    * two groupBy+join passes over the current edge set; edge sets only
+    * shrink toward the final star forest.
+    *
+    * Input: (id_a, id_b) pairs. Output: one row per node, (doc_id, rep)
+    * with rep = the minimum id of the node's component (reps map to
+    * themselves).
+    *
+    * The driver-side convergence loop is justified the same way AQE's
+    * re-optimization is: O(log²) iterations of fully-distributed work, with
+    * two scalar aggregates per round to detect the fixpoint.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // large-star: attach every neighbor v > u to m = min(Γ(u) ∪ {u}).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: orient edges large→small; attach u and all its smaller
+    // neighbors to m = min of that star.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // Each star round references its input several times (symmetrization
+    // union + the mins join), so the Catalyst plan grows geometrically with
+    // iterations — by round ~8 even explain() OOMs. Persist+materialize the
+    // round, then restart the plan from the cached rows as a flat
+    // LogicalRDD: the cache serves reads, and on cache eviction/executor
+    // loss the RDD lineage (one round back at a time) recomputes.
+    // (truncated view, persisted handle, row count)
+    def materializeTruncated(df: DataFrame): (DataFrame, DataFrame, Long) = {
+      val p = df.persist(MEMORY_AND_DISK)
+      val n = p.count()
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p, n)
+    }
+
+    var (cur, curCache, curCount) = materializeTruncated(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v")).distinct())
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val (next, nextCache, nextCount) = materializeTruncated(smallStar(largeStar(cur)))
+      // both sides are distinct sets: equal counts + empty one-way except
+      // ⇒ set equality ⇒ star-forest fixpoint reached
+      converged = nextCount == curCount &&
+        next.exceptAll(cur).isEmpty
+      curCache.unpersist(blocking = false)
+      cur = next
+      curCache = nextCache
+      curCount = nextCount
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint edges are (member, componentMin); reps get a self row
+    val members = cur.select(col("u").as("doc_id"), col("v").as("rep"))
+    val reps = cur.select(col("v").as("doc_id"), col("v").as("rep")).distinct()
+    val out = members.union(reps)
+      .persist(MEMORY_AND_DISK)
+    out.count()
+    curCache.unpersist(blocking = false)
+    out
+  }
+
+  /** Near-duplicate cluster assignment: verified MinHash pairs → connected
+    * components → (doc_id, rep, cluster_size), one row per document that has
+    * at least one near-duplicate. This is the policy-grade output a corpus
+    * run wants (pick a canonical doc per cluster, count cluster mass);
+    * [[cleanCorpus]]'s greedy pair drop is the cheaper cousin that never
+    * merges docs that are only *transitively* similar.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, k = k, threshold = threshold)
+    val cc = connectedComponents(pairs.select("id_a", "id_b"))
+    val sizes = cc.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "rep").select(col("doc_id"), col("rep"), col("cluster_size"))
+  }
+
   /** Benchmark decontamination: flag (training doc, benchmark doc) pairs
     * sharing at least `minShared` word k-grams — the standard guard against
     * eval-set leakage in a training-data pipeline. Pure equi-join on gram

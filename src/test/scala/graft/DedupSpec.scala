@@ -111,6 +111,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "idf weighting must discount the shared high-df boilerplate shingles")
   }
 
+  test("connected components resolves a chain to one cluster in log rounds") {
+    import spark.implicits._
+    // path graph 0-1-2-...-9 plus a separate pair (100,101): naive label
+    // propagation needs diameter(=9) rounds; star contraction must still
+    // land every node on the component min
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(i => assert(cc(i) == 0L, s"node $i rep=${cc(i)}"))
+    assert(cc(100L) == 100L && cc(101L) == 100L)
+    assert(cc.size == 12)
+  }
+
+  test("near-dup clusters group transitive chains the greedy drop cannot") {
+    import spark.implicits._
+    // sliding windows over 40 unique tokens: doc 2 = all 40, doc 1 = first
+    // 30, doc 3 = last 30. Trigram Jaccard: j(1,2)=j(2,3)=28/38≈0.74 (≥0.5,
+    // verified pairs), j(1,3)=18/38≈0.47 (<0.5, NOT a pair) — a genuine
+    // transitive chain. CC must still produce ONE cluster {1,2,3} with
+    // rep=1; cleanCorpus's pairwise drop has no way to see that 1 and 3
+    // belong together.
+    val toks = (0 until 40).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, toks.take(30).mkString(" ")),
+      (2L, toks.mkString(" ")),
+      (3L, toks.drop(10).mkString(" "))
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(clusters.keySet == Set(1L, 2L, 3L), s"got ${clusters.keySet}")
+    assert(clusters.values.forall(_ == (1L, 3L)), s"got $clusters")
+  }
+
   test("contamination flags training docs sharing grams with a benchmark set") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog near the river bank"
