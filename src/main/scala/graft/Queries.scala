@@ -1144,6 +1144,24 @@ object Queries {
     annTwinQuery((s, dir) => d04.fn(s, dir)),
     Some(twinRank1Sql))
 
+  private val d08 = Q(
+    "d08_ann_pq",
+    (s, dir) => {
+      // PQ-ADC: 8-byte codes scanned instead of 256-byte vectors, exact
+      // re-rank of the per-query shortlist. Codebook training + encoding
+      // not SQL-expressible; twin recall proven in d09 + spec.
+      val aug = augEmbeddings(s, dir)
+      val queries = aug.filter(col("vec_id") >= 100000)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.pqTopK(aug, queries, 5)
+    },
+    None)
+
+  private val d09 = Q(
+    "d09_pq_twin_rank1",
+    annTwinQuery((s, dir) => d08.fn(s, dir)),
+    Some(twinRank1Sql))
+
   // ---------------------------------------------------------------- group E
 
   private val e01 = Q(
@@ -1397,6 +1415,33 @@ object Queries {
       |       top_cnt * 5 > toks AS repetitive
       |FROM per_doc""".stripMargin))
 
+  private val e10 = Q(
+    "e10_domain_mix",
+    // domain-reweighting sampler: four sources get explicit token-budget
+    // shares (src4's saturates at rate 1), the rest are excluded. The
+    // sampling coin is pure BIGINT arithmetic so the oracle mirrors the
+    // exact row set, not just counts.
+    (s, dir) => operators.Mixing.domainMix(
+      Tables.documents(s, dir), "doc_id", "text", "source",
+      Map("src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.20, "src4" -> 0.60),
+      budgetTokens = 3000L),
+    Some("""WITH toks AS (
+      |  SELECT doc_id, source AS domain,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok_cnt
+      |  FROM documents),
+      |tot AS (SELECT domain, CAST(sum(tok_cnt) AS BIGINT) AS domain_tokens
+      |        FROM toks GROUP BY 1),
+      |shares(domain, share) AS (
+      |  VALUES ('src0', CAST(0.30 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+      |         ('src2', CAST(0.20 AS DOUBLE)), ('src4', CAST(0.60 AS DOUBLE))),
+      |rates AS (
+      |  SELECT t.domain, least(CAST(1.0 AS DOUBLE),
+      |         s.share * CAST(3000 AS DOUBLE) / CAST(t.domain_tokens AS DOUBLE)) AS rate
+      |  FROM tot t JOIN shares s USING (domain))
+      |SELECT doc_id, t.domain, tok_cnt
+      |FROM toks t JOIN rates r ON t.domain = r.domain
+      |WHERE (doc_id * 2654435761) % 1000000 < r.rate * 1000000""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -1468,8 +1513,8 @@ object Queries {
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     c01, c02, c03, c04, c05, c06, c07, c08, c09,
-    d01, d02, d03, d04, d05, d06, d07,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
     f01, f02,
     g01, g02)
 }

@@ -99,6 +99,9 @@ object ScaleProbe {
           "c01_exact" -> (() => Dedup.exact(docs(), "doc_id", "text")),
           "c02_minhash" -> (() => Dedup.minhashPairs(docs(), "doc_id", "text")),
           "c07_weighted" -> (() => Dedup.weightedMinhashPairs(docs(), "doc_id", "text")),
+          "c08_contamination" -> (() => Dedup.contamination(
+            docs(), docs().filter(col("doc_id") % 17 === 0), "doc_id", "text")),
+          "c09_clusters" -> (() => Dedup.nearDupClusters(docs(), "doc_id", "text")),
           "d02_lsh_ann_50q" -> (() =>
             Similarity.lshTopK(emb(), queries(), 10, multiProbe = true)),
           "d03_ivf_ann_50q" -> (() => Similarity.ivfTopK(emb(), queries(), 10)))

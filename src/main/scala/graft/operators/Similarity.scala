@@ -189,6 +189,121 @@ object Similarity {
       .select(col("vec_id"), array_max(col("scored")).getField("cid").as("cell"))
   }
 
+  // ------------------------------------------------------- product quantization
+
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2-normalize so inner product == cosine (PQ quantizes L2 space). */
+  private def normalized(v: org.apache.spark.sql.Column) =
+    transform(v, x => x / sqrt(dot(v, v)))
+
+  /** Train per-subspace PQ codebooks: split the (normalized) embedding into
+    * `m` contiguous subvectors, k-means each subspace independently —
+    * deterministic seeds (the `kc` lowest-id vectors' slices) + `iters`
+    * Lloyd rounds on subvector L2. Returns (sub, cid, cv) with cid 0-based
+    * per subspace. Training shuffles only (sub, cid, pos) aggregates —
+    * never the corpus.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, kc: Int = 16,
+                  iters: Int = 1): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val w = dim / m
+    val subs = corpus
+      .select(col("vec_id"), normalized(col("embedding")).as("nv"))
+      .select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(col("nv"), s * w + 1, w).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val seedIds = corpus.select("vec_id").orderBy("vec_id").limit(kc)
+      .collect().map(_.getLong(0)).zipWithIndex.toMap
+    val seedCid = seedIds.foldLeft(lit(-1)) { case (acc, (id, i)) =>
+      when(col("vec_id") === id, lit(i)).otherwise(acc)
+    }
+    val seeds = subs.filter(col("vec_id").isin(seedIds.keys.toSeq: _*))
+      .select(col("sub"), seedCid.as("cid"), col("sv").as("cv"))
+    (1 to iters).foldLeft(seeds) { (cb, _) =>
+      val packed = cb.groupBy("sub")
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+      subs.join(broadcast(packed), "sub")
+        .withColumn("code", array_min(transform(col("cs"), c =>
+          struct(l2sq(col("sv"), c.getField("cv")).as("d"),
+            c.getField("cid").as("cid")))).getField("cid"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "code", "pos").agg(avg("v").as("mv"))
+        .groupBy("sub", "code")
+        .agg(collect_list(struct(col("pos"), col("mv"))).as("pm"))
+        .select(col("sub"), col("code").as("cid"),
+          expr("transform(array_sort(pm), x -> CAST(x.mv AS FLOAT))").as("cv"))
+    }
+  }
+
+  /** Encode every corpus vector as `m` sub-codes — a stateless per-row map
+    * against the broadcast codebook (same shuffle-free shape as
+    * [[assignStateless]]). At 100 TB this is THE reason PQ exists: m bytes
+    * per vector instead of 4·dim, so the ADC scan below reads ~32× less.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, w: Int): DataFrame = {
+    val packed = codebooks
+      .agg(collect_list(struct(col("sub"), col("cid"), col("cv"))).as("cbs"))
+    corpus
+      .select(col("vec_id"), normalized(col("embedding")).as("nv"))
+      .crossJoin(broadcast(packed))
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), s =>
+        array_min(transform(
+          filter(col("cbs"), c => c.getField("sub") === s),
+          c => struct(l2sq(slice(col("nv"), s * w + 1, lit(w)), c.getField("cv")).as("d"),
+            c.getField("cid").as("cid")))).getField("cid")))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** PQ-ADC ANN: score every encoded vector against a per-query lookup
+    * table (LUT[sub][code] = ⟨q_sub, centroid⟩, so the approximate cosine is
+    * m table lookups instead of a dim-wide dot product), keep the top
+    * `rerank` per query by ADC score, then re-rank exactly. The scan side
+    * touches only (vec_id, codes); full vectors are re-attached for the
+    * `rerank` survivors per query — the asymmetric-distance pattern of
+    * Jégou et al.'s IVFADC, minus the coarse stage (compose with the IVF
+    * cell filter when cell-partitioned storage is in play).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, kc: Int = 16, iters: Int = 1,
+             rerankFactor: Int = 4): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val w = dim / m
+    val cb = pqCodebooks(corpus, m, kc, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqEncode(corpus, cb, m, w)
+    // per-query flat LUT, ordered by (sub, cid): lut[sub·kc + cid]
+    val packedSorted = cb
+      .agg(sort_array(collect_list(struct(col("sub"), col("cid"), col("cv")))).as("cbs"))
+    val qlut = queries
+      .select(col("qid"), col("qv"), normalized(col("qv")).as("qn"))
+      .crossJoin(broadcast(packedSorted))
+      .withColumn("lut", transform(col("cbs"), c =>
+        dot(slice(col("qn"), c.getField("sub") * w + 1, lit(w)), c.getField("cv"))))
+      .select(col("qid"), col("qv"), col("lut"))
+    val adcW = Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = codes
+      .join(broadcast(qlut.select("qid", "lut")))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("lut"),
+          (s * kc + element_at(col("codes"), s + 1) + 1).cast("int"))))
+      .withColumn("arnk", row_number().over(adcW))
+      .filter(col("arnk") <= k * rerankFactor)
+      .select(col("qid"), col("vec_id"))
+    cb.unpersist(blocking = false)
+    val cand = corpus.select(col("vec_id"), col("embedding"))
+      .join(shortlist, "vec_id")
+      .join(broadcast(qlut.select("qid", "qv")), "qid")
+      .filter(col("vec_id") =!= col("qid"))
+    rankTopK(cand, k)
+  }
+
   /** LSH-bucketed ANN (the scale path): both sides key by random-hyperplane
     * sketches (`tables` independent tables of `bits` sign-bits), candidates
     * come from an equi-join on (table, key), then exact cosine ranks them.

@@ -116,6 +116,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall(multi) >= recall(single))
   }
 
+  test("PQ-ADC always retrieves a planted exact twin at rank 1") {
+    val aug = emb.unionByName(
+      emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    val queries = aug.filter(col("vec_id") >= 100000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Similarity.pqTopK(aug, queries, 5)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val qids = queries.select("qid").collect().map(_.getLong(0))
+    assert(qids.nonEmpty)
+    qids.foreach { qid =>
+      val (nbr, cos) = top(qid)
+      // identical normalized vector → identical PQ codes → max ADC score →
+      // survives the shortlist; exact re-rank then pins it to rank 1
+      assert(nbr == qid - 100000, s"twin not at rank 1 for $qid (got $nbr)")
+      assert(cos > 0.9999, s"twin cosine $cos for $qid")
+    }
+  }
+
+  test("PQ recall vs brute force is reported, codes compress to m bytes") {
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"PQ-ADC recall@10 on random vectors: $recall%.2f")
+    assert(approx.nonEmpty)
+    // the encoded form really is m small codes per vector
+    val cb = Similarity.pqCodebooks(emb, m = 8, kc = 16)
+    val codes = Similarity.pqEncode(emb, cb, m = 8, w = 8).collect()
+    assert(codes.forall(_.getSeq[Int](1).size == 8))
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+  }
+
   test("LSH recall vs brute force is reported") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
