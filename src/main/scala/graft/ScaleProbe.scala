@@ -104,7 +104,8 @@ object ScaleProbe {
           "c09_clusters" -> (() => Dedup.nearDupClusters(docs(), "doc_id", "text")),
           "d02_lsh_ann_50q" -> (() =>
             Similarity.lshTopK(emb(), queries(), 10, multiProbe = true)),
-          "d03_ivf_ann_50q" -> (() => Similarity.ivfTopK(emb(), queries(), 10)))
+          "d03_ivf_ann_50q" -> (() => Similarity.ivfTopK(emb(), queries(), 10)),
+          "d08_pq_ann_50q" -> (() => Similarity.pqTopK(emb(), queries(), 10)))
       } else {
         val names = if (mode == "etl")
           Seq("a00_pipeline_e2e", "a03_dedup_replacing", "a04_traffic_totals")

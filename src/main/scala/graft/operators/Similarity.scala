@@ -198,9 +198,19 @@ object Similarity {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** L2-normalize so inner product == cosine (PQ quantizes L2 space). */
-  private def normalized(v: org.apache.spark.sql.Column) =
-    transform(v, x => x / sqrt(dot(v, v)))
+  /** Append `out` = L2-normalized `vecCol` (inner product of unit vectors ==
+    * cosine, which is the space PQ quantizes). Two fenced steps: the norm is
+    * computed ONCE per row (the naive `x / sqrt(dot(v,v))` lambda re-derives
+    * the dot product per ELEMENT), and the unit vector is fenced so
+    * CollapseProject cannot inline the whole transform into every downstream
+    * per-subspace slice — codegen cannot CSE inside higher-order-function
+    * lambdas, and the inlined form measured 140× slower at the 100× probe
+    * (640 s vs the fenced rewrite) before this fence existed.
+    */
+  private def withUnitVec(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn("_nrm", opt_fence(sqrt(dot(col(vecCol), col(vecCol)))))
+      .withColumn(out, opt_fence(transform(col(vecCol), x => x / col("_nrm"))))
+      .drop("_nrm")
 
   /** Train per-subspace PQ codebooks: split the (normalized) embedding into
     * `m` contiguous subvectors, k-means each subspace independently —
@@ -214,8 +224,8 @@ object Similarity {
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val w = dim / m
-    val subs = corpus
-      .select(col("vec_id"), normalized(col("embedding")).as("nv"))
+    val subs = withUnitVec(corpus.select(col("vec_id"), col("embedding")),
+        "embedding", "nv")
       .select(col("vec_id"), explode(array((0 until m).map(s =>
         struct(lit(s).as("sub"), slice(col("nv"), s * w + 1, w).as("sv"))): _*)).as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
@@ -244,21 +254,48 @@ object Similarity {
 
   /** Encode every corpus vector as `m` sub-codes — a stateless per-row map
     * against the broadcast codebook (same shuffle-free shape as
-    * [[assignStateless]]). At 100 TB this is THE reason PQ exists: m bytes
-    * per vector instead of 4·dim, so the ADC scan below reads ~32× less.
+    * [[assignStateless]]). Carries every input column through plus `codes`.
+    * At 100 TB this is THE reason PQ exists: m bytes per vector instead of
+    * 4·dim, so an ADC scan reads ~32× less.
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, w: Int): DataFrame = {
     val packed = codebooks
       .agg(collect_list(struct(col("sub"), col("cid"), col("cv"))).as("cbs"))
-    corpus
-      .select(col("vec_id"), normalized(col("embedding")).as("nv"))
+    withUnitVec(corpus, "embedding", "nv")
       .crossJoin(broadcast(packed))
       .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), s =>
         array_min(transform(
           filter(col("cbs"), c => c.getField("sub") === s),
           c => struct(l2sq(slice(col("nv"), s * w + 1, lit(w)), c.getField("cv")).as("d"),
             c.getField("cid").as("cid")))).getField("cid")))
-      .select(col("vec_id"), col("codes"))
+      .drop("nv", "cbs")
+  }
+
+  /** Per-query ADC lookup table, flat-ordered by (sub, cid):
+    * lut[sub·kc + cid] = ⟨q_sub, centroid⟩. (qid, qv, lut).
+    */
+  private def queryLut(queries: DataFrame, codebooks: DataFrame, w: Int): DataFrame = {
+    val packedSorted = codebooks
+      .agg(sort_array(collect_list(struct(col("sub"), col("cid"), col("cv")))).as("cbs"))
+    withUnitVec(queries.select(col("qid"), col("qv")), "qv", "qn")
+      .crossJoin(broadcast(packedSorted))
+      .withColumn("lut", transform(col("cbs"), c =>
+        dot(slice(col("qn"), c.getField("sub") * w + 1, lit(w)), c.getField("cv"))))
+      .select(col("qid"), col("qv"), col("lut"))
+  }
+
+  /** ADC scoring + per-query shortlist: input rows carry (qid, lut, vec_id,
+    * codes); output the top `limit` (qid, vec_id) by summed LUT score.
+    */
+  private def adcShortlist(scored: DataFrame, m: Int, kc: Int, limit: Int): DataFrame = {
+    val adcW = Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    scored
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("lut"),
+          (s * kc + element_at(col("codes"), s + 1) + 1).cast("int"))))
+      .withColumn("arnk", row_number().over(adcW))
+      .filter(col("arnk") <= limit)
+      .select(col("qid"), col("vec_id"))
   }
 
   /** PQ-ADC ANN: score every encoded vector against a per-query lookup
@@ -275,33 +312,68 @@ object Similarity {
              rerankFactor: Int = 4): DataFrame = {
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     val w = dim / m
-    val cb = pqCodebooks(corpus, m, kc, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codes = pqEncode(corpus, cb, m, w)
-    // per-query flat LUT, ordered by (sub, cid): lut[sub·kc + cid]
-    val packedSorted = cb
-      .agg(sort_array(collect_list(struct(col("sub"), col("cid"), col("cv")))).as("cbs"))
-    val qlut = queries
-      .select(col("qid"), col("qv"), normalized(col("qv")).as("qn"))
-      .crossJoin(broadcast(packedSorted))
-      .withColumn("lut", transform(col("cbs"), c =>
-        dot(slice(col("qn"), c.getField("sub") * w + 1, lit(w)), c.getField("cv"))))
-      .select(col("qid"), col("qv"), col("lut"))
-    val adcW = Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = codes
-      .join(broadcast(qlut.select("qid", "lut")))
-      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, s) => acc + element_at(col("lut"),
-          (s * kc + element_at(col("codes"), s + 1) + 1).cast("int"))))
-      .withColumn("arnk", row_number().over(adcW))
-      .filter(col("arnk") <= k * rerankFactor)
-      .select(col("qid"), col("vec_id"))
-    cb.unpersist(blocking = false)
+    // codebooks are m·kc rows of w floats — driver-tiny by construction, so
+    // materialize them once into a LocalTableScan instead of leaving the
+    // Lloyd-training subtree in the plan (it would otherwise re-run for
+    // every branch that references it: encode + both LUT projections)
+    val trained = pqCodebooks(corpus, m, kc, iters)
+    val cb = trained.sparkSession.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    val codes = pqEncode(corpus.select(col("vec_id"), col("embedding")), cb, m, w)
+      .select(col("vec_id"), col("codes"))
+    val qlut = queryLut(queries, cb, w)
+    val shortlist = adcShortlist(
+      codes.join(broadcast(qlut.select("qid", "lut"))), m, kc, k * rerankFactor)
     val cand = corpus.select(col("vec_id"), col("embedding"))
       .join(shortlist, "vec_id")
       .join(broadcast(qlut.select("qid", "qv")), "qid")
       .filter(col("vec_id") =!= col("qid"))
     rankTopK(cand, k)
+  }
+
+  /** Write the PQ-augmented IVF serving layout: every vector stored in its
+    * cell's partition with BOTH its PQ codes and the full embedding. The
+    * probe then composes all three pruning axes a 100 TB serving read
+    * needs: partition pruning (only probed cells listed), column pruning
+    * (the ADC pass reads vec_id+codes — never the 32×-larger embedding),
+    * and ADC itself (m LUT adds per row). Only the per-query shortlist's
+    * vectors are fetched for exact re-rank.
+    */
+  def writeIndexPQ(corpus: DataFrame, centroids: DataFrame,
+                   codebooks: DataFrame, path: String, m: Int, w: Int): Unit =
+    pqEncode(assigned(corpus, centroids), codebooks, m, w)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a [[writeIndexPQ]] layout: resolve nProbe cells per query, ADC-
+    * score the pruned (vec_id, codes) scan, exact-rank the shortlist from a
+    * second, embedding-only read of the same pruned partitions.
+    */
+  def probeIndexPQ(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+                   k: Int, m: Int, kc: Int, nProbe: Int = 4,
+                   rerankFactor: Int = 4): DataFrame = {
+    val w = codebooks.select(size(col("cv"))).first().getInt(0)
+    val probes = probeCells(queries, centroids, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val qlut = queryLut(queries, codebooks, w)
+    // ADC pass: codes-only columns, probed-cells-only partitions
+    val codeScan = spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("codes"), col("cell"))
+    val shortlist = adcShortlist(
+      codeScan.join(
+        broadcast(probes.select("qid", "cell").join(qlut.select("qid", "lut"), "qid")),
+        "cell"),
+      m, kc, k * rerankFactor)
+    // re-rank pass: embedding column only, same pruned partitions
+    val vecs = spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("embedding"))
+    rankTopK(
+      vecs.join(shortlist, "vec_id")
+        .join(broadcast(qlut.select("qid", "qv")), "qid")
+        .filter(col("vec_id") =!= col("qid")), k)
   }
 
   /** LSH-bucketed ANN (the scale path): both sides key by random-hyperplane

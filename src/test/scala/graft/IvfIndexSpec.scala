@@ -41,6 +41,41 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(files.nonEmpty && files.forall(_.contains(s"cell=$aCell")))
   }
 
+  test("PQ index probe prunes partitions AND columns, twins stay rank 1") {
+    val aug = emb.unionByName(
+      emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    val queries = aug.filter(col("vec_id") >= 100000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val centroids = Similarity.ivfCentroids(aug, nCells = 16, refineIters = 1)
+    val trained = Similarity.pqCodebooks(aug, m = 8, kc = 16)
+    val cb = spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
+    Similarity.writeIndexPQ(aug, centroids, cb, dir, m = 8, w = 8)
+
+    val probed = Similarity.probeIndexPQ(spark, dir, queries, centroids, cb,
+      k = 5, m = 8, kc = 16)
+    val top = probed.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    queries.select("qid").collect().map(_.getLong(0)).foreach { qid =>
+      val (nbr, cos) = top(qid)
+      // the twin shares the query's cell (identical vector, same argmax
+      // tie-break as the probe ranking), codes match exactly → max ADC →
+      // exact re-rank pins it at rank 1
+      assert(nbr == qid - 100000, s"twin not rank 1 for $qid (got $nbr)")
+      assert(cos > 0.9999)
+    }
+
+    val plan = probed.queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "cell filter must prune partitions at file listing")
+    // the ADC scan's parquet read schema must NOT include the embedding —
+    // that column-pruned read is the 32× IO saving PQ exists for
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(readSchemas.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"no codes-only scan found in:\n${readSchemas.mkString("\n")}")
+  }
+
   test("index layout spans all cells and loses no vectors") {
     val centroids = Similarity.ivfCentroids(emb, nCells = 16, refineIters = 1)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf2").toString + "/idx"

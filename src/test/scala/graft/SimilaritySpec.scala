@@ -147,7 +147,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(approx.nonEmpty)
     // the encoded form really is m small codes per vector
     val cb = Similarity.pqCodebooks(emb, m = 8, kc = 16)
-    val codes = Similarity.pqEncode(emb, cb, m = 8, w = 8).collect()
+    val codes = Similarity.pqEncode(emb, cb, m = 8, w = 8)
+      .select("vec_id", "codes").collect()
     assert(codes.forall(_.getSeq[Int](1).size == 8))
     assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
   }
