@@ -1507,6 +1507,58 @@ object Queries {
       |SELECT log_id, resource_id, bytes_sent, date_trunc('second', ts) AS ts_sec
       |FROM http_log""".stripMargin))
 
+  private val g03 = Q(
+    "g03_stream_neardup_screen",
+    // stream-vs-static admission screen, batch twin: every 10th document
+    // re-arrives with 3 extra tokens (a near-dup re-crawl at j≈0.9) and must
+    // flag against its corpus source. The screen plan is stateless, so the
+    // batch result IS the streaming result (parity proven in StreamingSpec);
+    // the oracle mirrors it with exact cross gram-Jaccard (LSH recall 1 at
+    // j≥0.5 on this corpus — c02's argument).
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val incoming = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" streamscreen probe suffix")))
+      streaming.NearDupScreen.screen(incoming, docs, "doc_id", "text")
+    },
+    Some("""WITH incoming AS (
+      |  SELECT doc_id + 200000 AS doc_id, text || ' streamscreen probe suffix' AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |itoks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM incoming
+      |  WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                        x -> x <> '')) > 0),
+      |igrams AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE t END) AS g
+      |  FROM itoks),
+      |ctoks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |  WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                        x -> x <> '')) > 0),
+      |cgrams AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE t END) AS g
+      |  FROM ctoks),
+      |iex AS (SELECT doc_id, unnest(g) AS gram FROM igrams),
+      |cex AS (SELECT doc_id AS corpus_id, unnest(g) AS gram FROM cgrams),
+      |inter AS (
+      |  SELECT doc_id, corpus_id, count(*) AS i
+      |  FROM iex JOIN cex USING (gram) GROUP BY 1, 2),
+      |isz AS (SELECT doc_id, len(g) AS n FROM igrams),
+      |csz AS (SELECT doc_id AS corpus_id, len(g) AS n FROM cgrams)
+      |SELECT doc_id, corpus_id,
+      |       round(CAST(i AS DOUBLE) / (isz.n + csz.n - i), 4) AS jaccard
+      |FROM inter JOIN isz USING (doc_id) JOIN csz USING (corpus_id)
+      |WHERE CAST(i AS DOUBLE) / (isz.n + csz.n - i) >= 0.5""".stripMargin))
+
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1516,5 +1568,5 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
     f01, f02,
-    g01, g02)
+    g01, g02, g03)
 }

@@ -57,6 +57,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-vs-static near-dup screen equals the batch screen (stateless)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val incoming = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 900000)
+      .withColumn("text", concat(col("text"), lit(" re crawl")))
+      .select("doc_id", "text")
+    val index = graft.streaming.NearDupScreen.corpusIndex(docs, "doc_id", "text")
+
+    val ms = MemoryStream[(Long, String)]
+    val screened = graft.streaming.NearDupScreen.screenRaw(
+      ms.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+    // the whole screen plan is stateless joins/filters → append-legal with
+    // NO state store; repeats from multi-band hits are deduped by the reader
+    val q = screened.writeStream.format("memory").queryName("screened")
+      .outputMode("append").start()
+    try {
+      val rows = incoming.collect().map(r => (r.getLong(0), r.getString(1)))
+      ms.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("screened").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.streaming.NearDupScreen.screen(incoming, docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, "stream and batch screens must agree")
+      // every re-crawled doc flags its source
+      val flagged = streamed.map(t => (t._1, t._2))
+      rows.foreach { case (id, _) =>
+        assert(flagged.contains((id, id - 900000)), s"re-crawl $id missed its source")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup restores exactly-once over at-least-once replay") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
