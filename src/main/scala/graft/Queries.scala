@@ -1059,6 +1059,45 @@ object Queries {
       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin),
     bench = true)
 
+  private val c10 = Q(
+    "c10_clean_corpus_cc",
+    // c06 with transitive semantics: ONE representative per connected
+    // near-dup cluster. Oracle = c06's keeper stage + c09's recursive
+    // min-label closure over the keeper pair graph.
+    (s, dir) => Dedup.cleanCorpusCC(corpus(s, dir), "doc_id", "text"),
+    Some(s"""WITH RECURSIVE $corpusCte,
+      |longe AS (
+      |  SELECT doc_id, text FROM corpus
+      |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5),
+      |exd AS (
+      |  SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      |         count(*) AS exact_copies
+      |  FROM longe GROUP BY 1),
+      |kept AS (
+      |  SELECT keeper_id AS doc_id, fp, exact_copies, text
+      |  FROM exd JOIN longe ON doc_id = keeper_id),
+      |${gramCtes("kept")},
+      |inter AS (
+      |  SELECT id_a, id_b, count(*) AS i FROM pair_inter GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+      |pj AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |nodes AS (SELECT id_a AS id FROM pj UNION SELECT id_b FROM pj),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pj
+      |          UNION ALL SELECT id_b, id_a FROM pj),
+      |reach(id, r) AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |nonreps AS (
+      |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r))
+      |SELECT doc_id, fp, exact_copies
+      |FROM kept
+      |WHERE doc_id NOT IN (SELECT doc_id FROM nonreps)""".stripMargin))
+
   // ---------------------------------------------------------------- group D
 
   private val d01 = Q(
@@ -1564,7 +1603,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
     f01, f02,

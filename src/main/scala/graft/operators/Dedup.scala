@@ -333,6 +333,30 @@ object Dedup {
     cc.join(sizes, "rep").select(col("doc_id"), col("rep"), col("cluster_size"))
   }
 
+  /** [[cleanCorpus]] with transitive-cluster semantics: near-dup removal
+    * keeps exactly ONE representative (the min id) per connected component
+    * of the verified pair graph, instead of the greedy "drop the higher id
+    * of every pair". The two differ on hub shapes — pairs (1,3) and (2,3)
+    * with 1≁2: greedy keeps 1 AND 2, CC keeps only 1 — and CC is the policy
+    * a training run usually wants ("one doc per duplicate cluster").
+    */
+  def cleanCorpusCC(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 5, nearThreshold: Double = 0.5): DataFrame = {
+    val longEnough = df.filter(
+      size(split(trim(col(textCol)), "\\s+")) >= minTokens)
+    val exactKept = exact(longEnough, idCol, textCol)
+      .select(col("fp"), col("keeper_id").as(idCol), col("n_copies").as("exact_copies"))
+      .join(longEnough.select(col(idCol), col(textCol)), idCol)
+    val cc = connectedComponents(
+      minhashPairs(exactKept, idCol, textCol, threshold = nearThreshold)
+        .select("id_a", "id_b"))
+    val nonReps = cc.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as(idCol))
+    exactKept
+      .join(nonReps, Seq(idCol), "left_anti")
+      .select(col(idCol), col("fp"), col("exact_copies"))
+  }
+
   /** Benchmark decontamination: flag (training doc, benchmark doc) pairs
     * sharing at least `minShared` word k-grams — the standard guard against
     * eval-set leakage in a training-data pipeline. Pure equi-join on gram

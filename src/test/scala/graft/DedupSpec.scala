@@ -145,6 +145,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(clusters.values.forall(_ == (1L, 3L)), s"got $clusters")
   }
 
+  test("CC clean keeps one rep per cluster where greedy keeps hub satellites") {
+    import spark.implicits._
+    // doc 3 = all 40 tokens, docs 1/2 = first/last 30: j(1,3)=j(2,3)≈0.74
+    // but j(1,2)≈0.47 < 0.5. Greedy drops only id_b(=3) of each pair and
+    // keeps BOTH satellites {1,2}; CC sees one component {1,2,3} and keeps
+    // only rep 1 — the "one doc per duplicate cluster" policy.
+    val toks = (0 until 40).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, toks.take(30).mkString(" ")),
+      (2L, toks.drop(10).mkString(" ")),
+      (3L, toks.mkString(" "))
+    ).toDF("doc_id", "text")
+    val greedy = Dedup.cleanCorpus(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cc = Dedup.cleanCorpusCC(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(greedy == Set(1L, 2L))
+    assert(cc == Set(1L))
+  }
+
   test("contamination flags training docs sharing grams with a benchmark set") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog near the river bank"
