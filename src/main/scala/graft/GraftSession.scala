@@ -39,6 +39,12 @@ object GraftSession {
     // SortAggregate cost the operator exists to avoid. 1M keys of small
     // object buffers is ~100 MB per task; past that the sort fallback is
     // the right call anyway (same group-per-task sizing HashAggregate needs).
+    // CAVEAT: the threshold is session-global and also governs big-buffer
+    // aggregates (collect_list of shingle arrays ≈ 1-10 KB/key) — 1M such
+    // keys per task is GBs before fallback. The guard is shuffle-partition
+    // sizing, same as for HashAggregate: keys-per-task = keys/partitions
+    // must fit the executor, and deployments with huge per-key buffers
+    // should lower SPARK_GRAFT_OBJ_AGG_FALLBACK instead of raising memory.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       env("SPARK_GRAFT_OBJ_AGG_FALLBACK", "1048576"))
     .config("spark.ui.enabled", "false")

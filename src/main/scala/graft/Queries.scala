@@ -1479,7 +1479,7 @@ object Queries {
       |  FROM tot t JOIN shares s USING (domain))
       |SELECT doc_id, t.domain, tok_cnt
       |FROM toks t JOIN rates r ON t.domain = r.domain
-      |WHERE (doc_id * 2654435761) % 1000000 < r.rate * 1000000""".stripMargin))
+      |WHERE ((doc_id % 1000000) * 2654435761) % 1000000 < r.rate * 1000000""".stripMargin))
 
   // ---------------------------------------------------------------- group F
 

@@ -80,11 +80,15 @@ object Dedup {
                    k: Int = 3, n: Int = 128, bands: Int = 32,
                    threshold: Double = 0.5): DataFrame = {
     // the sig subtree feeds four plan branches (both join sides, twice);
-    // persist so shingling+minhashing runs once per doc, not four times
+    // persist so shingling+minhashing runs once per doc, not four times.
+    // Token-less docs are excluded: their constant densified signature would
+    // collide all blank docs on every band, then 0/0 the Jaccard verify
+    // (ANSI divide error) — the exact-Jaccard oracle excludes them too.
     val sigs = df.select(
       col(idCol).as("id"),
       word_shingles(col(textCol), k).as("sh"),
       lsh_band_keys(minhash_sig(col(textCol), k, n), bands).as("keys"))
+      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
     val cand = bandJoinCandidates(banded)
@@ -292,30 +296,38 @@ object Dedup {
     }
 
     var (cur, curCache, curCount) = materializeTruncated(
-      pairs.select(col("id_a").as("u"), col("id_b").as("v")).distinct())
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val (next, nextCache, nextCount) = materializeTruncated(smallStar(largeStar(cur)))
-      // both sides are distinct sets: equal counts + empty one-way except
-      // ⇒ set equality ⇒ star-forest fixpoint reached
-      converged = nextCount == curCount &&
-        next.exceptAll(cur).isEmpty
-      curCache.unpersist(blocking = false)
-      cur = next
-      curCache = nextCache
-      curCount = nextCount
-      i += 1
-    }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // fixpoint edges are (member, componentMin); reps get a self row
-    val members = cur.select(col("u").as("doc_id"), col("v").as("rep"))
-    val reps = cur.select(col("v").as("doc_id"), col("v").as("rep")).distinct()
-    val out = members.union(reps)
-      .persist(MEMORY_AND_DISK)
-    out.count()
-    curCache.unpersist(blocking = false)
-    out
+      pairs.filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a").as("u"), col("id_b").as("v")).distinct())
+    try {
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val (next, nextCache, nextCount) = materializeTruncated(smallStar(largeStar(cur)))
+        // both sides are distinct sets: equal counts + empty one-way except
+        // ⇒ set equality ⇒ star-forest fixpoint reached
+        converged = nextCount == curCount &&
+          next.exceptAll(cur).isEmpty
+        curCache.unpersist(blocking = false)
+        cur = next
+        curCache = nextCache
+        curCount = nextCount
+        i += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      // fixpoint edges are (member, componentMin); reps get a self row; a
+      // node whose only input edge was a self-pair (id, id) is a singleton
+      // component and must still get its (id, id) row
+      val members = cur.select(col("u").as("doc_id"), col("v").as("rep"))
+      val reps = cur.select(col("v").as("doc_id"), col("v").as("rep")).distinct()
+      val singles = pairs.filter(col("id_a") === col("id_b"))
+        .select(col("id_a").as("doc_id"), col("id_a").as("rep")).distinct()
+      val linked = members.union(reps)
+      val out = linked
+        .union(singles.join(linked.select("doc_id"), Seq("doc_id"), "left_anti"))
+        .persist(MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally curCache.unpersist(blocking = false)
   }
 
   /** Near-duplicate cluster assignment: verified MinHash pairs → connected
@@ -329,6 +341,10 @@ object Dedup {
                       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, k = k, threshold = threshold)
     val cc = connectedComponents(pairs.select("id_a", "id_b"))
+    // CC's output is materialized, so the verified-pair cache can go now;
+    // the returned frame rides the (small) CC cache — long-lived callers
+    // unpersist it when done
+    pairs.unpersist(blocking = false)
     val sizes = cc.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "rep").select(col("doc_id"), col("rep"), col("cluster_size"))
   }
@@ -347,9 +363,9 @@ object Dedup {
     val exactKept = exact(longEnough, idCol, textCol)
       .select(col("fp"), col("keeper_id").as(idCol), col("n_copies").as("exact_copies"))
       .join(longEnough.select(col(idCol), col(textCol)), idCol)
-    val cc = connectedComponents(
-      minhashPairs(exactKept, idCol, textCol, threshold = nearThreshold)
-        .select("id_a", "id_b"))
+    val pairs = minhashPairs(exactKept, idCol, textCol, threshold = nearThreshold)
+    val cc = connectedComponents(pairs.select("id_a", "id_b"))
+    pairs.unpersist(blocking = false) // CC output is materialized
     val nonReps = cc.filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as(idCol))
     exactKept
@@ -371,17 +387,21 @@ object Dedup {
   def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, k: Int = 3, minShared: Int = 5,
                     maxDf: Int = 10000): DataFrame = {
+    // the exploded training grams feed BOTH the document-frequency aggregate
+    // and the join — persist so the corpus is shingled once, not twice
     val d = docs.select(col(idCol).as("doc_id"),
       explode(word_shingles(col(textCol), k)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = bench.select(col(idCol).as("bench_id"),
       explode(word_shingles(col(textCol), k)).as("gram"))
     val hot = d.groupBy("gram").count()
       .filter(col("count") > maxDf).select("gram")
-    d.join(broadcast(hot), Seq("gram"), "left_anti")
+    val out = d.join(broadcast(hot), Seq("gram"), "left_anti")
       .join(b, "gram")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("shared_grams"))
       .filter(col("shared_grams") >= minShared)
+    materializedPairs(out, d)
   }
 
   /** Embedding cosine near-dup pairs above a threshold. Nested-loop join —

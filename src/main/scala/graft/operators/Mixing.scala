@@ -43,8 +43,11 @@ object Mixing {
       .select(col("domain"), least(lit(1.0),
         col("share") * lit(budgetTokens.toDouble) / col("domain_tokens").cast("double"))
         .as("rate"))
+    // reduce doc_id mod M BEFORE the multiply: (id·K) mod M ≡ ((id mod M)·K)
+    // mod M, but the left form overflows Long (ANSI error) for 64-bit hashed
+    // ids ≥ ~3.5e9 — the reduced form is overflow-free for any Long id
     toks.join(broadcast(rates), "domain")
-      .filter(pmod(col("doc_id") * K, lit(M)) < col("rate") * lit(M.toDouble))
+      .filter(pmod(pmod(col("doc_id"), lit(M)) * K, lit(M)) < col("rate") * lit(M.toDouble))
       .select(col("doc_id"), col("domain"), col("tok_cnt"))
   }
 }

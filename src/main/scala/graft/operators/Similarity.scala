@@ -271,16 +271,22 @@ object Similarity {
       .drop("nv", "cbs")
   }
 
-  /** Per-query ADC lookup table, flat-ordered by (sub, cid):
-    * lut[sub·kc + cid] = ⟨q_sub, centroid⟩. (qid, qv, lut).
+  /** Per-query ADC lookup table keyed by sub·kc + cid:
+    * lut[sub·kc + cid] = ⟨q_sub, centroid⟩. (qid, qv, lut). A MAP, not a
+    * position-indexed array: a Lloyd round can drop a code that wins no
+    * vectors, and a flat array would then misalign every entry after the
+    * gap — the map stays correct under gaps (encode only ever emits codes
+    * that exist in the codebook).
     */
-  private def queryLut(queries: DataFrame, codebooks: DataFrame, w: Int): DataFrame = {
-    val packedSorted = codebooks
-      .agg(sort_array(collect_list(struct(col("sub"), col("cid"), col("cv")))).as("cbs"))
+  private def queryLut(queries: DataFrame, codebooks: DataFrame,
+                       w: Int, kc: Int): DataFrame = {
+    val packed = codebooks
+      .agg(collect_list(struct(col("sub"), col("cid"), col("cv"))).as("cbs"))
     withUnitVec(queries.select(col("qid"), col("qv")), "qv", "qn")
-      .crossJoin(broadcast(packedSorted))
-      .withColumn("lut", transform(col("cbs"), c =>
-        dot(slice(col("qn"), c.getField("sub") * w + 1, lit(w)), c.getField("cv"))))
+      .crossJoin(broadcast(packed))
+      .withColumn("lut", map_from_entries(transform(col("cbs"), c =>
+        struct((c.getField("sub") * kc + c.getField("cid")).cast("int").as("k"),
+          dot(slice(col("qn"), c.getField("sub") * w + 1, lit(w)), c.getField("cv")).as("v")))))
       .select(col("qid"), col("qv"), col("lut"))
   }
 
@@ -292,7 +298,7 @@ object Similarity {
     scored
       .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
         (acc, s) => acc + element_at(col("lut"),
-          (s * kc + element_at(col("codes"), s + 1) + 1).cast("int"))))
+          (s * kc + element_at(col("codes"), s + 1)).cast("int"))))
       .withColumn("arnk", row_number().over(adcW))
       .filter(col("arnk") <= limit)
       .select(col("qid"), col("vec_id"))
@@ -321,7 +327,7 @@ object Similarity {
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
     val codes = pqEncode(corpus.select(col("vec_id"), col("embedding")), cb, m, w)
       .select(col("vec_id"), col("codes"))
-    val qlut = queryLut(queries, cb, w)
+    val qlut = queryLut(queries, cb, w, kc)
     val shortlist = adcShortlist(
       codes.join(broadcast(qlut.select("qid", "lut"))), m, kc, k * rerankFactor)
     val cand = corpus.select(col("vec_id"), col("embedding"))
@@ -356,7 +362,7 @@ object Similarity {
     val w = codebooks.select(size(col("cv"))).first().getInt(0)
     val probes = probeCells(queries, centroids, nProbe)
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
-    val qlut = queryLut(queries, codebooks, w)
+    val qlut = queryLut(queries, codebooks, w, kc)
     // ADC pass: codes-only columns, probed-cells-only partitions
     val codeScan = spark.read.parquet(path)
       .filter(col("cell").isin(cells: _*))

@@ -23,17 +23,34 @@ import graft.functions._
   */
 object NearDupScreen {
 
-  /** Banded index + shingle sets of the static corpus; build once, reuse for
-    * every micro-batch. (corpus_id, band, key, csh).
+  /** Banded index + shingle sets of the static corpus — persisted, so
+    * "build once, reuse for every micro-batch" is real and not a full
+    * corpus re-shingle per batch; long-lived callers `unpersist()` it when
+    * the stream stops. (corpus_id, band, key, csh).
+    *
+    * Token-less corpus docs are excluded (an empty shingle set has the
+    * constant densified signature — every blank doc would collide with
+    * every other on all bands, then 0/0 the Jaccard verify), and
+    * `maxBucket` drops degenerate buckets exactly like the batch family's
+    * [[graft.operators.Dedup]] band-join guard: a boilerplate bucket of N
+    * corpus docs would otherwise cost every matching incoming doc N verify
+    * rows per micro-batch.
     */
   def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
-                  k: Int = 3, n: Int = 128, bands: Int = 32): DataFrame =
-    corpus.select(
+                  k: Int = 3, n: Int = 128, bands: Int = 32,
+                  maxBucket: Int = 100000): DataFrame = {
+    val banded = corpus.select(
       col(idCol).as("corpus_id"),
       word_shingles(col(textCol), k).as("csh"),
       lsh_band_keys(minhash_sig(col(textCol), k, n), bands).as("keys"))
+      .filter(size(col("csh")) > 0)
       .select(col("corpus_id"), col("csh"),
         posexplode(col("keys")).as(Seq("band", "key")))
+    val hot = banded.groupBy("band", "key").count()
+      .filter(col("count") > maxBucket).select("band", "key")
+    banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Stateless screen of `incoming` (streaming or batch) against a
     * [[corpusIndex]]: one row per (doc, corpus doc, band) collision that
@@ -47,6 +64,9 @@ object NearDupScreen {
       col(idCol).as("doc_id"),
       word_shingles(col(textCol), k).as("sh"),
       lsh_band_keys(minhash_sig(col(textCol), k, n), bands).as("keys"))
+      // blank docs: constant signature + undefined (0/0) Jaccard — excluded,
+      // matching the index side
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
         posexplode(col("keys")).as(Seq("band", "key")))
     banded.join(index, Seq("band", "key"))
@@ -58,9 +78,18 @@ object NearDupScreen {
       .select(col("doc_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Batch form: distinct verified (doc, corpus) flags. */
+  /** Batch form: distinct verified (doc, corpus) flags, materialized so the
+    * internally-built index cache is released before returning (same
+    * lifecycle as the Dedup family's pair materialization).
+    */
   def screen(incoming: DataFrame, corpus: DataFrame, idCol: String,
-             textCol: String, threshold: Double = 0.5): DataFrame =
-    screenRaw(incoming, corpusIndex(corpus, idCol, textCol),
-      idCol, textCol, threshold = threshold).distinct()
+             textCol: String, threshold: Double = 0.5): DataFrame = {
+    val index = corpusIndex(corpus, idCol, textCol)
+    val out = screenRaw(incoming, index, idCol, textCol, threshold = threshold)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    index.unpersist(blocking = false)
+    out
+  }
 }

@@ -125,6 +125,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cc.size == 12)
   }
 
+  test("connected components keeps self-pair nodes as singleton components") {
+    import spark.implicits._
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
+
   test("near-dup clusters group transitive chains the greedy drop cannot") {
     import spark.implicits._
     // sliding windows over 40 unique tokens: doc 2 = all 40, doc 1 = first
