@@ -125,6 +125,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cc.size == 12)
   }
 
+  test("connected components matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      val nNodes = 2 + rnd.nextInt(24)
+      val nEdges = rnd.nextInt(40)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      // reference: union-find keeping the smaller root, so the final root of
+      // every node IS its component minimum
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (${edges.length} edges): $edges")
+    }
+  }
+
   test("connected components keeps self-pair nodes as singleton components") {
     import spark.implicits._
     val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
