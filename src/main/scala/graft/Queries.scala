@@ -1098,6 +1098,34 @@ object Queries {
       |FROM kept
       |WHERE doc_id NOT IN (SELECT doc_id FROM nonreps)""".stripMargin))
 
+  private val c11 = Q(
+    "c11_line_dedup",
+    // line-level boilerplate removal: every doc gains a shared footer line
+    // (df = |docs| → dropped) and a unique tail line (kept); the original
+    // single-line body is unique per doc and survives. Exact row-set oracle
+    // via per-line document frequency + ordered reassembly.
+    (s, dir) => Dedup.lineDedup(
+      Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit("\nshared boilerplate footer line\nunique tail "),
+          col("doc_id"))),
+      "doc_id", "text"),
+    Some("""WITH lc AS (
+      |  SELECT doc_id,
+      |         text || chr(10) || 'shared boilerplate footer line' ||
+      |         chr(10) || 'unique tail ' || doc_id AS text
+      |  FROM documents),
+      |docs2 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lc),
+      |exploded AS (
+      |  SELECT doc_id, pos, ls[pos] AS line
+      |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM docs2)),
+      |hot AS (
+      |  SELECT line FROM exploded GROUP BY line
+      |  HAVING count(DISTINCT doc_id) > 1)
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      |FROM exploded e
+      |WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.line = e.line)
+      |GROUP BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- group D
 
   private val d01 = Q(
@@ -1603,7 +1631,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
     f01, f02,

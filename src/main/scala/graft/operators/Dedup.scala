@@ -404,6 +404,31 @@ object Dedup {
     materializedPairs(out, d)
   }
 
+  /** Line-level dedup (RefinedWeb/C4-style): drop every line that appears in
+    * more than `maxLineDf` distinct documents — boilerplate navigation,
+    * cookie banners, footers — and reassemble each document's remaining
+    * lines in order. A line repeated within ONE document survives (df
+    * counts documents, not occurrences). Documents whose every line is
+    * boilerplate drop out entirely.
+    *
+    * Plan shape: posexplode → distinct-doc count per line (map-side
+    * combined) → join back → ordered re-agg. The line-frequency table is
+    * the only global state and it is |distinct lines|, not corpus-sized.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxLineDf: Int = 1): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxLineDf).select("line")
+    lines.join(hot, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Embedding cosine near-dup pairs above a threshold. Nested-loop join —
     * intended for small or pre-blocked inputs; use LSH buckets at scale.
     */

@@ -232,6 +232,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(uncapped.count() == 50L)
   }
 
+  test("line dedup drops cross-doc boilerplate, keeps within-doc repeats in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha body\ncookie banner\nalpha body\nclosing one"),
+      (2L, "beta body\ncookie banner\nclosing two"),
+      (3L, "cookie banner") // all-boilerplate doc vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'cookie banner' df=3 → dropped; doc 1's repeated 'alpha body' is one
+    // doc (df=1) → both occurrences survive, original order kept
+    assert(out == Map(
+      1L -> "alpha body\nalpha body\nclosing one",
+      2L -> "beta body\nclosing two"))
+  }
+
   test("exact dedup counts planted exact copies") {
     val byCopies = Dedup.exact(corpus, "doc_id", "text")
       .groupBy("n_copies").count().collect()
