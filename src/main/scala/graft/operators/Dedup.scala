@@ -417,16 +417,23 @@ object Dedup {
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 maxLineDf: Int = 1): DataFrame = {
+    // the exploded lines feed BOTH the line-df aggregate and the anti-join —
+    // persist so the corpus is split once, not twice (same pattern as
+    // contamination's gram frame)
     val lines = df.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = lines.groupBy("line")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") > maxLineDf).select("line")
-    lines.join(hot, Seq("line"), "left_anti")
+    // no broadcast hint: boilerplate lines are plentiful at web scale, so
+    // the hot side can be large — let AQE pick broadcast vs shuffle
+    val out = lines.join(hot, Seq("line"), "left_anti")
       .groupBy("doc_id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), "\n").as("clean_text"))
+    materializedPairs(out, lines)
   }
 
   /** Embedding cosine near-dup pairs above a threshold. Nested-loop join —
