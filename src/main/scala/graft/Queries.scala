@@ -815,6 +815,197 @@ object Queries {
       |JOIN days ON o_orderdate <= d AND d < l_shipdate
       |GROUP BY 1""".stripMargin))
 
+  private val b17 = Q(
+    "b17_cust_order_distribution",
+    (s, dir) =>
+      // TPC-H Q13 shape: how many customers placed exactly N orders — a LEFT
+      // OUTER join so zero-order customers land in the N=0 bucket, then two
+      // aggregations. The first groupBy is on the join key, so the sort-merge
+      // join's partitioning is reused and only the (tiny) second histogram
+      // agg shuffles again.
+      Tables.customer(s, dir).select("c_custkey")
+        .join(Tables.orders(s, dir).select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count")) // count() skips the outer-join NULLs
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist")),
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1)
+      |GROUP BY 1""".stripMargin))
+
+  private val b18 = Q(
+    "b18_min_cost_supplier",
+    (s, dir) => {
+      // TPC-H Q2 shape (adapted: observed min unit price over lineitem plays
+      // partsupp.ps_supplycost): for every STANDARD part, the supplier(s)
+      // offering it cheapest. The correlated `cost = (SELECT min …)` subquery
+      // is decorrelated into one per-(part,supp) aggregate + a per-part min
+      // joined back — two map-side-combined aggs and an equi-join instead of
+      // a per-row subquery probe.
+      val cost = Tables.lineitem(s, dir)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      val pc = cost.join(
+        broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+          .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      val minCost = pc.groupBy("p_partkey").agg(min("cost").as("min_cost"))
+      pc.join(minCost, "p_partkey")
+        // exact double equality is safe: both sides are the min over the
+        // identical per-(part,supp) aggregate values
+        .filter(col("cost") === col("min_cost"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        // floor-scaled, not round(…, 4): both engines hold the identical
+        // IEEE double, but round-half at the 4th decimal resolves
+        // differently (BigDecimal HALF_UP vs float scaling) on boundary
+        // values — floor of the same double is always identical
+        .select(col("p_partkey"), col("s_name"),
+          floor(col("min_cost") * 10000).cast("long").as("unit_cost_e4"))
+    },
+    Some("""WITH cost AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |pc AS (
+      |  SELECT p_partkey, l_suppkey, cost
+      |  FROM cost JOIN part ON l_partkey = p_partkey WHERE p_type = 'STANDARD'),
+      |m AS (SELECT p_partkey, min(cost) AS min_cost FROM pc GROUP BY 1)
+      |SELECT p_partkey, s_name,
+      |       CAST(floor(min_cost * 10000) AS BIGINT) AS unit_cost_e4
+      |FROM pc JOIN m USING (p_partkey) JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE cost = min_cost""".stripMargin))
+
+  private val b19 = Q(
+    "b19_small_qty_revenue",
+    (s, dir) => {
+      // TPC-H Q17 shape: revenue lost to small-quantity Brand#3 orders —
+      // lineitems under 20% of their part's average quantity. The correlated
+      // scalar `0.2 * (SELECT avg …)` decorrelates into a per-part aggregate
+      // joined back. The brand filter is applied BEFORE the threshold agg:
+      // it selects whole parts, so the per-part average over the filtered
+      // set is identical — and the fact table is scanned pre-shrunk.
+      val brand = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#3").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+      val thresh = brand.groupBy("l_partkey")
+        .agg((avg("l_quantity") * 0.2).as("qty_thresh"))
+      brand.join(thresh, "l_partkey")
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("line_cnt"))
+    },
+    Some("""WITH brand AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#3'),
+      |t AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+      |      FROM brand GROUP BY 1)
+      |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      |       count(*) AS line_cnt
+      |FROM brand JOIN t USING (l_partkey)
+      |WHERE l_quantity < qty_thresh""".stripMargin))
+
+  private val b20 = Q(
+    "b20_disjunctive_revenue",
+    (s, dir) => {
+      // TPC-H Q19 shape: revenue under a disjunction of (brand, size,
+      // quantity) bands. The brand/size half of each disjunct is hoisted
+      // into a part-side prefilter (implied by the OR, but Catalyst can't
+      // always extract it) so the broadcast build side ships only candidate
+      // parts; the full disjunction is then evaluated post-join in one
+      // codegen'd predicate.
+      val partSide = Tables.part(s, dir).filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 50)))
+        .select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(partSide), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+            col("l_quantity").between(20, 50)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("line_cnt"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS line_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)"""
+      .stripMargin))
+
+  private val b21 = Q(
+    "b21_red_part_suppliers",
+    (s, dir) => {
+      // TPC-H Q20 shape: suppliers who moved a significant volume (>100
+      // units) of red parts. The reference formulation is a doubly-nested
+      // IN/EXISTS; decorrelated here to aggregate-then-join: shipped
+      // quantity per supplier over red parts (one map-side-combined agg),
+      // thresholded, then joined to supplier. The aggregated side is tiny —
+      // broadcast, so the supplier table never shuffles.
+      val red = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").startsWith("red")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum("l_quantity").as("red_qty"))
+        .filter(col("red_qty") > 100)
+      Tables.supplier(s, dir)
+        .join(broadcast(red), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_name"), round(col("red_qty"), 2).as("red_qty"))
+    },
+    Some("""WITH q AS (
+      |  SELECT l_suppkey, sum(l_quantity) AS red_qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'red%'
+      |  GROUP BY 1 HAVING sum(l_quantity) > 100)
+      |SELECT s_name, round(red_qty, 2) AS red_qty
+      |FROM supplier JOIN q ON s_suppkey = l_suppkey""".stripMargin))
+
+  private val b22 = Q(
+    "b22_dormant_customers",
+    (s, dir) => {
+      // TPC-H Q22 shape: above-average-balance customers with no RECENT
+      // orders, by nation. The scalar-subquery threshold rides the plan as a
+      // broadcast 1-row cross join (no driver-side collect); the NOT EXISTS
+      // is a left anti join against the distinct recent-order customer set.
+      val thresh = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("bal_thresh"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-09-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      Tables.customer(s, dir)
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(thresh))
+        .filter(col("c_acctbal") > col("bal_thresh"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+    },
+    Some("""WITH th AS (SELECT avg(c_acctbal) AS bal_thresh
+      |            FROM customer WHERE c_acctbal > 0)
+      |SELECT c_nationkey, count(*) AS numcust,
+      |       round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer, th
+      |WHERE c_acctbal > bal_thresh
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-09-01')
+      |GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -1631,6 +1822,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
+    b17, b18, b19, b20, b21, b22,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
