@@ -414,6 +414,45 @@ object Queries {
       |FROM urls
       |GROUP BY 1, 2""".stripMargin))
 
+  private val a15 = Q(
+    "a15_latency_hist_quantiles",
+    (s, dir) => {
+      // a08's 100 TB path: exact `percentile` buffers and sorts EVERY value
+      // per group; latencies are integer milliseconds, so a histogram is
+      // lossless — one hash-agg over (resource, ms), then the inverse CDF
+      // walks the (tiny) histogram, not the raw rows. State per group is
+      // bounded by the distinct-latency count regardless of row count.
+      // Discrete ("lower") quantile: smallest value with cum ≥ ceil(q·n).
+      val hist = httpLog(s, dir)
+        .groupBy("resource_id", "request_time_milli")
+        .agg(count(lit(1)).as("cnt"))
+      val byRt = Window.partitionBy("resource_id").orderBy("request_time_milli")
+      val all = Window.partitionBy("resource_id")
+      def pick(q: Double) = min(when(
+        col("cum") >= ceil(lit(q) * col("n")), col("request_time_milli")))
+      hist
+        .withColumn("cum", sum("cnt").over(byRt))
+        .withColumn("n", sum("cnt").over(all))
+        .groupBy("resource_id")
+        .agg(pick(0.5).as("p50_ms"), pick(0.95).as("p95_ms"),
+          pick(0.99).as("p99_ms"), max("n").as("requests"))
+    },
+    Some(s"""${HttpLog.cte}
+      |, hist AS (
+      |  SELECT resource_id, request_time_milli AS rt, count(*) AS cnt
+      |  FROM http_log GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT resource_id, rt,
+      |         sum(cnt) OVER (PARTITION BY resource_id ORDER BY rt) AS cum,
+      |         sum(cnt) OVER (PARTITION BY resource_id) AS n
+      |  FROM hist)
+      |SELECT resource_id,
+      |       min(CASE WHEN cum >= ceil(0.5 * n) THEN rt END) AS p50_ms,
+      |       min(CASE WHEN cum >= ceil(0.95 * n) THEN rt END) AS p95_ms,
+      |       min(CASE WHEN cum >= ceil(0.99 * n) THEN rt END) AS p99_ms,
+      |       max(n) AS requests
+      |FROM cum GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------- group B
 
   private val b01 = Q(
@@ -1005,6 +1044,52 @@ object Queries {
       |                  WHERE o_custkey = c_custkey
       |                    AND o_orderdate >= TIMESTAMP '2000-09-01')
       |GROUP BY 1""".stripMargin))
+
+  /** The DuckDB mirror of [[operators.Kmv.estimate]]'s 13-hex-char integer:
+    * Σ digit(i)·16^(13−i) as exact BIGINT terms (each multiplier is a power
+    * of two, the total < 2^52 — exactly representable when cast to DOUBLE).
+    */
+  private val kmvDigitSum: String = (1 to 13).map { i =>
+    s"(strpos('0123456789abcdef', substr(kth_hash, $i, 1)) - 1) * ${1L << (4 * (13 - i))}"
+  }.mkString(" + ")
+
+  private val b23 = Q(
+    "b23_kmv_distinct",
+    (s, dir) => {
+      // KMV bottom-k distinct sketch vs b06's exact countDistinct: O(k)
+      // state per group through normal partial aggregation instead of
+      // shuffling every distinct value — the 100 TB distinct-count posture.
+      // Fully deterministic (md5 order + exact 52-bit θ arithmetic), so the
+      // oracle mirrors the entire sketch INCLUDING the estimate.
+      val agg = operators.Kmv.kmv_distinct(64)
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          md5(col("user_id").cast("string").cast("binary")).as("h"))
+        .groupBy("event_type")
+        .agg(agg(col("h")).as("r"))
+        .select(col("event_type"), col("r.n_tracked").as("n_tracked"),
+          col("r.kth_hash").as("kth_hash"), col("r.est_distinct").as("est_distinct"))
+    },
+    Some(s"""WITH hashes AS (
+      |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM hashes),
+      |grp AS (
+      |  SELECT event_type, max(nd) AS nd,
+      |         max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+      |  FROM ranked GROUP BY 1)
+      |SELECT event_type,
+      |       CAST(least(nd, 64) AS BIGINT) AS n_tracked,
+      |       kth_hash,
+      |       CAST(CASE WHEN nd < 64 THEN nd
+      |            ELSE floor(63.0 / (CAST(greatest($kmvDigitSum, 1) AS DOUBLE)
+      |                               / 4503599627370496.0))
+      |            END AS BIGINT) AS est_distinct
+      |FROM grp""".stripMargin))
 
   // ---------------------------------------------------------------- group C
 
@@ -1817,15 +1902,43 @@ object Queries {
       |FROM inter JOIN isz USING (doc_id) JOIN csz USING (corpus_id)
       |WHERE CAST(i AS DOUBLE) / (isz.n + csz.n - i) >= 0.5""".stripMargin))
 
+  private val g04 = Q(
+    "g04_stream_interval_join",
+    (s, dir) => {
+      // Stream-stream attribution join, batch twin: clicks paired with the
+      // same user's purchases within 4 hours. The transform is watermark-
+      // bounded on both event times in streaming (state = rows inside the
+      // window, not stream history); parity proven in StreamingSpec.
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("buy_id"),
+          col("ts").as("buy_ts"), col("value").as("amount"))
+      streaming.IntervalJoin.attribute(clicks, buys, windowMinutes = 240)
+    },
+    Some("""WITH c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id AS p_user, event_id AS buy_id, ts AS buy_ts,
+      |         value AS amount
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, click_id, buy_id,
+      |       date_diff('second', click_ts, buy_ts) AS secs_to_buy, amount
+      |FROM c JOIN p ON user_id = p_user
+      |  AND buy_ts >= click_ts
+      |  AND buy_ts < click_ts + INTERVAL 240 MINUTE""".stripMargin))
+
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
-    a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14,
+    a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
-    b17, b18, b19, b20, b21, b22,
+    b17, b18, b19, b20, b21, b22, b23,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
     f01, f02,
-    g01, g02, g03)
+    g01, g02, g03, g04)
 }

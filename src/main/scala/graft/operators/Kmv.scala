@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** KMV ("k minimum values" / bottom-k theta) distinct-count sketch.
+  *
+  * `countDistinct` keeps EVERY distinct value in the aggregation state and
+  * shuffles all of them; at 100 TB that state is the job. KMV keeps only the
+  * k smallest distinct hash values per group — O(k) state that flows through
+  * normal partial aggregation (map-side combine trims to k before the
+  * shuffle) and merges by unioning two sorted lists and re-trimming. The
+  * estimator is the classic (k−1)/θ with θ = the k-th smallest hash mapped
+  * to (0,1]: standard error ≈ 1/√(k−2) (Beyer et al., "On Synopses for
+  * Distinct-Value Estimation Under Multiset Operations", SIGMOD'07).
+  *
+  * Everything is DETERMINISTIC — unlike HLL there is no implementation-
+  * defined register layout — so the whole sketch, including the estimate,
+  * is mirrored exactly by a DuckDB SQL oracle:
+  *  - values are hashed with md5 (identical lowercase hex in both engines);
+  *    fixed-width hex compares lexicographically = numerically
+  *  - θ uses only the first 13 hex chars (52 bits): the integer fits a
+  *    double EXACTLY in both engines, so frac = v / 16^13 and
+  *    est = floor((k−1)/frac) are single identical IEEE operations —
+  *    no round-half divergence, no summation-order divergence
+  */
+object Kmv {
+
+  /** @param n_tracked    min(k, true distinct count) — exact when < k
+    * @param kth_hash     the k-th smallest md5 (null while n_tracked < k)
+    * @param est_distinct floor((k−1)/θ) once full; exact count before that
+    */
+  case class KmvResult(n_tracked: Long, kth_hash: String, est_distinct: Long)
+
+  private val Denom = 4503599627370496.0 // 16^13 = 2^52
+
+  /** Estimate from the k-th smallest hash — shared by the aggregator and
+    * [[graft.Queries]]' oracle construction (the SQL mirrors this exactly).
+    */
+  def estimate(k: Int, kthHash: String): Long = {
+    val v = java.lang.Long.parseLong(kthHash.substring(0, 13), 16) max 1L
+    math.floor((k - 1).toDouble / (v.toDouble / Denom)).toLong
+  }
+
+  /** Buffer = ascending distinct md5 hex strings, length ≤ k. */
+  class KmvSketch(k: Int) extends Aggregator[String, Seq[String], KmvResult] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+
+    override def zero: Seq[String] = Seq.empty
+
+    override def reduce(b: Seq[String], h: String): Seq[String] =
+      if (h == null) b
+      // full and not below the current k-th: cannot enter the bottom-k —
+      // the O(1) fast path that makes the scan cheap after warm-up
+      else if (b.length >= k && h >= b.last) b
+      else if (b.contains(h)) b
+      else ((b :+ h).sorted).take(k)
+
+    override def merge(x: Seq[String], y: Seq[String]): Seq[String] =
+      (x ++ y).distinct.sorted.take(k)
+
+    override def finish(b: Seq[String]): KmvResult =
+      if (b.length < k) KmvResult(b.length, null, b.length)
+      else KmvResult(k, b.last, estimate(k, b.last))
+
+    override def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+    override def outputEncoder: Encoder[KmvResult] = ExpressionEncoder[KmvResult]()
+  }
+
+  /** Column aggregate: `kmv_distinct(k)(md5HexCol)` →
+    * struct<n_tracked, kth_hash, est_distinct>.
+    */
+  def kmv_distinct(k: Int): Column => Column = {
+    val f = udaf(new KmvSketch(k), ExpressionEncoder[String]())
+    (hash: Column) => f(hash)
+  }
+}

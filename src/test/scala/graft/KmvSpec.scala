@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Kmv
+
+class KmvSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def sketch(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.select(md5(col("v").cast("string").cast("binary")).as("h"))
+      .agg(Kmv.kmv_distinct(k)(col("h")).as("r"))
+      .select("r.n_tracked", "r.kth_hash", "r.est_distinct")
+      .collect().head
+
+  test("below k the sketch is exact and carries no kth hash") {
+    val r = sketch((1 to 40).toDF("v"), k = 64)
+    assert(r.getLong(0) == 40)
+    assert(r.isNullAt(1))
+    assert(r.getLong(2) == 40)
+  }
+
+  test("duplicates don't inflate the tracked set") {
+    val r = sketch(Seq.fill(500)(7).toDF("v"), k = 64)
+    assert(r.getLong(0) == 1 && r.getLong(2) == 1)
+  }
+
+  test("estimate lands within the theoretical error band") {
+    // n = 10000 distinct, k = 256: SE ≈ 1/√254 ≈ 6.3%; 4σ band ≈ 25%
+    val n = 10000
+    val r = sketch((1 to n).toDF("v"), k = 256)
+    assert(r.getLong(0) == 256)
+    val est = r.getLong(2).toDouble
+    assert(math.abs(est - n) / n < 0.25, s"estimate $est too far from $n")
+  }
+
+  test("result is partitioning-invariant (merge = reduce order free)") {
+    val df = (1 to 5000).toDF("v")
+    val a = sketch(df.repartition(1), k = 128)
+    val b = sketch(df.repartition(13), k = 128)
+    assert(a == b)
+  }
+
+  test("sketch of a union merges like the union of sketches") {
+    // the theta-sketch property that makes KMV usable for distributed
+    // rollups: bottom-k(A ∪ B) = trim(bottom-k(A) ∪ bottom-k(B))
+    val k = 64
+    val left = (1 to 300).map(i => s"a$i")
+    val right = (200 to 500).map(i => s"b$i") ++ (1 to 300).map(i => s"a$i")
+    val s1 = new Kmv.KmvSketch(k)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bufA = left.map(h).foldLeft(s1.zero)(s1.reduce)
+    val bufB = right.map(h).foldLeft(s1.zero)(s1.reduce)
+    val together = (left ++ right).map(h).foldLeft(s1.zero)(s1.reduce)
+    assert(s1.finish(s1.merge(bufA, bufB)) == s1.finish(together))
+  }
+
+  test("scala estimate matches the oracle's arithmetic shape") {
+    // estimate() must stay in lockstep with Queries' kmvDigitSum SQL mirror:
+    // 13 hex chars = exact 52-bit integer, single IEEE division, floor
+    assert(Kmv.estimate(64, "0000000000001" + "0" * 19) == 63L * (1L << 52))
+    assert(Kmv.estimate(64, "8" + "0" * 31) == 126) // θ = 1/2 → floor(63/0.5)
+  }
+}

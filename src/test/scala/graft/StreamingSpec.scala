@@ -284,6 +284,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches batch and expires state by watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val clicksMs = MemoryStream[(Long, Long, Timestamp)]
+    val buysMs = MemoryStream[(Long, Long, Timestamp, Double)]
+    val clicks = clicksMs.toDF().toDF("user_id", "click_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val buys = buysMs.toDF().toDF("p_user", "buy_id", "buy_ts", "amount")
+      .withWatermark("buy_ts", "10 minutes")
+    val q = graft.streaming.IntervalJoin.attribute(clicks, buys, windowMinutes = 30)
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      val clickData = Seq((1L, 100L, t("10:00")), (2L, 101L, t("10:05")))
+      val buyData = Seq(
+        (1L, 200L, t("10:20"), 9.99), // within 30 min of click 100
+        (1L, 202L, t("10:25"), 1.0),  // within
+        (2L, 201L, t("11:00"), 5.0))  // 55 min after click 101 → outside
+      clicksMs.addData(clickData)
+      buysMs.addData(buyData.take(2))
+      q.processAllAvailable()
+      buysMs.addData(buyData.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("attrib")
+        .select("click_id", "buy_id", "secs_to_buy")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == Set((100L, 200L, 1200L), (100L, 202L, 1500L)))
+      // the SAME transform on the same rows as batch frames
+      val batch = graft.streaming.IntervalJoin.attribute(
+        clickData.toDF("user_id", "click_id", "click_ts"),
+        buyData.toDF("p_user", "buy_id", "buy_ts", "amount"), windowMinutes = 30)
+        .select("click_id", "buy_id", "secs_to_buy")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, "stream/batch divergence in interval join")
+      // watermark-bounded state: advance both watermarks far past the
+      // window; the 10:xx rows must be evicted (two ticks: watermark moves
+      // at batch end, eviction lands on the following batch)
+      clicksMs.addData((9L, 900L, t("15:00")))
+      buysMs.addData((9L, 901L, t("15:00"), 2.0))
+      q.processAllAvailable()
+      clicksMs.addData((9L, 902L, t("15:01")))
+      buysMs.addData((9L, 903L, t("15:01"), 2.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 6, s"join state not expired by watermark: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("rate limiter enforces the proxy interval without real sleeping") {
     var clock = 0L
     var slept = 0L
