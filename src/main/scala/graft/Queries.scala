@@ -1091,6 +1091,34 @@ object Queries {
       |            END AS BIGINT) AS est_distinct
       |FROM grp""".stripMargin))
 
+  private val b24 = Q(
+    "b24_hash_sample",
+    (s, dir) => {
+      // Deterministic uniform per-group sample: the 8 smallest-md5 distinct
+      // users per event type (the hash IS the random permutation). Exact-k
+      // per group with O(k) mergeable state — the bounded-cost reservoir at
+      // 100 TB; deterministic, so the oracle reproduces the sample exactly.
+      val agg = operators.Kmv.hash_sample(8)
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          md5(col("user_id").cast("string").cast("binary")).as("h"),
+          col("user_id"))
+        .groupBy("event_type")
+        .agg(agg(col("h"), col("user_id")).as("sample"))
+        .select(col("event_type"), posexplode(col("sample")).as(Seq("pos", "e")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.payload").as("user_id"))
+    },
+    Some("""WITH hashes AS (
+      |  SELECT DISTINCT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, user_id,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+      |  FROM hashes)
+      |SELECT event_type, CAST(rank AS INT) AS rank, user_id
+      |FROM ranked WHERE rank <= 8""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -1935,7 +1963,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
-    b17, b18, b19, b20, b21, b22, b23,
+    b17, b18, b19, b20, b21, b22, b23, b24,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,

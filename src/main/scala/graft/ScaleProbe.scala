@@ -90,7 +90,26 @@ object ScaleProbe {
     }
 
     val probes: Seq[(String, () => DataFrame)] =
-      if (mode == "dedup") {
+      if (mode == "sketch") {
+        // exact distinct-count vs the KMV sketch at LOW (1.5k users) and
+        // HIGH (10M event ids) cardinality. Low card: exact wins — its state
+        // is tiny and the sketch pays md5 per row. High card is the 100 TB
+        // shape: exact must expand + shuffle every distinct value; the
+        // sketch shuffles 64 hashes per group whatever the input size.
+        val ev = () => Tables.events(spark, out)
+        def kmvOver(c: String) = () => ev()
+          .select(col("event_type"), md5(col(c).cast("string").cast("binary")).as("h"))
+          .groupBy("event_type")
+          .agg(operators.Kmv.kmv_distinct(64)(col("h")).as("r"))
+          .select(col("event_type"), col("r.est_distinct"))
+        def exactOver(c: String) = () => ev()
+          .groupBy("event_type").agg(countDistinct(col(c)).as("nd"))
+        Seq(
+          "exact_low_card" -> exactOver("user_id"),
+          "kmv_low_card" -> kmvOver("user_id"),
+          "exact_high_card" -> exactOver("event_id"),
+          "kmv_high_card" -> kmvOver("event_id"))
+      } else if (mode == "dedup") {
         val docs = () => Tables.documents(spark, out)
         val emb = () => Tables.embeddings(spark, out)
         val queries = () => emb().filter(col("vec_id") < 50)

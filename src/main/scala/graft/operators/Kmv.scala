@@ -76,4 +76,38 @@ object Kmv {
     val f = udaf(new KmvSketch(k), ExpressionEncoder[String]())
     (hash: Column) => f(hash)
   }
+
+  case class HEntry(h: String, payload: Long)
+
+  /** Bottom-k-by-hash uniform sample: the k entries with the smallest
+    * hashes ARE a uniform random sample of the distinct values (the hash is
+    * the random permutation), chosen deterministically — every re-run, every
+    * partitioning, every engine picks the SAME sample. The per-group state
+    * is k entries flowing through partial aggregation, so sampling 100 TB
+    * costs one scan + a k-row-per-group shuffle; repeated values collapse
+    * (same value ⇒ same hash). This is the per-group reservoir a training
+    * pipeline wants for eyeballing/debug splits, and the complement of the
+    * rate-based domain-mix sampler (e10): exact-k per group vs global rates.
+    */
+  class BottomKSample(k: Int) extends Aggregator[HEntry, Seq[HEntry], Seq[HEntry]] {
+    override def zero: Seq[HEntry] = Seq.empty
+    override def reduce(b: Seq[HEntry], e: HEntry): Seq[HEntry] =
+      if (e == null || e.h == null) b
+      else if (b.length >= k && e.h >= b.last.h) b // O(1) reject once warm
+      else if (b.exists(_.h == e.h)) b
+      else ((b :+ e).sortBy(_.h)).take(k)
+    override def merge(x: Seq[HEntry], y: Seq[HEntry]): Seq[HEntry] =
+      (x ++ y).distinct.sortBy(_.h).take(k)
+    override def finish(b: Seq[HEntry]): Seq[HEntry] = b
+    override def bufferEncoder: Encoder[Seq[HEntry]] = ExpressionEncoder[Seq[HEntry]]()
+    override def outputEncoder: Encoder[Seq[HEntry]] = ExpressionEncoder[Seq[HEntry]]()
+  }
+
+  /** Column aggregate: `hash_sample(k)(md5HexCol, payloadCol)` →
+    * array<struct<h, payload>> ascending by hash.
+    */
+  def hash_sample(k: Int): (Column, Column) => Column = {
+    val f = udaf(new BottomKSample(k), ExpressionEncoder[HEntry]())
+    (hash: Column, payload: Column) => f(hash, payload)
+  }
 }

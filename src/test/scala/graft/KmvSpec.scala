@@ -58,6 +58,22 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
     assert(s1.finish(s1.merge(bufA, bufB)) == s1.finish(together))
   }
 
+  test("bottom-k sample is partitioning-invariant and uniform-ish") {
+    val df = (1 to 2000).toDF("v")
+      .select(md5(col("v").cast("string").cast("binary")).as("h"), col("v").cast("long").as("p"))
+    def run(parts: Int) =
+      df.repartition(parts)
+        .agg(Kmv.hash_sample(16)(col("h"), col("p")).as("s"))
+        .select(explode(col("s.payload")))
+        .collect().map(_.getLong(0)).toSeq
+    val a = run(1)
+    val b = run(11)
+    assert(a == b, "sample depends on partitioning")
+    assert(a.length == 16 && a.distinct.length == 16)
+    // hash-uniformity smoke: the sample shouldn't be a prefix/suffix of v
+    assert(a.max > 500 && a.min < 1500)
+  }
+
   test("scala estimate matches the oracle's arithmetic shape") {
     // estimate() must stay in lockstep with Queries' kmvDigitSum SQL mirror:
     // 13 hex chars = exact 52-bit integer, single IEEE division, floor
