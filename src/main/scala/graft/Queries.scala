@@ -891,8 +891,12 @@ object Queries {
         broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")
           .select("p_partkey")),
         col("l_partkey") === col("p_partkey"))
-      val minCost = pc.groupBy("p_partkey").agg(min("cost").as("min_cost"))
-      pc.join(minCost, "p_partkey")
+      // per-part min as a window over the ALREADY-AGGREGATED (part, supp)
+      // frame — an agg+join-back here would re-derive the whole cost subtree
+      // (Catalyst doesn't CSE subplans), scanning lineitem twice; the window
+      // runs over a frame that is orders of magnitude smaller than the fact
+      pc.withColumn("min_cost",
+          min("cost").over(Window.partitionBy("p_partkey")))
         // exact double equality is safe: both sides are the min over the
         // identical per-(part,supp) aggregate values
         .filter(col("cost") === col("min_cost"))
