@@ -1123,6 +1123,270 @@ object Queries {
       |SELECT event_type, CAST(rank AS INT) AS rank, user_id
       |FROM ranked WHERE rank <= 8""".stripMargin))
 
+  private val b25 = Q(
+    "b25_late_order_priority",
+    (s, dir) =>
+      // TPC-H Q4 shape: orders with ≥1 late lineitem, counted by priority.
+      // The correlated EXISTS is a left semi join with the date condition in
+      // the join predicate — each order emits at most once, no distinct.
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_cnt")),
+    Some("""SELECT o_orderpriority, count(*) AS order_cnt
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY 1""".stripMargin))
+
+  private val b26 = Q(
+    "b26_discount_band_revenue",
+    (s, dir) =>
+      // TPC-H Q6 shape: pure scan-filter-agg — the query whose whole plan
+      // should be one codegen'd pass with every predicate in PushedFilters.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("line_cnt")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*) AS line_cnt
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin))
+
+  private val b27 = Q(
+    "b27_top_supplier",
+    (s, dir) => {
+      // TPC-H Q15 shape: supplier(s) with max quarterly revenue. The scalar
+      // max rides a global window over the ALREADY-AGGREGATED per-supplier
+      // frame (tiny — one row per supplier), so the fact table is scanned
+      // once; a subquery-max formulation would re-derive the whole revenue
+      // aggregate (no subplan CSE). Revenue rounded BEFORE the max compare,
+      // so the tie semantics are decimal-exact in both engines.
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_rev"))
+      rev.withColumn("mx", max("total_rev").over(Window.partitionBy()))
+        .filter(col("total_rev") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+    },
+    Some("""WITH rev AS (
+      |  SELECT l_suppkey,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin))
+
+  private val b28 = Q(
+    "b28_nation_rev_share",
+    (s, dir) => {
+      // TPC-H Q11 shape: nations whose supplier revenue exceeds a fraction
+      // of the global total. The HAVING-against-global-scalar decorrelates
+      // into a global window sum over the 25-row aggregated frame.
+      val nv = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+      nv.withColumn("t", sum("v").over(Window.partitionBy()))
+        .filter(col("v") > lit(0.04) * col("t"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), round(col("v"), 2).as("value"))
+    },
+    Some("""WITH nv AS (
+      |  SELECT s_nationkey, sum(l_extendedprice * (1 - l_discount)) AS v
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(v) AS t FROM nv)
+      |SELECT n_name AS nation, round(v, 2) AS value
+      |FROM nv, tot
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE v > 0.04 * t""".stripMargin))
+
+  private val b29 = Q(
+    "b29_promo_rev_share",
+    (s, dir) =>
+      // TPC-H Q14 shape: promo revenue share for one month. Both sums are
+      // rounded to cents BEFORE the ratio, and the share is floor-scaled —
+      // round-half on a raw double ratio is engine-divergent (see b18).
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
+            .as("promo_rev"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          floor(lit(10000) * col("promo_rev") / col("total_rev")).cast("long")
+            .as("promo_share_e4")),
+    Some("""WITH agg AS (
+      |  SELECT round(sum(CASE WHEN p_type = 'PROMO'
+      |               THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_rev,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-02-01')
+      |SELECT promo_rev, total_rev,
+      |       CAST(floor(10000 * promo_rev / total_rev) AS BIGINT) AS promo_share_e4
+      |FROM agg""".stripMargin))
+
+  private val b30 = Q(
+    "b30_returned_top_customers",
+    (s, dir) =>
+      // TPC-H Q10 shape: top-20 customers by returned-item revenue.
+      // Deterministic order: revenue desc then custkey — ties in the double
+      // sums are broken by key in BOTH engines.
+      Tables.customer(s, dir).select("c_custkey", "c_name")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .orderBy(desc("rev"), col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), round(col("rev"), 2).as("revenue")),
+    Some("""SELECT c_custkey, c_name, round(rev, 2) AS revenue FROM (
+      |  SELECT c_custkey, c_name,
+      |         sum(l_extendedprice * (1 - l_discount)) AS rev
+      |  FROM customer
+      |  JOIN orders   ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE l_returnflag = 'R'
+      |  GROUP BY 1, 2
+      |  ORDER BY rev DESC, c_custkey LIMIT 20)""".stripMargin))
+
+  private val b31 = Q(
+    "b31_shipmode_priority",
+    (s, dir) =>
+      // TPC-H Q12 shape: late lineitems split into high/low priority counts
+      // per linestatus (conditional aggregation after a date-arithmetic join
+      // predicate).
+      Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate", "l_linestatus"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .as("low_line_count")),
+    Some("""SELECT l_linestatus,
+      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS high_line_count,
+      |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1""".stripMargin))
+
+  private val b32 = Q(
+    "b32_supplier_part_counts",
+    (s, dir) =>
+      // TPC-H Q16 shape: distinct suppliers per (brand, size) for selected
+      // parts, excluding flagged suppliers — the NOT IN subquery is a left
+      // anti join against the (tiny, broadcast) flagged-supplier set.
+      Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt")),
+    Some("""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2""".stripMargin))
+
+  private val b33 = Q(
+    "b33_large_orders",
+    (s, dir) => {
+      // TPC-H Q18 shape: orders whose total quantity clears a threshold,
+      // with customer detail. Quantities are integral doubles, so the sums
+      // and the > compare are exact in both engines. The HAVING aggregate is
+      // the only fact shuffle; orders join on its result, customer broadcast.
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          round(col("total_qty"), 2).as("total_qty"))
+    },
+    Some("""WITH big AS (
+      |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |       round(total_qty, 2) AS total_qty
+      |FROM big
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin))
+
+  private val b34 = Q(
+    "b34_market_share",
+    (s, dir) =>
+      // TPC-H Q8 shape: one nation's yearly revenue share. Same numeric
+      // discipline as b29: cents-rounded sums, floor-scaled ratio.
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("n_name") === "NATION_3",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
+            .as("nation_rev"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_rev"))
+        .select(col("o_year"), col("nation_rev"), col("total_rev"),
+          floor(lit(10000) * col("nation_rev") / col("total_rev")).cast("long")
+            .as("share_e4")),
+    Some("""WITH yr AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |         round(sum(CASE WHEN n_name = 'NATION_3'
+      |               THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS nation_rev,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  GROUP BY 1)
+      |SELECT o_year, nation_rev, total_rev,
+      |       CAST(floor(10000 * nation_rev / total_rev) AS BIGINT) AS share_e4
+      |FROM yr""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -1967,7 +2231,8 @@ object Queries {
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
-    b17, b18, b19, b20, b21, b22, b23, b24,
+    b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
+    b31, b32, b33, b34,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
