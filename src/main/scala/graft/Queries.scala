@@ -450,7 +450,7 @@ object Queries {
       |       min(CASE WHEN cum >= ceil(0.5 * n) THEN rt END) AS p50_ms,
       |       min(CASE WHEN cum >= ceil(0.95 * n) THEN rt END) AS p95_ms,
       |       min(CASE WHEN cum >= ceil(0.99 * n) THEN rt END) AS p99_ms,
-      |       max(n) AS requests
+      |       CAST(max(n) AS BIGINT) AS requests
       |FROM cum GROUP BY 1""".stripMargin))
 
   // ---------------------------------------------------------------- group B
@@ -934,9 +934,11 @@ object Queries {
         .join(broadcast(Tables.part(s, dir)
           .filter(col("p_brand") === "Brand#3").select("p_partkey")),
           col("l_partkey") === col("p_partkey"))
-      val thresh = brand.groupBy("l_partkey")
-        .agg((avg("l_quantity") * 0.2).as("qty_thresh"))
-      brand.join(thresh, "l_partkey")
+      // per-part threshold as a window over the brand-filtered frame — an
+      // agg+join-back would re-derive the scan+join subtree (no subplan
+      // CSE), reading the fact table twice (same discipline as b18/b27)
+      brand.withColumn("qty_thresh",
+          avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2)
         .filter(col("l_quantity") < col("qty_thresh"))
         .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
           count(lit(1)).as("line_cnt"))
@@ -1294,10 +1296,10 @@ object Queries {
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
             .as("low_line_count")),
     Some("""SELECT l_linestatus,
-      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |                THEN 1 ELSE 0 END) AS high_line_count,
-      |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      |                THEN 1 ELSE 0 END) AS low_line_count
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       |GROUP BY 1""".stripMargin))

@@ -12,7 +12,7 @@ import graft.operators.{Dedup, Similarity}
   * scale ≤ linearly in input size rather than degrading (shuffle spill,
   * skew, quadratic candidate blowups).
   *
-  * Two modes:
+  * Modes:
   *  - `etl` (default): inflate events, time the ETL-heavy queries.
   *  - `dedup`: inflate documents AND embeddings with per-replica salting
   *    (alphabet rotation for text, deterministic sign flips for vectors) so
@@ -20,8 +20,11 @@ import graft.operators.{Dedup, Similarity}
   *    machinery growing with corpus size, not an artificial explosion of
   *    duplicate groups — and times minhash/weighted-minhash dedup plus
   *    LSH/IVF ANN with a fixed 50-query batch.
+  *  - `sketch`: inflate events, compare exact countDistinct vs the KMV
+  *    sketch at low and high cardinality (SURVEY §6 "Sketch scale probe").
+  *  - any query names: inflate events, time those registered queries.
   *
-  * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|queryName...]
+  * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|sketch|queryName...]
   */
 object ScaleProbe {
 

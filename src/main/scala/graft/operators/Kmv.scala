@@ -77,7 +77,10 @@ object Kmv {
     (hash: Column) => f(hash)
   }
 
-  case class HEntry(h: String, payload: Long)
+  /** payload is boxed so a NULL payload row reaches [[BottomKSample.reduce]]'s
+    * guard instead of crashing the encoder's non-nullable Long deserializer.
+    */
+  case class HEntry(h: String, payload: java.lang.Long)
 
   /** Bottom-k-by-hash uniform sample: the k entries with the smallest
     * hashes ARE a uniform random sample of the distinct values (the hash is
@@ -90,14 +93,18 @@ object Kmv {
     * rate-based domain-mix sampler (e10): exact-k per group vs global rates.
     */
   class BottomKSample(k: Int) extends Aggregator[HEntry, Seq[HEntry], Seq[HEntry]] {
+    // Invariant: ascending by hash, ONE entry per hash — the kept payload is
+    // the minimum for that hash, so a hash colliding with different payloads
+    // (callers aren't required to derive h from payload) still yields the
+    // same result under every partitioning / merge order.
+    private def trim(a: Seq[HEntry]): Seq[HEntry] =
+      a.sortBy(e => (e.h, e.payload.longValue)).distinctBy(_.h).take(k)
     override def zero: Seq[HEntry] = Seq.empty
     override def reduce(b: Seq[HEntry], e: HEntry): Seq[HEntry] =
-      if (e == null || e.h == null) b
-      else if (b.length >= k && e.h >= b.last.h) b // O(1) reject once warm
-      else if (b.exists(_.h == e.h)) b
-      else ((b :+ e).sortBy(_.h)).take(k)
-    override def merge(x: Seq[HEntry], y: Seq[HEntry]): Seq[HEntry] =
-      (x ++ y).distinct.sortBy(_.h).take(k)
+      if (e == null || e.h == null || e.payload == null) b
+      else if (b.length >= k && e.h > b.last.h) b // O(1) reject once warm
+      else trim(b :+ e)
+    override def merge(x: Seq[HEntry], y: Seq[HEntry]): Seq[HEntry] = trim(x ++ y)
     override def finish(b: Seq[HEntry]): Seq[HEntry] = b
     override def bufferEncoder: Encoder[Seq[HEntry]] = ExpressionEncoder[Seq[HEntry]]()
     override def outputEncoder: Encoder[Seq[HEntry]] = ExpressionEncoder[Seq[HEntry]]()

@@ -74,6 +74,30 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
     assert(a.max > 500 && a.min < 1500)
   }
 
+  test("sampler keeps min payload per hash — invariant under merge order") {
+    // same hash carrying different payloads (h not derived from payload):
+    // every partitioning and merge order must agree on the kept entry
+    val s = new Kmv.BottomKSample(2)
+    def e(h: String, p: Long) = Kmv.HEntry(h, p)
+    val all = Seq(e("aa", 9), e("aa", 3), e("bb", 5), e("cc", 1))
+    val single = all.foldLeft(s.zero)(s.reduce)
+    val (l, r) = all.splitAt(2)
+    val merged = s.merge(l.foldLeft(s.zero)(s.reduce), r.foldLeft(s.zero)(s.reduce))
+    assert(single == merged)
+    assert(single == Seq(e("aa", 3), e("bb", 5)))
+  }
+
+  test("sampler tolerates null hash and null payload rows") {
+    val df = spark.range(100).toDF("v")
+      .select(
+        when(col("v") % 7 === 0, lit(null)).otherwise(
+          md5(col("v").cast("string").cast("binary"))).as("h"),
+        when(col("v") % 11 === 0, lit(null)).otherwise(col("v")).as("p"))
+    val out = df.agg(Kmv.hash_sample(8)(col("h"), col("p")).as("s"))
+      .select(explode(col("s.payload"))).collect()
+    assert(out.length == 8 && out.forall(!_.isNullAt(0)))
+  }
+
   test("scala estimate matches the oracle's arithmetic shape") {
     // estimate() must stay in lockstep with Queries' kmvDigitSum SQL mirror:
     // 13 hex chars = exact 52-bit integer, single IEEE division, floor
