@@ -2083,6 +2083,61 @@ object Queries {
       |FROM toks t JOIN rates r ON t.domain = r.domain
       |WHERE ((doc_id % 1000000) * 2654435761) % 1000000 < r.rate * 1000000""".stripMargin))
 
+  private val e11 = Q(
+    "e11_url_dedup",
+    (s, dir) => {
+      // URL-level dedup (the Common-Crawl pre-filter: one fetch per
+      // canonical URL). Synthetic messy URLs — mixed-case hosts, trailing
+      // slashes, shuffled tracking params (utm_*, source tags), fragments —
+      // are canonicalized (lower host, strip trailing slash / tracking
+      // params / fragment, keep content params) and grouped: keeper = min
+      // id per canonical URL. All codegen'd builtins; scan → one hash-agg.
+      val full = httpLog(s, dir).select(col("log_id"),
+        concat(lit("https://"),
+          when(col("log_id") % 2 === 0,
+            format_string("H%d.EXAMPLE.COM", col("resource_id")))
+            .otherwise(format_string("h%d.example.com", col("resource_id"))),
+          col("url"),
+          when(col("log_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          when(col("log_id") % 2 === 0,
+            format_string("?utm_campaign=c%d&page=%d", col("log_id") % 3, col("log_id") % 7))
+            .otherwise(format_string("?page=%d&utm_source=news", col("log_id") % 7)),
+          when(col("log_id") % 5 === 0, format_string("#s%d", col("log_id") % 4))
+            .otherwise(lit(""))).as("full_url"))
+      full
+        .withColumn("canonical_url", concat(
+          lower(expr("parse_url(full_url, 'HOST')")),
+          regexp_replace(expr("parse_url(full_url, 'PATH')"), "/$", ""),
+          lit("?page="), expr("parse_url(full_url, 'QUERY', 'page')")))
+        .groupBy("canonical_url")
+        .agg(min("log_id").as("keeper_id"),
+          countDistinct("full_url").as("n_variants"),
+          count(lit(1)).as("n_events"))
+    },
+    Some(s"""WITH ${HttpLog.cteBody},
+      |furl AS (
+      |  SELECT log_id,
+      |    'https://' ||
+      |    CASE WHEN log_id % 2 = 0 THEN printf('H%d.EXAMPLE.COM', resource_id)
+      |         ELSE printf('h%d.example.com', resource_id) END ||
+      |    url || CASE WHEN log_id % 3 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN log_id % 2 = 0
+      |         THEN printf('?utm_campaign=c%d&page=%d', log_id % 3, log_id % 7)
+      |         ELSE printf('?page=%d&utm_source=news', log_id % 7) END ||
+      |    CASE WHEN log_id % 5 = 0 THEN printf('#s%d', log_id % 4) ELSE '' END
+      |      AS full_url
+      |  FROM http_log),
+      |canon AS (
+      |  SELECT log_id, full_url,
+      |    lower(regexp_extract(full_url, '^https://([^/?#]+)', 1)) ||
+      |    regexp_replace(regexp_extract(full_url, '^https://[^/?#]+([^?#]*)', 1),
+      |                   '/$$', '') ||
+      |    '?page=' || regexp_extract(full_url, '[?&]page=([0-9]+)', 1) AS canonical_url
+      |  FROM furl)
+      |SELECT canonical_url, min(log_id) AS keeper_id,
+      |       count(DISTINCT full_url) AS n_variants, count(*) AS n_events
+      |FROM canon GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -2237,7 +2292,7 @@ object Queries {
     b31, b32, b33, b34,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     f01, f02,
     g01, g02, g03, g04)
 }

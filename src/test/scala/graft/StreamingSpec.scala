@@ -332,6 +332,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("KMV sketch as streaming aggregate equals the batch sketch") {
+    // streaming distinct-count with O(k) state-store rows per group — the
+    // streaming twin of b23: the sketch buffer (not every distinct value)
+    // is what the state store checkpoints
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val agg = graft.operators.Kmv.kmv_distinct(16)
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("g", "v")
+        .select(col("g"), md5(col("v").cast("string").cast("binary")).as("h"))
+        .groupBy("g").agg(agg(col("h")).as("r"))
+        .select(col("g"), col("r.n_tracked"), col("r.kth_hash"), col("r.est_distinct"))
+    val q = sketchOf(ms.toDF()).writeStream.format("memory")
+      .queryName("kmv_stream").outputMode("complete").start()
+    try {
+      val batch1 = (1 to 40).map(i => ("a", i.toLong)) ++ Seq(("b", 1L))
+      val batch2 = (30 to 80).map(i => ("a", i.toLong)) ++ Seq(("b", 2L))
+      ms.addData(batch1)
+      q.processAllAvailable()
+      ms.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val batch = sketchOf((batch1 ++ batch2).toDF("g", "v")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed == batch, "stream/batch divergence in KMV sketch")
+      // group a saw 80 distinct values through a 16-entry buffer
+      assert(streamed.find(_._1 == "a").get._2 == 16)
+      assert(streamed.find(_._1 == "b").get._2 == 2)
+    } finally q.stop()
+  }
+
   test("rate limiter enforces the proxy interval without real sleeping") {
     var clock = 0L
     var slept = 0L
