@@ -2138,6 +2138,25 @@ object Queries {
       |       count(DISTINCT full_url) AS n_variants, count(*) AS n_events
       |FROM canon GROUP BY 1""".stripMargin))
 
+  private val e12 = Q(
+    "e12_chunking",
+    (s, dir) =>
+      // fixed-window chunking with overlap (split-before-tokenize): pure
+      // narrow ops, zero shuffle, ids deterministic under any partitioning
+      operators.Chunking.chunk(
+        Tables.documents(s, dir), "doc_id", "text",
+        chunkChars = 200, overlapChars = 50)
+        .withColumn("fp", md5(col("chunk_text").cast("binary"))),
+    Some("""SELECT doc_id,
+      |       CAST(off // 150 AS INT) AS chunk_id,
+      |       CAST(off AS INT) AS chunk_off,
+      |       substr(text, off + 1, 200) AS chunk_text,
+      |       CAST(len(substr(text, off + 1, 200)) AS INT) AS chunk_chars,
+      |       md5(substr(text, off + 1, 200)) AS fp
+      |FROM (SELECT doc_id, text,
+      |             unnest(range(0, greatest(len(text) - 50, 1), 150)) AS off
+      |      FROM documents WHERE len(text) > 0)""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -2292,7 +2311,7 @@ object Queries {
     b31, b32, b33, b34,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
     f01, f02,
     g01, g02, g03, g04)
 }
