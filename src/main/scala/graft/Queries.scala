@@ -453,6 +453,46 @@ object Queries {
       |       CAST(max(n) AS BIGINT) AS requests
       |FROM cum GROUP BY 1""".stripMargin))
 
+  private val a16 = Q(
+    "a16_gapfill_timeseries",
+    (s, dir) => {
+      // Dashboard gap-fill (ClickHouse WITH FILL / Grafana $__timeGroup):
+      // every hour in each resource's active span gets a row, zero-filled
+      // where no traffic was recorded, with an is_gap marker. Catalyst
+      // collapses the span derivation (groupBy(resource,hour) then
+      // groupBy(resource)) into ONE direct min/max aggregate over the scan,
+      // and the hourly totals broadcast to the generated grid — two pruned
+      // scans, no sort, no shuffled join (verified in PLANS-style review).
+      val totals = httpLog(s, dir)
+        .groupBy(col("resource_id"), date_trunc("hour", col("ts")).as("ts_hour"))
+        .agg(count(lit(1)).as("requests"), sum("bytes_sent").as("total_bytes"))
+      val grid = totals.groupBy("resource_id")
+        .agg(min("ts_hour").as("h0"), max("ts_hour").as("h1"))
+        .select(col("resource_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("ts_hour"))
+      grid.join(totals, Seq("resource_id", "ts_hour"), "left_outer")
+        .select(col("resource_id"), col("ts_hour"),
+          coalesce(col("requests"), lit(0L)).as("requests"),
+          coalesce(col("total_bytes"), lit(0L)).as("total_bytes"),
+          when(col("requests").isNull, 1).otherwise(0).cast("int").as("is_gap"))
+    },
+    Some(s"""${HttpLog.cte}
+      |, t AS (
+      |  SELECT resource_id, date_trunc('hour', ts) AS ts_hour,
+      |         count(*) AS requests, CAST(sum(bytes_sent) AS BIGINT) AS total_bytes
+      |  FROM http_log GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT resource_id,
+      |         unnest(generate_series(min(ts_hour), max(ts_hour),
+      |                                INTERVAL 1 HOUR)) AS ts_hour
+      |  FROM t GROUP BY resource_id)
+      |SELECT g.resource_id, g.ts_hour,
+      |       coalesce(t.requests, 0) AS requests,
+      |       coalesce(t.total_bytes, 0) AS total_bytes,
+      |       CASE WHEN t.requests IS NULL THEN 1 ELSE 0 END AS is_gap
+      |FROM grid g LEFT JOIN t
+      |  ON g.resource_id = t.resource_id AND g.ts_hour = t.ts_hour""".stripMargin))
+
   // ---------------------------------------------------------------- group B
 
   private val b01 = Q(
@@ -1055,9 +1095,11 @@ object Queries {
     * Σ digit(i)·16^(13−i) as exact BIGINT terms (each multiplier is a power
     * of two, the total < 2^52 — exactly representable when cast to DOUBLE).
     */
-  private val kmvDigitSum: String = (1 to 13).map { i =>
-    s"(strpos('0123456789abcdef', substr(kth_hash, $i, 1)) - 1) * ${1L << (4 * (13 - i))}"
+  private def kmvDigitSumOf(colName: String): String = (1 to 13).map { i =>
+    s"(strpos('0123456789abcdef', substr($colName, $i, 1)) - 1) * ${1L << (4 * (13 - i))}"
   }.mkString(" + ")
+
+  private val kmvDigitSum: String = kmvDigitSumOf("kth_hash")
 
   private val b23 = Q(
     "b23_kmv_distinct",
@@ -1124,6 +1166,54 @@ object Queries {
       |  FROM hashes)
       |SELECT event_type, CAST(rank AS INT) AS rank, user_id
       |FROM ranked WHERE rank <= 8""".stripMargin))
+
+  private val b35 = Q(
+    "b35_kmv_setops",
+    (s, dir) => {
+      // KMV set algebra — why theta sketches exist in OLAP: per-dimension
+      // sketches compose into union/intersection distinct estimates without
+      // re-scanning (|A∩B| = |A| + |B| − |A∪B| on the estimates). ONE scan
+      // builds all three sketches: the per-set hash is nulled outside its
+      // filter and the aggregator skips nulls.
+      val agg = operators.Kmv.kmv_distinct(64)
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          md5(col("user_id").cast("string").cast("binary")).as("h"))
+        .agg(
+          agg(when(col("event_type") === "click", col("h"))).as("ra"),
+          agg(when(col("event_type") === "view", col("h"))).as("rb"),
+          agg(when(col("event_type").isin("click", "view"), col("h"))).as("ru"))
+        .select(
+          col("ra.est_distinct").as("est_click"),
+          col("rb.est_distinct").as("est_view"),
+          col("ru.est_distinct").as("est_union"),
+          (col("ra.est_distinct") + col("rb.est_distinct") - col("ru.est_distinct"))
+            .as("est_intersect"))
+    },
+    Some {
+      // one ranked-hash CTE chain per set, each mirroring b23's estimator
+      def estCte(name: String, where: String) =
+        s"""${name}_h AS (
+           |  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+           |  FROM events WHERE $where),
+           |${name}_r AS (
+           |  SELECT h, row_number() OVER (ORDER BY h) AS rn,
+           |         count(*) OVER () AS nd
+           |  FROM ${name}_h),
+           |${name}_e AS (
+           |  SELECT CAST(CASE WHEN max(nd) < 64 THEN max(nd)
+           |       ELSE floor(63.0 / (CAST(greatest(
+           |              ${kmvDigitSumOf(s"max(CASE WHEN rn = 64 THEN h END)")}, 1)
+           |              AS DOUBLE) / 4503599627370496.0))
+           |       END AS BIGINT) AS est
+           |  FROM ${name}_r)""".stripMargin
+      s"""WITH ${estCte("a", "event_type = 'click'")},
+         |${estCte("b", "event_type = 'view'")},
+         |${estCte("u", "event_type IN ('click', 'view')")}
+         |SELECT a_e.est AS est_click, b_e.est AS est_view, u_e.est AS est_union,
+         |       a_e.est + b_e.est - u_e.est AS est_intersect
+         |FROM a_e, b_e, u_e""".stripMargin
+    })
 
   private val b25 = Q(
     "b25_late_order_priority",
@@ -2305,10 +2395,10 @@ object Queries {
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
-    a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15,
+    a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15, a16,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
-    b31, b32, b33, b34,
+    b31, b32, b33, b34, b35,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
