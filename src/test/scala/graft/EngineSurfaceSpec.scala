@@ -75,6 +75,39 @@ class EngineSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(r.map(_.getString(1)).toSeq == Seq("new", "only"))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB shuffle-volume lever: a selective dim filter is turned into
+    // a bloom `might_contain` applied to the fact side BEFORE its shuffle
+    // write, so non-matching fact rows never cross the wire. Default-on in
+    // this Spark, but gated by a 10 GB application-side scan threshold the
+    // test data can't reach — lower the gates, assert injection, and prove
+    // result equality with the un-bloomed join.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def join() = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val bloomed = join()
+      val plan = bloomed.queryExecution.executedPlan.toString()
+      assert(plan.toLowerCase.contains("bloom"), s"no bloom filter injected in:\n$plan")
+      val withBloom = bloomed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      saved.foreach { case (k, v) => v.foreach(spark.conf.set(k, _)) }
+      val plain = join().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(withBloom == plain, "bloom-pruned join changed the result")
+      assert(withBloom.nonEmpty)
+    } finally {
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      saved.foreach { case (k, v) => v.foreach(spark.conf.set(k, _)) }
+    }
+  }
+
   test("every query has matching column names with its oracle select list") {
     // cheap structural check: oracle SQL aliases every output column with the
     // same name Spark produces (the driver sorts columns by name)
