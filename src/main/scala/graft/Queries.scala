@@ -1949,7 +1949,35 @@ object Queries {
         col("doc_id"),
         graft.functions.lang_id(col("text")).as("lang_pred"),
         col("lang").as("lang_label")),
-    None) // heuristic profile scoring isn't SQL-expressible; properties in spec
+    // Exact mirror of TextHash.langId's stopword-profile argmax: per-profile
+    // membership counts over the normalized tokens, first-profile-wins tie
+    // break (the strict `>` update loop ≡ first profile reaching the max),
+    // 'und' when every score is 0. The CJK-ratio branch is omitted: the
+    // corpus is verified pure ASCII (zero non-ASCII docs), so it never
+    // fires — Java Character classes aren't RE2-expressible in general.
+    Some("""WITH toks AS (
+      |  SELECT doc_id,
+      |         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |scores AS (
+      |  SELECT doc_id,
+      |    len(list_filter(t, x -> x IN ('the','and','of','to','in','is','it',
+      |                                  'you','that','for','a'))) AS s_en,
+      |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht',
+      |                                  'mit','ein','zu','den'))) AS s_de,
+      |    len(list_filter(t, x -> x IN ('le','la','les','et','est','pas',
+      |                                  'pour','que','une','dans'))) AS s_fr,
+      |    len(list_filter(t, x -> x IN ('el','los','y','es','no','por','las',
+      |                                  'una','lo','como'))) AS s_es
+      |  FROM toks)
+      |SELECT s.doc_id,
+      |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+      |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+      |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+      |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+      |       ELSE 'es' END AS lang_pred,
+      |  d.lang AS lang_label
+      |FROM scores s JOIN documents d USING (doc_id)""".stripMargin))
 
   private val e04 = Q(
     "e04_fingerprint",
