@@ -2275,6 +2275,41 @@ object Queries {
       |             unnest(range(0, greatest(len(text) - 50, 1), 150)) AS off
       |      FROM documents WHERE len(text) > 0)""".stripMargin))
 
+  private val e13 = Q(
+    "e13_seq_packing",
+    (s, dir) =>
+      // concat-and-slice sequence packing: e06's BPE-ish token counts laid
+      // end to end in doc order, sliced into 512-token training windows.
+      // The global prefix sum is two-level (group totals + partitioned
+      // window) — never a single-partition window; see Chunking.pack
+      operators.Chunking.pack(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(expr(
+            "regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +', 0)"))
+            .as("tok_count")),
+        "doc_id", "tok_count", seqLen = 512, groupSize = 64),
+    // window SUM over BIGINT is HUGEINT in DuckDB → cast; `//` is exact
+    // integer division like Spark's `div`
+    Some("""WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(text,
+      |              ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +')) AS BIGINT)
+      |           AS tok_count
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, tok_count,
+      |         CAST(COALESCE(SUM(tok_count) OVER (ORDER BY doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |              AS BIGINT) AS start_off
+      |  FROM t WHERE tok_count > 0)
+      |SELECT doc_id, tok_count, start_off,
+      |       start_off // 512 AS bin_first,
+      |       (start_off + tok_count - 1) // 512 AS bin_last,
+      |       CAST((start_off + tok_count - 1) // 512 - start_off // 512 + 1
+      |            AS INT) AS bins_spanned
+      |FROM p""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -2429,7 +2464,7 @@ object Queries {
     b31, b32, b33, b34, b35,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
     f01, f02,
     g01, g02, g03, g04)
 }

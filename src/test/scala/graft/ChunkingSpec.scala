@@ -45,4 +45,34 @@ class ChunkingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(out == Set((1L, 0, 10), (2L, 0, 200), (3L, 0, 200), (3L, 1, 51)))
   }
+
+  test("packing is invariant to groupSize and partitioning, offsets contiguous") {
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(expr(
+        "regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +', 0)"))
+        .as("tok_count"))
+    def run(g: Int, p: Int) =
+      Chunking.pack(docs.repartition(p), "doc_id", "tok_count", 512, g)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getInt(5))).toSet
+    val base = run(64, 4)
+    assert(base == run(512, 4), "groupSize must not change the packing")
+    assert(base == run(64, 13), "input partitioning must not change the packing")
+    // the concat invariant: in doc order, each start offset is the previous
+    // start + its token count — the windows tile the token stream exactly
+    val ordered = base.toSeq.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Seq((_, tok, off, _, _, _), (id2, _, off2, _, _, _)) =>
+        assert(off2 == off + tok, s"gap in the token stream before doc $id2")
+      case _ =>
+    }
+    assert(ordered.head._3 == 0L)
+    // span arithmetic: a doc spans ceil over the windows its tokens cross
+    ordered.foreach { case (id, tok, off, bf, bl, spans) =>
+      assert(bf == off / 512 && bl == (off + tok - 1) / 512 &&
+        spans == (bl - bf + 1), s"bad span for doc $id")
+    }
+  }
 }
