@@ -1201,7 +1201,9 @@ object Queries {
            |         count(*) OVER () AS nd
            |  FROM ${name}_h),
            |${name}_e AS (
-           |  SELECT CAST(CASE WHEN max(nd) < 64 THEN max(nd)
+           |  -- COALESCE mirrors Kmv.finish's empty-buffer path (0, not NULL)
+           |  SELECT CAST(CASE WHEN COALESCE(max(nd), 0) < 64
+           |       THEN COALESCE(max(nd), 0)
            |       ELSE floor(63.0 / (CAST(greatest(
            |              ${kmvDigitSumOf(s"max(CASE WHEN rn = 64 THEN h END)")}, 1)
            |              AS DOUBLE) / 4503599627370496.0))
@@ -2033,27 +2035,32 @@ object Queries {
       |  FROM g)
       |SELECT doc_id, unnest(fp) AS fp FROM fps""".stripMargin))
 
+  /** BPE-style pre-tokenization pattern (GPT-2 family, simplified to the
+    * RE2-safe subset so DuckDB oracles match): leading-space word / number /
+    * punctuation runs. The SINGLE definition behind e06/e13 (Spark and SQL
+    * sides) and the packing spec — edit here, everything stays in sync.
+    */
+  private[graft] val BpeTokenPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+
+  /** Token count of `text` under [[BpeTokenPattern]] (Spark side). */
+  private[graft] def bpeTokenCount =
+    size(expr(s"regexp_extract_all(text, '$BpeTokenPattern', 0)"))
+
   private val e06 = Q(
     "e06_bpe_tokens",
     (s, dir) =>
-      // BPE-style pre-tokenization (GPT-2 pattern family, simplified to the
-      // RE2-safe subset so the oracle matches): leading-space word / number /
-      // punctuation runs. Token budget estimation for training pipelines.
+      // token budget estimation for training pipelines
       Tables.documents(s, dir).select(
         col("doc_id"),
-        size(expr(
-          "regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +', 0)"))
-          .as("bpe_tokens"),
-        (length(col("text")).cast("double") /
-          size(expr(
-            "regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +', 0)")))
+        bpeTokenCount.as("bpe_tokens"),
+        (length(col("text")).cast("double") / bpeTokenCount)
           .cast("double").as("chars_per_token_raw"))
         .select(col("doc_id"), col("bpe_tokens"),
           round(col("chars_per_token_raw"), 4).as("chars_per_token")),
-    Some("""SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +')) AS INT) AS bpe_tokens,
+    Some(s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$BpeTokenPattern')) AS INT) AS bpe_tokens,
       |  round(CAST(length(text) AS DOUBLE)
-      |        / len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +')), 4) AS chars_per_token
+      |        / len(regexp_extract_all(text, '$BpeTokenPattern')), 4) AS chars_per_token
       |FROM documents""".stripMargin))
 
   private val e07 = Q(
@@ -2284,17 +2291,14 @@ object Queries {
       // window) — never a single-partition window; see Chunking.pack
       operators.Chunking.pack(
         Tables.documents(s, dir).select(
-          col("doc_id"),
-          size(expr(
-            "regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +', 0)"))
-            .as("tok_count")),
+          col("doc_id"), bpeTokenCount.as("tok_count")),
         "doc_id", "tok_count", seqLen = 512, groupSize = 64),
     // window SUM over BIGINT is HUGEINT in DuckDB → cast; `//` is exact
     // integer division like Spark's `div`
-    Some("""WITH t AS (
+    Some(s"""WITH t AS (
       |  SELECT doc_id,
       |         CAST(len(regexp_extract_all(text,
-      |              ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +')) AS BIGINT)
+      |              '$BpeTokenPattern')) AS BIGINT)
       |           AS tok_count
       |  FROM documents),
       |p AS (

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * training-window-sized pieces; the overlap preserves context across the
   * cut).
   *
-  * Pure narrow ops: `sequence` builds the per-doc offset array, `posexplode`
-  * fans out, `substring` slices — no shuffle at all, the chunk stream keeps
+  * Pure narrow ops: `sequence` builds the per-doc offset array, `explode`
+  * fans out (chunk ids derive from the offset, not a position — stable under
+  * any partitioning), `substring` slices — no shuffle at all, the chunk stream keeps
   * the input's partitioning. Chunk ids are (doc_id, chunk_id) with
   * chunk_id = offset / stride, so re-runs and different partitionings assign
   * identical ids (checkpoint/restart-safe at 100 TB).

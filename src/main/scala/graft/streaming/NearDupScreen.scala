@@ -36,16 +36,39 @@ object NearDupScreen {
     * corpus docs would otherwise cost every matching incoming doc N verify
     * rows per micro-batch.
     */
+  /** (id, shingles, band, key) of one side — blank (token-less) docs
+    * excluded; shared by the corpus index, the screen, and the disk probe so
+    * signatures are computed in exactly one place.
+    */
+  private def bandedSide(df: DataFrame, idCol: String, textCol: String,
+                         outId: String, shCol: String,
+                         k: Int, n: Int, bands: Int): DataFrame =
+    df.select(
+      col(idCol).as(outId),
+      word_shingles(col(textCol), k).as(shCol),
+      lsh_band_keys(minhash_sig(col(textCol), k, n), bands).as("keys"))
+      .filter(size(col(shCol)) > 0)
+      .select(col(outId), col(shCol),
+        posexplode(col("keys")).as(Seq("band", "key")))
+
+  /** Band-collision join + exact sorted-merge Jaccard verify of a banded
+    * incoming side against an index. One row per verifying (doc, corpus,
+    * band) collision.
+    */
+  private def verifyJoin(banded: DataFrame, index: DataFrame,
+                         threshold: Double): DataFrame =
+    banded.join(index, Seq("band", "key"))
+      .withColumn("inter",
+        opt_fence(sorted_intersect_count(col("sh"), col("csh"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh")) + size(col("csh")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+
   def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, n: Int = 128, bands: Int = 32,
                   maxBucket: Int = 100000): DataFrame = {
-    val banded = corpus.select(
-      col(idCol).as("corpus_id"),
-      word_shingles(col(textCol), k).as("csh"),
-      lsh_band_keys(minhash_sig(col(textCol), k, n), bands).as("keys"))
-      .filter(size(col("csh")) > 0)
-      .select(col("corpus_id"), col("csh"),
-        posexplode(col("keys")).as(Seq("band", "key")))
+    val banded = bandedSide(corpus, idCol, textCol, "corpus_id", "csh", k, n, bands)
     val hot = banded.groupBy("band", "key").count()
       .filter(col("count") > maxBucket).select("band", "key")
     banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
@@ -59,24 +82,9 @@ object NearDupScreen {
     */
   def screenRaw(incoming: DataFrame, index: DataFrame, idCol: String,
                 textCol: String, k: Int = 3, n: Int = 128, bands: Int = 32,
-                threshold: Double = 0.5): DataFrame = {
-    val banded = incoming.select(
-      col(idCol).as("doc_id"),
-      word_shingles(col(textCol), k).as("sh"),
-      lsh_band_keys(minhash_sig(col(textCol), k, n), bands).as("keys"))
-      // blank docs: constant signature + undefined (0/0) Jaccard — excluded,
-      // matching the index side
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"),
-        posexplode(col("keys")).as(Seq("band", "key")))
-    banded.join(index, Seq("band", "key"))
-      .withColumn("inter",
-        opt_fence(sorted_intersect_count(col("sh"), col("csh"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh")) + size(col("csh")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
-  }
+                threshold: Double = 0.5): DataFrame =
+    verifyJoin(bandedSide(incoming, idCol, textCol, "doc_id", "sh", k, n, bands),
+      index, threshold)
 
   /** Batch form: distinct verified (doc, corpus) flags, materialized so the
     * internally-built index cache is released before returning (same
@@ -126,13 +134,19 @@ object NearDupScreen {
                  incoming: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, n: Int = 128, bands: Int = 32,
                  nBuckets: Int = 64, threshold: Double = 0.5): DataFrame = {
-    val pbs = incoming
-      .select(posexplode(lsh_band_keys(minhash_sig(col(textCol), k, n), bands))
-        .as(Seq("band", "key")))
+    // signatures are the dominant per-doc cost — compute the banded form
+    // ONCE, cache it, and use it for both the pb routing set and the join
+    val banded = bandedSide(incoming, idCol, textCol, "doc_id", "sh", k, n, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pbs = banded
       .select(((col("band") * nBuckets
         + pmod(col("key"), lit(nBuckets.toLong))).cast("int")).as("pb"))
       .distinct().collect().map(_.getInt(0))
     val index = spark.read.parquet(path).filter(col("pb").isin(pbs.map(Integer.valueOf): _*))
-    screenRaw(incoming, index, idCol, textCol, k, n, bands, threshold).distinct()
+    val out = verifyJoin(banded, index, threshold).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    banded.unpersist(blocking = false)
+    out
   }
 }

@@ -49,8 +49,7 @@ class ChunkingSpec extends AnyFunSuite with SparkTestBase {
   test("packing is invariant to groupSize and partitioning, offsets contiguous") {
     val docs = Tables.documents(spark, sfDir).select(
       col("doc_id"),
-      size(expr(
-        "regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +', 0)"))
+      size(expr(s"regexp_extract_all(text, '${Queries.BpeTokenPattern}', 0)"))
         .as("tok_count"))
     def run(g: Int, p: Int) =
       Chunking.pack(docs.repartition(p), "doc_id", "tok_count", 512, g)
