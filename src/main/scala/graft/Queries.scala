@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, HttpLog, Multimodal, Similarity, Skew}
+import graft.operators.{Dedup, HttpLog, Multimodal, SemDedup, Similarity, Skew}
 
 /** One registered query of the engine.
   *
@@ -492,6 +492,23 @@ object Queries {
       |       CASE WHEN t.requests IS NULL THEN 1 ELSE 0 END AS is_gap
       |FROM grid g LEFT JOIN t
       |  ON g.resource_id = t.resource_id AND g.ts_hour = t.ts_hour""".stripMargin))
+
+  private val a17 = Q(
+    "a17_zorder_curve",
+    // The z-value that [[graft.operators.Layout.writeZOrdered]] clusters on
+    // — Morton interleave of (resource_id, bytes_sent), pure codegen'd bit
+    // arithmetic. The layout rewrite itself is a write-side effect
+    // (LayoutSpec proves the file-skipping win on both dimensions); the
+    // curve is the deterministic, hash-checkable part.
+    // 20 bits/dim: bytes_sent spans ~2^19 in the synthetic data, and 2×20
+    // bits still fits a long with headroom
+    (s, dir) => httpLog(s, dir).select(
+      col("log_id"),
+      graft.operators.Layout.zvalue(20, col("resource_id"), col("bytes_sent")).as("zval")),
+    Some(s"""${HttpLog.cte}
+      |SELECT log_id,
+      |       ${graft.operators.Layout.zvalueSql(20, "resource_id", "bytes_sent")} AS zval
+      |FROM http_log""".stripMargin))
 
   // ---------------------------------------------------------------- group B
 
@@ -1792,6 +1809,19 @@ object Queries {
       |WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.line = e.line)
       |GROUP BY doc_id""".stripMargin))
 
+  private val c12 = Q(
+    "c12_semdedup",
+    // SemDeDup over the twin-planted embeddings: the only pairs anywhere at
+    // cosine ≥ 0.9 are the exact planted twins (max non-twin cosine in the
+    // synthetic corpus is ≈0.60 at sf0.1, measured), and identical vectors
+    // always share a cell (same argmax), so the removed set is exactly the
+    // twins regardless of k-means float jitter — which is what makes this
+    // hash-oracle-able even though the clustering itself is not.
+    (s, dir) => SemDedup.removed(augEmbeddings(s, dir), nCells = 16, tau = 0.9),
+    Some("""SELECT CAST(vec_id + 100000 AS BIGINT) AS removed,
+      |       vec_id AS kept
+      |FROM embeddings WHERE vec_id % 25 = 0""".stripMargin))
+
   // ---------------------------------------------------------------- group D
 
   private val d01 = Q(
@@ -2462,11 +2492,12 @@ object Queries {
   // ----------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
-    a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15, a16,
+    a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15,
+    a16, a17,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
     f01, f02,

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional file layout for 100 TB scans: Morton (Z-order)
+  * clustering. Sorting a table by one column makes parquet min/max skipping
+  * perfect on that column and useless on every other; interleaving the bits
+  * of k columns into one sort key gives every interleaved column locality,
+  * so a range/point predicate on ANY of them prunes most files (the layout
+  * trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`).
+  *
+  * The z-value is pure integer bit arithmetic — built from codegen'd
+  * shift/and/or columns (no UDF, stays inside WholeStageCodegen) and exactly
+  * mirrorable in ANSI SQL ([[zvalueSql]]), which is what makes the curve
+  * itself hash-oracle-able even though file layout is a write-side effect.
+  *
+  * Scale shape of [[writeZOrdered]]: one `repartitionByRange` exchange on
+  * the z-value (range boundaries from a driver-side sample — the same
+  * machinery as any global sort) + an in-partition sort, then a write. No
+  * shuffle ever carries more than the data once; reads after the rewrite
+  * prune at file granularity via ordinary parquet column stats.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bitsPer` bits of each column: bit `i` of
+    * column `j` lands at position `i * k + j`. Columns must be non-negative
+    * and fit `bitsPer` bits; `k * bitsPer` must fit a signed long (≤ 63).
+    */
+  def zvalue(bitsPer: Int, cols: Column*): Column = {
+    val k = cols.size
+    require(k >= 1 && k * bitsPer <= 63, s"$k cols × $bitsPer bits exceeds a long")
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bitsPer
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The ANSI-SQL mirror of [[zvalue]] over column names — one `|`-chain of
+    * shift/mask terms, runnable by DuckDB for the oracle compare.
+    */
+  def zvalueSql(bitsPer: Int, cols: String*): String = {
+    val k = cols.size
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bitsPer
+    } yield s"((($c >> $i) & 1) << ${i * k + j})"
+    terms.mkString("(", " | ", ")")
+  }
+
+  /** Rewrite `df` into `numFiles` z-clustered parquet files. Each output
+    * file covers one contiguous z-range = one axis-aligned block of the
+    * key space, so its per-column min/max stats are tight on every
+    * interleaved column at once.
+    *
+    * Dimensions are rank-normalized to `bitsPer` bits (equi-depth quantile
+    * buckets) before the interleave. Two failure modes force this: raw
+    * interleaving of columns with different ranges degenerates to a
+    * single-column sort (a 19-bit bytes column's high bits outrank ALL of a
+    * 6-bit id's bits), and min-max scaling of skewed data parks most rows
+    * in a few low cells, which un-localizes every mid-range predicate.
+    * Per-column quantile cuts (one `approxQuantile` pass, ≤ 2^bitsPer − 1
+    * driver-side doubles per column) give every bucket equal row mass —
+    * the same idea as Delta's per-column range-id normalization. The
+    * bucket-index lookup is a codegen'd count-of-cuts-below (O(2^bitsPer)
+    * comparisons per row), so keep `bitsPer` small — 8 bits = 256 buckets
+    * far exceeds any realistic file count.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    bitsPer: Int, cols: String*): Unit = {
+    val nb = 1 << bitsPer
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val scaled = cols.map { c =>
+      // distinct-ing the cuts collapses low-cardinality columns to m ≪ 2^bits
+      // buckets; rescale the bucket index back to the full bit range or the
+      // column's top bits would sit permanently at 0 and lose the interleave
+      val cuts = df.stat.approxQuantile(c, probs, 1.0 / (4 * nb)).distinct.sorted
+      val m = math.max(cuts.length, 1)
+      val cnt = size(filter(lit(cuts), x => x <= col(c).cast("double")))
+      floor(cnt.cast("double") * lit((nb - 1).toDouble / m)).cast("long")
+    }
+    df.withColumn("_z", zvalue(bitsPer, scaled: _*))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Linear (single-column sort) rewrite — the baseline layout z-ordering
+    * beats on every non-leading column; used by specs/probes for contrast.
+    */
+  def writeLinear(df: DataFrame, path: String, numFiles: Int, sortCol: String): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** How many of a layout's files hold rows matching `pred` — the count an
+    * engine with per-file column stats must read (skipping is exactly the
+    * complement). Diagnostic for specs and the scale probe.
+    */
+  def filesTouched(spark: org.apache.spark.sql.SparkSession, path: String,
+                   pred: Column): Long =
+    spark.read.parquet(path).filter(pred)
+      .select(input_file_name()).distinct().count()
+}

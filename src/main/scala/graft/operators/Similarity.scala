@@ -36,8 +36,10 @@ object Similarity {
     * no corpus re-join (the previous `max_by` groupBy form cost a corpus-wide
     * shuffle + SortAggregate + an SMJ join to re-attach the embedding).
     * Tie-break: max (cosine, cid) — identical to [[assignStateless]].
+    * Public so cluster-then-pair consumers ([[SemDedup]]) reuse the exact
+    * same quantizer semantics as the ANN family.
     */
-  private def assigned(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  def assigned(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val packed = centroids.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
     corpus.crossJoin(broadcast(packed))
       .withColumn("scored", transform(col("cs"), c =>

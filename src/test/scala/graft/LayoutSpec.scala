@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{HttpLog, Layout}
+
+class LayoutSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val log = HttpLog.view(Tables.events(spark, sfDir))
+
+  test("zvalue interleaves bits exactly (known answers)") {
+    // r=0b101 (5), b=0b011 (3), k=2: r bits at even positions, b at odd
+    // z = r0<<0 | b0<<1 | r1<<2 | b1<<3 | r2<<4 | b2<<5
+    //   = 1 | 2 | 0 | 8 | 16 | 0 = 27
+    val df = spark.range(1).select(
+      Layout.zvalue(3, lit(5L), lit(3L)).as("z"),
+      Layout.zvalue(16, lit(0L), lit(0L)).as("z0"),
+      Layout.zvalue(4, lit(15L), lit(15L)).as("zf"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 27L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == 255L) // full interleave of two nibbles
+  }
+
+  test("zvalue stays inside whole-stage codegen (no UDF barrier)") {
+    val plan = log.select(Layout.zvalue(20, col("resource_id"), col("bytes_sent")))
+      .queryExecution.executedPlan.toString
+    // WholeStageCodegen renders as a `*(n)` prefix in the plan string
+    assert(plan.contains("*(1)"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("z-order layout prunes files on BOTH dimensions; linear only on one") {
+    withTempDir("layout") { dir =>
+      val n = 8
+      val zPath = s"$dir/z"
+      val linPath = s"$dir/lin"
+      Layout.writeZOrdered(log, zPath, n, 8, "resource_id", "bytes_sent")
+      Layout.writeLinear(log, linPath, n, "resource_id")
+
+      val onResource = col("resource_id") === 7
+      val onBytes = col("bytes_sent").between(10000, 60000)
+
+      val zRes = Layout.filesTouched(spark, zPath, onResource)
+      val zBytes = Layout.filesTouched(spark, zPath, onBytes)
+      val linRes = Layout.filesTouched(spark, linPath, onResource)
+      val linBytes = Layout.filesTouched(spark, linPath, onBytes)
+
+      // linear layout: perfect on the sort column, useless on the other
+      assert(linRes <= 2, s"linear should localize resource_id (got $linRes/$n)")
+      assert(linBytes == n, s"linear cannot localize bytes_sent (got $linBytes/$n)")
+      // z-order: strict subset of files on BOTH predicates
+      assert(zRes < n, s"z-order should prune on resource_id (got $zRes/$n)")
+      assert(zBytes < n, s"z-order should prune on bytes_sent (got $zBytes/$n)")
+      // and the rewrite is lossless
+      assert(spark.read.parquet(zPath).count() == log.count())
+    }
+  }
+}
