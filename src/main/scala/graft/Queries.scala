@@ -2344,6 +2344,83 @@ object Queries {
       |            AS INT) AS bins_spanned
       |FROM p""".stripMargin))
 
+  private val e14 = Q(
+    "e14_gopher_rules",
+    // The full Gopher quality-filter ruleset (Rae et al. 2021, table A1) as
+    // one codegen'd projection — each rule a column, plus the conjunction.
+    // One scan, no shuffle: the 100 TB shape of a corpus-wide quality pass.
+    // Word/line splits and every ratio are mirrored operation-for-operation
+    // in the DuckDB oracle; ratios rounded to 4dp on both sides.
+    (s, dir) => {
+      val toks = expr("filter(split(trim(text), '\\\\s+'), x -> x != '')")
+      val lines = expr("filter(split(text, '\\n'), x -> trim(x) != '')")
+      val d = Tables.documents(s, dir)
+        .withColumn("t", toks).withColumn("ls", lines)
+      val wordCnt = size(col("t")).cast("long")
+      val meanLen = expr("aggregate(t, 0L, (a, x) -> a + length(x))")
+        .cast("double") / wordCnt
+      val symbolRatio = size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)"))
+        .cast("double") / wordCnt
+      val bulletRatio = size(expr("filter(ls, x -> x rlike '^\\\\s*[-*]')"))
+        .cast("double") / size(col("ls"))
+      val ellipsisRatio = size(expr("filter(ls, x -> x rlike '\\\\.\\\\.\\\\.$')"))
+        .cast("double") / size(col("ls"))
+      val alphaRatio = size(expr("filter(t, x -> x rlike '[A-Za-z]')"))
+        .cast("double") / wordCnt
+      val stopCnt = size(expr(
+        "filter(t, x -> array_contains(array('the','be','to','of','and','that','have','with'), lower(x)))"))
+        .cast("long")
+      d.select(
+        col("doc_id"),
+        wordCnt.as("word_cnt"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(symbolRatio, 4).as("symbol_ratio"),
+        round(bulletRatio, 4).as("bullet_ratio"),
+        round(ellipsisRatio, 4).as("ellipsis_ratio"),
+        round(alphaRatio, 4).as("alpha_ratio"),
+        stopCnt.as("stop_cnt"),
+        (wordCnt.between(50, 100000) && meanLen.between(3, 10) &&
+          symbolRatio < 0.1 && bulletRatio < 0.9 && ellipsisRatio < 0.3 &&
+          alphaRatio > 0.8 && stopCnt >= 2).cast("int").as("passes"))
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, text,
+      |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                     x -> x <> '') AS t,
+      |         list_filter(string_split(text, chr(10)),
+      |                     x -> trim(x) <> '') AS ls
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS word_cnt,
+      |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+      |      / len(t) AS mean_word_len,
+      |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+      |      / len(t) AS symbol_ratio,
+      |    CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*]')))
+      |      AS DOUBLE) / len(ls) AS bullet_ratio,
+      |    CAST(len(list_filter(ls, x -> regexp_matches(x, '\.\.\.$')))
+      |      AS DOUBLE) / len(ls) AS ellipsis_ratio,
+      |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+      |      AS DOUBLE) / len(t) AS alpha_ratio,
+      |    CAST(len(list_filter(t, x -> lower(x) IN
+      |      ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+      |      AS stop_cnt
+      |  FROM d)
+      |SELECT doc_id, word_cnt,
+      |  round(mean_word_len, 4) AS mean_word_len,
+      |  round(symbol_ratio, 4) AS symbol_ratio,
+      |  round(bullet_ratio, 4) AS bullet_ratio,
+      |  round(ellipsis_ratio, 4) AS ellipsis_ratio,
+      |  round(alpha_ratio, 4) AS alpha_ratio,
+      |  stop_cnt,
+      |  CAST(word_cnt BETWEEN 50 AND 100000
+      |       AND mean_word_len BETWEEN 3 AND 10
+      |       AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+      |       AND ellipsis_ratio < 0.3 AND alpha_ratio > 0.8
+      |       AND stop_cnt >= 2 AS INT) AS passes
+      |FROM m""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -2499,7 +2576,7 @@ object Queries {
     b31, b32, b33, b34, b35,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
     f01, f02,
     g01, g02, g03, g04)
 }
