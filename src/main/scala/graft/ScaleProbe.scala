@@ -92,6 +92,42 @@ object ScaleProbe {
       Files.createFile(Paths.get(s"$out/_done"))
     }
 
+    if (mode == "layout") {
+      // Z-order vs linear layout at scale: write both, then measure (a) how
+      // many files hold rows matching a point/range predicate on EACH
+      // interleaved dimension — the stats-pruning bound — and (b) the warm
+      // filtered-scan time, where parquet row-group min/max pruning turns
+      // the file-locality into real I/O savings.
+      val log = operators.HttpLog.view(Tables.events(spark, out))
+      val nFiles = 64
+      val zPath = s"$out/z_layout"
+      val linPath = s"$out/lin_layout"
+      if (!Files.exists(Paths.get(s"$out/_layout_done"))) {
+        operators.Layout.writeZOrdered(log, zPath, nFiles, 8, "resource_id", "bytes_sent")
+        operators.Layout.writeLinear(log, linPath, nFiles, "resource_id")
+        Files.createFile(Paths.get(s"$out/_layout_done"))
+      }
+      val preds = Seq(
+        "res_point" -> (col("resource_id") === 7),
+        "bytes_tail" -> col("bytes_sent").between(200000, 400000))
+      val parts = for {
+        (pname, pred) <- preds
+        (lname, path) <- Seq("zorder" -> zPath, "linear" -> linPath)
+      } yield {
+        val touched = operators.Layout.filesTouched(spark, path, pred)
+        val scan = spark.read.parquet(path).filter(pred)
+        scan.count() // warm
+        val t0 = System.nanoTime()
+        scan.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        s""""${lname}_$pname":{"files":$touched,"of":$nFiles,"sec":$sec}"""
+      }
+      val rowsL = spark.read.parquet(s"$out/events.parquet").count()
+      println(s"""{"metric":"scale_probe","mode":"layout","rows":$rowsL,"mult":$mult,"queries":{${parts.mkString(",")}}}""")
+      spark.stop()
+      return
+    }
+
     val probes: Seq[(String, () => DataFrame)] =
       if (mode == "sketch") {
         // exact distinct-count vs the KMV sketch at LOW (1.5k users) and

@@ -111,6 +111,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermark dedup evicts expired keys: bounded state, not grow-forever") {
+    // The 100 TB statefulness contract of dropDuplicatesWithinWatermark:
+    // a duplicate inside the watermark is dropped (exactly-once), but once
+    // the watermark passes a key's event time its state is EVICTED, so a
+    // far-late re-delivery is re-admitted. That re-admission is the
+    // observable proof the store is bounded by the watermark window rather
+    // than holding every key ever seen.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StreamLog]
+    val dd = HttpLogPipeline.dedupReplayed(
+      HttpLogPipeline.withEventTimeBounds(ms.toDF(), "1 hour"), Seq("log_id"))
+    val q = dd.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(log(1, 1), log(2, 1))
+      q.processAllAvailable()
+      ms.addData(log(1, 1)) // duplicate within watermark → dropped
+      q.processAllAvailable()
+      ms.addData(log(9, 12)) // advances watermark to 11:10, evicts log 1
+      q.processAllAvailable()
+      ms.addData(log(1, 12)) // far-late re-delivery → state gone → re-admitted
+      q.processAllAvailable()
+      val ids = spark.table("wm_dedup").select("log_id").collect()
+        .map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 1L, 2L, 9L)),
+        s"expected eviction re-admission, got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("kafka-shaped frames decode with dead-letter split and anonymize") {
     // corrupt one payload
     val payloads = encodedPayloads(20)
