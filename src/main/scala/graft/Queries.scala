@@ -2421,6 +2421,86 @@ object Queries {
       |       AND stop_cnt >= 2 AS INT) AS passes
       |FROM m""".stripMargin))
 
+  private val e15 = Q(
+    "e15_training_pipeline",
+    // The end-to-end training-corpus story, composed from proven stages:
+    // clean (length floor → exact dedup → transitive near-dup CC, c10) →
+    // quality gate (the two Gopher rules that discriminate on this corpus:
+    // word floor + stopword floor, e14) → sequence packing (e13). A user of
+    // the engine runs exactly this chain; the oracle is the same chain in
+    // SQL — c10's recursive closure feeding the gopher predicate feeding
+    // the pack prefix sum. Plan shape: the c10 stages dominate; the gate is
+    // a stateless filter and packing adds the two-level cumsum only.
+    (s, dir) => {
+      val cleanedIds = Dedup.cleanCorpusCC(corpus(s, dir), "doc_id", "text")
+        .select("doc_id")
+      val withText = cleanedIds.join(corpus(s, dir), Seq("doc_id"))
+      val toks = expr("filter(split(trim(text), '\\\\s+'), x -> x != '')")
+      val stopCnt = size(expr(
+        "filter(t, x -> array_contains(array('the','be','to','of','and','that','have','with'), lower(x)))"))
+      val quality = withText.withColumn("t", toks)
+        .filter(size(col("t")) >= 50 && stopCnt >= 2)
+      operators.Chunking.pack(
+        quality.select(col("doc_id"), bpeTokenCount.as("tok_count")),
+        "doc_id", "tok_count", seqLen = 512, groupSize = 64)
+    },
+    Some(s"""WITH RECURSIVE $corpusCte,
+      |longe AS (
+      |  SELECT doc_id, text FROM corpus
+      |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5),
+      |exd AS (
+      |  SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      |         count(*) AS exact_copies
+      |  FROM longe GROUP BY 1),
+      |kept AS (
+      |  SELECT keeper_id AS doc_id, fp, exact_copies, text
+      |  FROM exd JOIN longe ON doc_id = keeper_id),
+      |${gramCtes("kept")},
+      |inter AS (
+      |  SELECT id_a, id_b, count(*) AS i FROM pair_inter GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+      |pj AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |nodes AS (SELECT id_a AS id FROM pj UNION SELECT id_b FROM pj),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pj
+      |          UNION ALL SELECT id_b, id_a FROM pj),
+      |reach(id, r) AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |nonreps AS (
+      |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r)),
+      |clean AS (
+      |  SELECT k.doc_id, k.text FROM kept k
+      |  WHERE k.doc_id NOT IN (SELECT doc_id FROM nonreps)),
+      |gated AS (
+      |  SELECT doc_id, text FROM clean
+      |  WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |                        x -> x <> '')) >= 50
+      |    AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |          x -> lower(x) IN ('the','be','to','of','and','that','have','with')))
+      |        >= 2),
+      |t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(text, '$BpeTokenPattern'))
+      |              AS BIGINT) AS tok_count
+      |  FROM gated),
+      |p AS (
+      |  SELECT doc_id, tok_count,
+      |         CAST(COALESCE(SUM(tok_count) OVER (ORDER BY doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |              AS BIGINT) AS start_off
+      |  FROM t WHERE tok_count > 0)
+      |SELECT doc_id, tok_count, start_off,
+      |       start_off // 512 AS bin_first,
+      |       (start_off + tok_count - 1) // 512 AS bin_last,
+      |       CAST((start_off + tok_count - 1) // 512 - start_off // 512 + 1
+      |            AS INT) AS bins_spanned
+      |FROM p""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -2576,7 +2656,7 @@ object Queries {
     b31, b32, b33, b34, b35,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15,
     f01, f02,
     g01, g02, g03, g04)
 }

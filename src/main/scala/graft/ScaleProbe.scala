@@ -160,6 +160,12 @@ object ScaleProbe {
           "c08_contamination" -> (() => Dedup.contamination(
             docs(), docs().filter(col("doc_id") % 17 === 0), "doc_id", "text")),
           "c09_clusters" -> (() => Dedup.nearDupClusters(docs(), "doc_id", "text")),
+          "c12_semdedup" -> (() => {
+            // SemDeDup's own scaling rule: cells grow with the corpus so
+            // per-cell membership (and the within-cell quadratic) stays flat
+            val n = emb().count()
+            operators.SemDedup.removed(emb(), nCells = math.max(16, (n / 500).toInt))
+          }),
           "d02_lsh_ann_50q" -> (() =>
             Similarity.lshTopK(emb(), queries(), 10, multiProbe = true)),
           "d03_ivf_ann_50q" -> (() => Similarity.ivfTopK(emb(), queries(), 10)),
