@@ -2501,6 +2501,49 @@ object Queries {
       |            AS INT) AS bins_spanned
       |FROM p""".stripMargin))
 
+  private val e16 = Q(
+    "e16_budget_select",
+    // Token-budget data selection: admit docs in quality-rank order until
+    // the budget is spent (the "keep the best N tokens" pipeline step).
+    // Quality is e02's rounded score (rounding on BOTH sides pins the rank
+    // order exactly); the rank-order cumsum is two-level per Selection's
+    // value-range bucketing — never a corpus-wide single-partition window.
+    (s, dir) => {
+      val chars = length(col("text"))
+      val toks = size(split(trim(col("text")), "\\s+"))
+      val punct = size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+      val stops = size(expr(
+        "regexp_extract_all(text, '\\\\b(the|a|and|of|to|in|is|it|for|on)\\\\b', 0)"))
+      val punctRatio = punct.cast("double") / chars
+      val stopRatio = stops.cast("double") / toks
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(
+          least(toks.cast("double") / 100.0, lit(1.0)) * 0.3 +
+            (lit(1.0) - punctRatio) * 0.3 +
+            least(stopRatio * 4.0, lit(1.0)) * 0.4, 4).as("quality"),
+        bpeTokenCount.cast("long").as("tok_count"))
+      operators.Selection.budgetSelect(
+        scored, "doc_id", "quality", "tok_count", budget = 20000L)
+    },
+    Some(s"""WITH q AS (
+      |  SELECT doc_id,
+      |    round(
+      |      least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+      |      (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text)) * 0.3 +
+      |      least(CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is|it|for|on)\\b')) AS DOUBLE)
+      |            / len(regexp_split_to_array(trim(text), '\\s+')) * 4.0, 1.0) * 0.4, 4) AS quality,
+      |    CAST(len(regexp_extract_all(text, '$BpeTokenPattern')) AS BIGINT) AS tok_count
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, quality, tok_count,
+      |         CAST(SUM(tok_count) OVER (ORDER BY quality DESC, doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS cum_tokens
+      |  FROM q WHERE tok_count > 0)
+      |SELECT doc_id, quality, tok_count, cum_tokens
+      |FROM p WHERE cum_tokens <= 20000""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -2656,7 +2699,7 @@ object Queries {
     b31, b32, b33, b34, b35,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
     f01, f02,
     g01, g02, g03, g04)
 }
