@@ -28,7 +28,13 @@ object Bench {
     // runs and keep the min — one slow run from CI-machine contention (GC,
     // other tenants) otherwise dominates the reported number. A failing query
     // reports -1, never a flattering near-zero timing.
+    // Every timed run starts from a CLEARED cache: operators that persist
+    // intermediates (the dedup family) would otherwise be served the warm
+    // run's blocks via canonical-plan cache matching and the "timing" would
+    // measure a cache read, not the computation. In-run persists still count
+    // — they're part of the operator's real cost.
     def timed(q: Q): Double = {
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       if (run(q)) (System.nanoTime() - t0) / 1e9 else -1.0
     }

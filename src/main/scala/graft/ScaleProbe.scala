@@ -185,6 +185,11 @@ object ScaleProbe {
     val results = probes.map { case (name, mk) =>
       def run(): Unit = mk().write.format("noop").mode("overwrite").save()
       run() // warm
+      // cleared cache before the timed run — same reasoning as Bench: the
+      // dedup operators persist intermediates, and canonical-plan cache
+      // matching would otherwise serve the warm run's blocks to the timed
+      // run, reporting a cache read as the operator's scale behavior
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       run()
       name -> (System.nanoTime() - t0) / 1e9

@@ -92,6 +92,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
     val cand = bandJoinCandidates(banded)
+    // The attach joins below deliberately shuffle the full sig frame rather
+    // than semi-join-pruning it to candidate ids first: on candidate-dense
+    // corpora the prune buys nothing (most ids are candidates) while adding
+    // a distinct + an extra sort/shuffle of the array payloads — measured
+    // 4× SLOWER at the 100× probe — and letting AQE broadcast the "pruned"
+    // arrays OOMs (its size estimate is compressed bytes; the deserialized
+    // arrays are many× larger).
     val sh = sigs.select(col("id"), col("sh"))
     // verification by sorted merge over the ascending shingle arrays
     // (wordShingles emits them sorted): i / (|A| + |B| − i) — no per-pair
@@ -179,7 +186,12 @@ object Dedup {
     //   Σ min(w_a,w_b) = Σ_{g∈A∩B} w(g)          (one merge pass, A's weights)
     //   Σ max(w_a,w_b) = tot_a + tot_b − Σ_{g∈A∩B} w(g)
     // — the B side carries no weight array at all.
-    val pairs = bandJoinCandidates(banded)
+    val cand = bandJoinCandidates(banded)
+    // full-frame attach joins, NOT a candidate-id semi-join prune — see the
+    // equivalent comment in minhashPairs (the prune measured 2-4× slower at
+    // the 100× probe on this candidate-dense corpus, and AQE-broadcast of
+    // the "pruned" arrays OOMs)
+    val pairs = cand
       .join(packed.select(col("id"), col("shs").as("sha"), col("ws").as("wsa"),
           col("tot").as("tot_a")),
         col("id_a") === col("id"))

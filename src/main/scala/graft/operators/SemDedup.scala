@@ -39,19 +39,31 @@ object SemDedup {
   def removed(corpus: DataFrame, nCells: Int = 16, tau: Double = 0.9,
               refineIters: Int = 1, maxCell: Int = 100000): DataFrame = {
     val centroids = Similarity.ivfCentroids(corpus, nCells, refineIters)
+    // persist the guarded assignment: it feeds BOTH self-join sides (and the
+    // hot-cell count), and without the cache each branch re-runs the Lloyd
+    // refinement aggregation AND the corpus scan+argmax — 3-4 corpus passes
+    // where one suffices (visible as four copies of the centroid subtree in
+    // the unpersisted physical plan). Same materialize-then-release
+    // lifecycle as Dedup.materializedPairs: the tiny verified output is
+    // cached, counted, and the big input cache dropped before returning.
     val cells0 = Similarity.assigned(corpus, centroids)
       .select(col("cell"), col("vec_id"), col("embedding"))
     val hot = cells0.groupBy("cell").count()
       .filter(col("count") > maxCell).select("cell")
     val cells = cells0.join(broadcast(hot), Seq("cell"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lo = cells.select(col("cell"), col("vec_id").as("kept_id"),
       col("embedding").as("kv"))
     val hi = cells.select(col("cell"), col("vec_id").as("removed"),
       col("embedding").as("rv"))
-    hi.join(lo, Seq("cell"))
+    val out = hi.join(lo, Seq("cell"))
       .filter(col("kept_id") < col("removed"))
       .filter(vec_cosine(col("rv"), col("kv")) >= tau)
       .groupBy("removed").agg(min("kept_id").as("kept"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cells.unpersist(blocking = false)
+    out
   }
 
   /** The deduplicated corpus: `corpus` minus [[removed]] ids (broadcast
