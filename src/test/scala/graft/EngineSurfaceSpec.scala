@@ -75,6 +75,16 @@ class EngineSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(r.map(_.getString(1)).toSeq == Seq("new", "only"))
   }
 
+  test("e14 gopher rules is one scan with zero exchanges") {
+    // the corpus-wide quality pass must stay a stateless projection: a
+    // shuffle or extra scan creeping in (e.g. a rule rewritten through an
+    // aggregate) multiplies the cost of the cheapest whole-corpus operator
+    val df = Queries.all.find(_.name == "e14_gopher_rules").get.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in e14:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"expected one scan:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the 100 TB shuffle-volume lever: a selective dim filter is turned into
     // a bloom `might_contain` applied to the fact side BEFORE its shuffle
