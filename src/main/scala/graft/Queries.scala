@@ -1581,6 +1581,24 @@ object Queries {
     (s, dir) => Dedup.simhashPairs(corpus(s, dir), "doc_id", "text"),
     None)
 
+  private val c13 = Q(
+    "c13_simhash_planted_pairs",
+    // The known-answer core of c03 (the d05 twin-rank pattern): identical
+    // texts hash to identical simhashes, so every planted exact copy MUST
+    // pair with its source at hamming 0 — a missing pair reddens the gate.
+    // The full hamming-0 slice is deliberately NOT the query: simhash is a
+    // tf-weighted vote over the unigram bag, and distinct bags can
+    // legitimately tie every bit (6 such pairs exist at sf0.01, and one
+    // NEAR-copy plant's 3 extra marker tokens flip no vote), which no SQL
+    // mirror can reproduce — hence the restriction to the exact plants,
+    // where hamming 0 is a hard guarantee.
+    (s, dir) => Dedup.simhashPairs(corpus(s, dir), "doc_id", "text")
+      .filter(col("hamming") === 0 && col("id_b") === col("id_a") + 100000 &&
+        col("id_a") % 20 === 0),
+    Some("""SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+      |       CAST(0 AS INT) AS hamming
+      |FROM documents WHERE doc_id % 20 = 0""".stripMargin))
+
   private val c04 = Q(
     "c04_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(corpus(s, dir), "doc_id", "text", "source"),
@@ -2697,7 +2715,7 @@ object Queries {
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
     f01, f02,
