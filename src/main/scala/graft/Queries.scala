@@ -1599,6 +1599,44 @@ object Queries {
       |       CAST(0 AS INT) AS hamming
       |FROM documents WHERE doc_id % 20 = 0""".stripMargin))
 
+  private val c14 = Q(
+    "c14_exact_dedup_keep_best",
+    // c01 with the RefinedWeb-style keeper policy: among exact copies keep
+    // the highest-quality one (e02's score; id DESC tie-break = newest
+    // crawl wins). One hash-aggregation, fixed-width max(struct) buffer —
+    // never SortAggregate.
+    (s, dir) => {
+      val chars = length(col("text"))
+      val toks = size(split(trim(col("text")), "\\s+"))
+      val punct = size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+      val stops = size(expr(
+        "regexp_extract_all(text, '\\\\b(the|a|and|of|to|in|is|it|for|on)\\\\b', 0)"))
+      val quality = round(
+        least(toks.cast("double") / 100.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - punct.cast("double") / chars) * 0.3 +
+          least(stops.cast("double") / toks * 4.0, lit(1.0)) * 0.4, 4)
+      Dedup.exactKeepBest(
+        corpus(s, dir).withColumn("q", quality), "doc_id", "text", "q")
+    },
+    Some(s"""WITH $corpusCte,
+      |q AS (
+      |  SELECT doc_id, text,
+      |    round(
+      |      least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+      |      (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text)) * 0.3 +
+      |      least(CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is|it|for|on)\\b')) AS DOUBLE)
+      |            / len(regexp_split_to_array(trim(text), '\\s+')) * 4.0, 1.0) * 0.4, 4) AS q
+      |  FROM corpus),
+      |r AS (
+      |  SELECT md5(text) AS fp, doc_id, q,
+      |         row_number() OVER (PARTITION BY md5(text)
+      |                            ORDER BY q DESC, doc_id DESC) AS rn,
+      |         count(*) OVER (PARTITION BY md5(text)) AS n
+      |  FROM q)
+      |SELECT fp, doc_id AS keeper_id, q AS keeper_score,
+      |       CAST(n AS BIGINT) AS n_copies
+      |FROM r WHERE rn = 1""".stripMargin))
+
   private val c04 = Q(
     "c04_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(corpus(s, dir), "doc_id", "text", "source"),
@@ -2715,7 +2753,7 @@ object Queries {
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
     f01, f02,

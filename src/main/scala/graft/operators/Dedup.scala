@@ -47,6 +47,23 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup keeping the copy that maximizes `scoreCol` (id as the
+    * deterministic tie-break) — the RefinedWeb-style policy of keeping the
+    * best-quality/longest representative instead of the first-seen one.
+    * Same single hash-aggregation shape as [[exact]]: `max(struct)` with the
+    * score leading combines map-side and never demotes to SortAggregate
+    * (fixed-width buffer).
+    */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+                    scoreCol: String): DataFrame =
+    df.withColumn("fp", md5(col(textCol).cast("binary")))
+      .groupBy("fp")
+      .agg(
+        max(struct(col(scoreCol).as("s"), col(idCol).as("id"))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("fp"), col("best.id").as("keeper_id"),
+        col("best.s").as("keeper_score"), col("n_copies"))
+
   /** Materialize the (tiny) verified-pair frame into its own cache, then
     * release the operator's internal caches. Without this, every invocation
     * leaks a MEMORY_AND_DISK cache into the session — in a long-lived service

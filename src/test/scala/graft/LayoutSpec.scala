@@ -31,6 +31,19 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("zvalue is a bijection on its declared bit range") {
+    // distinct (x, y) within bitsPer bits must give distinct z — the
+    // interleave loses nothing, so range partitioning on z is a total order
+    // over the key space
+    val n = 20000
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % (1L << 20)).as("x"),
+      (col("id") * 40503L % (1L << 20)).as("y"))
+    val pairs = df.distinct()
+    val z = pairs.select(Layout.zvalue(20, col("x"), col("y")).as("z"))
+    assert(z.distinct().count() == pairs.count())
+  }
+
   test("z-order layout prunes files on BOTH dimensions; linear only on one") {
     withTempDir("layout") { dir =>
       val n = 8
