@@ -1498,6 +1498,39 @@ object Queries {
       |       CAST(floor(10000 * nation_rev / total_rev) AS BIGINT) AS share_e4
       |FROM yr""".stripMargin))
 
+  private val b36 = Q(
+    "b36_window_analytics",
+    // The analytic-window surface in one query: lag/lead, running sum,
+    // sliding avg, ntile, cume_dist — per-user partitions ordered by
+    // (ts, event_id) (event_id makes the order total, so frames are
+    // deterministic). Partition-parallel: one Exchange on user_id, one
+    // in-partition sort shared by every function.
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSlide = w.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(
+          col("event_id"), col("user_id"),
+          lag("event_id", 1).over(w).as("prev_event"),
+          lead("event_id", 1).over(w).as("next_event"),
+          round(sum("value").over(wRows), 4).as("running_value"),
+          round(avg("value").over(wSlide), 4).as("sliding_avg3"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 4).as("cd"))
+    },
+    Some("""SELECT event_id, user_id,
+      |  lag(event_id, 1) OVER w AS prev_event,
+      |  lead(event_id, 1) OVER w AS next_event,
+      |  round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+      |  round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg3,
+      |  ntile(4) OVER w AS quartile,
+      |  round(cume_dist() OVER w, 4) AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -2752,7 +2785,7 @@ object Queries {
     a16, a17,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
-    b31, b32, b33, b34, b35,
+    b31, b32, b33, b34, b35, b36,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
