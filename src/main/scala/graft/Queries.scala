@@ -313,6 +313,42 @@ object Queries {
       |FROM sess GROUP BY 1, 2""".stripMargin),
     bench = true)
 
+  private val a18 = Q(
+    "a18_session_window",
+    // a09's semantics through Spark's BUILT-IN session_window operator
+    // (MergingSessionsExec machinery — sessions merge during aggregation,
+    // no lag/cumsum window pass). Boundary nuance mirrored in the oracle:
+    // session end = last event + gap, and an event at exactly the end
+    // starts a NEW session (a09's manual rule keeps strictly-greater gaps
+    // together). Emitted as unix micros — events.ts is µs-aligned
+    // (verified: no sub-µs bits), so both engines see identical integers.
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+        .select(col("user_id"),
+          expr("unix_micros(sw.start)").as("sess_start_us"),
+          expr("unix_micros(sw.end)").as("sess_end_us"),
+          col("n_events"), col("total_value")),
+    Some("""WITH marked AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+      |              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+      |              ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      |sess AS (
+      |  SELECT user_id, ts_us, value,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |       min(ts_us) AS sess_start_us,
+      |       max(ts_us) + 1800000000 AS sess_end_us,
+      |       count(*) AS n_events,
+      |       round(sum(value), 4) AS total_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin))
+
   private val a10 = Q(
     "a10_dead_letter",
     (s, dir) => {
@@ -2782,7 +2818,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15,
-    a16, a17,
+    a16, a17, a18,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36,
