@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog, KeepLatest}
+import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog, KeepLatest, NfcNormalize}
 
 /** SQL-surface registration of the engine's native expressions, so
   * `spark.sql("SELECT anonymize_ip(addr) ...")` works. Idempotent; usable on
@@ -19,6 +19,7 @@ object GraftFunctions {
     "anonymize_ip"           -> ((es: Seq[Expression]) => AnonymizeIp(es.head)),
     "capnp_encode_http_log"  -> ((es: Seq[Expression]) => CapnpEncodeHttpLog(es)),
     "capnp_decode_http_log"  -> ((es: Seq[Expression]) => CapnpDecodeHttpLog(es.head)),
+    "nfc_normalize"          -> ((es: Seq[Expression]) => NfcNormalize(es.head)),
     // the analyzer wraps a bare AggregateFunction in AggregateExpression
     "keep_latest"            -> ((es: Seq[Expression]) => KeepLatest(es(0), es(1))))
 

@@ -2669,6 +2669,32 @@ object Queries {
       |SELECT doc_id, quality, tok_count, cum_tokens
       |FROM p WHERE cum_tokens <= 20000""".stripMargin))
 
+  private val e17 = Q(
+    "e17_nfc_normalize",
+    // Unicode NFC composition as a native codegen'd expression — the
+    // pipeline step that makes visually-identical decomposed/composed text
+    // byte-identical BEFORE hashing/dedup. The corpus is ASCII, so each doc
+    // gains a planted decomposed suffix ('cafe' + U+0301, 'n' + U+0303);
+    // NFC must compose both (é, ñ), shortening the string by exactly 2
+    // chars, and a second application must be a fixed point.
+    (s, dir) => {
+      val planted = concat(col("text"), lit(" cafe\u0301 n\u0303"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.nfc_normalize(planted).as("nfc_text"),
+        length(planted).as("len_raw"),
+        length(graft.functions.nfc_normalize(planted)).as("len_nfc"),
+        (graft.functions.nfc_normalize(graft.functions.nfc_normalize(planted)) ===
+          graft.functions.nfc_normalize(planted)).cast("int").as("idempotent"))
+    },
+    Some("""SELECT doc_id,
+      |  nfc_normalize(text || ' cafe' || chr(769) || ' n' || chr(771)) AS nfc_text,
+      |  CAST(length(text || ' cafe' || chr(769) || ' n' || chr(771)) AS INT) AS len_raw,
+      |  CAST(length(nfc_normalize(text || ' cafe' || chr(769) || ' n' || chr(771))) AS INT) AS len_nfc,
+      |  CAST(nfc_normalize(nfc_normalize(text || ' cafe' || chr(769) || ' n' || chr(771))) =
+      |       nfc_normalize(text || ' cafe' || chr(769) || ' n' || chr(771)) AS INT) AS idempotent
+      |FROM documents""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -2824,7 +2850,7 @@ object Queries {
     b31, b32, b33, b34, b35, b36,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16,
+    e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     f01, f02,
     g01, g02, g03, g04)
 }

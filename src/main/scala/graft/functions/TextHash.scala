@@ -217,6 +217,17 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Unicode NFC canonical composition. ASCII (and already-composed) input
+    * returns the SAME UTF8String — `Normalizer.isNormalized` is a cheap
+    * scan, so the common case allocates nothing.
+    */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** 64-bit SimHash over unigram token hashes. Votes iterate tokens with
     * repetition, so bits are implicitly term-frequency weighted (Charikar's
     * weighted form with w = tf).

@@ -67,6 +67,9 @@ package object functions {
   /** 64-bit SimHash of unigram tokens. */
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
 
+  /** Unicode NFC canonical composition (allocation-free on composed input). */
+  def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
+
   /** Winnowing fingerprint hashes (distinct, sorted). */
   def winnow(c: Column, k: Int = 8, w: Int = 4): Column = column(Winnow(expression(c), k, w))
 

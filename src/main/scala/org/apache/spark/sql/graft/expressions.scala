@@ -374,6 +374,25 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `nfc_normalize(text)` — Unicode NFC canonical composition (the standard
+  * first step of a text-cleaning pipeline: visually-identical strings with
+  * decomposed combining marks re-compose to one byte sequence, so dedup and
+  * fingerprinting see them as equal).
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHash.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** `winnow(text, k, w)` — winnowing fingerprint hashes (distinct, sorted). */
 case class Winnow(child: Expression, k: Int, w: Int)
     extends UnaryExpression with ImplicitCastInputTypes {

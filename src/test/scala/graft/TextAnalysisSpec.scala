@@ -9,6 +9,16 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   private def u(s: String) = UTF8String.fromString(s)
 
+  test("nfc composes decomposed marks, is idempotent, and is identity on ASCII") {
+    val decomposed = u("cafe\u0301 n\u0303")
+    val composed = TextHash.nfc(decomposed)
+    assert(composed.toString == "caf\u00e9 \u00f1")
+    assert(composed.numChars() == decomposed.numChars() - 2)
+    assert(TextHash.nfc(composed) eq composed) // fixed point, no realloc
+    val ascii = u("plain ascii text")
+    assert(TextHash.nfc(ascii) eq ascii) // fast path returns the same object
+  }
+
   test("langId identifies stopword profiles and CJK") {
     assert(TextHash.langId(u("the cat sat on the mat and it is warm")).toString == "en")
     assert(TextHash.langId(u("der hund ist nicht mit der katze und den andern")).toString == "de")
