@@ -207,6 +207,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("remote_addr").collect().forall(_.getString(0).endsWith(".x")))
   }
 
+  test("built-in session_window: streaming sessions equal the batch operator") {
+    // the streaming half of a18: session_window under a watermark emits a
+    // session once the watermark passes its end; with the watermark advanced
+    // past every session, the streamed output must equal the batch
+    // session_window over the same rows
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 10.0),
+      (1L, Timestamp.valueOf("2024-01-01 01:10:00"), 5.0), // same session
+      (1L, Timestamp.valueOf("2024-01-01 02:30:00"), 7.0), // gap > 30m → new
+      (2L, Timestamp.valueOf("2024-01-01 01:05:00"), 1.0))
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("user_id"), expr("unix_micros(sw.start)").as("s"),
+        expr("unix_micros(sw.end)").as("e"), col("n"), col("total"))
+    val batch = sessions(rows.toDF("user_id", "ts", "value"))
+      .collect().map(_.toSeq).toSet
+
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val streamed = sessions(
+      ms.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "10 minutes"))
+    val q = streamed.writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.map(r => (r._1, r._2, r._3)): _*)
+      q.processAllAvailable()
+      // watermark closes every session: far-future heartbeat, then its own
+      // session is the only one still open
+      ms.addData((9L, Timestamp.valueOf("2024-01-01 09:00:00"), 0.0))
+      q.processAllAvailable()
+      ms.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sw_sessions")
+        .filter(col("user_id") < 9).collect().map(_.toSeq).toSet
+      assert(got == batch, s"streamed $got\nbatch $batch")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
