@@ -2717,6 +2717,36 @@ object Queries {
         "doc_id", "payload").toDF(),
     None)
 
+  private val f03 = Q(
+    "f03_pgm_decode",
+    // REAL binary image decode (PGM P5 — pure bytes, no codec library),
+    // not the f02 stub: payloads are synthesized per doc with closed-form
+    // dimensions/pixels, the executor-side parser reads the actual header
+    // and pixel plane, and the oracle computes the same statistics
+    // ANALYTICALLY — a mis-parsed byte cannot hash-match.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      import s.implicits._
+      val withPayload = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, operators.Multimodal.syntheticPgm(id)))
+        .toDF("doc_id", "payload")
+      operators.Multimodal.extractPgm(s, withPayload, "doc_id", "payload")
+        .toDF()
+        .withColumn("mean_gray", round(col("mean_gray"), 4))
+    },
+    // max pixel count is 16*14 = 224, so a bounded series + filter replaces
+    // the (unsupported) correlated generate_series
+    Some("""WITH px AS (
+      |  SELECT d.doc_id, s.i
+      |  FROM documents d, generate_series(0, 223) s(i)
+      |  WHERE s.i < (8 + d.doc_id % 9) * (8 + d.doc_id % 7))
+      |SELECT doc_id,
+      |  CAST(8 + doc_id % 9 AS INT) AS width,
+      |  CAST(8 + doc_id % 7 AS INT) AS height,
+      |  CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS INT) AS n_pixels,
+      |  round(avg(CAST((doc_id * 31 + i * 7) % 256 AS DOUBLE)), 4) AS mean_gray
+      |FROM px GROUP BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- group G
 
   private val g01 = Q(
@@ -2851,6 +2881,6 @@ object Queries {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-    f01, f02,
+    f01, f02, f03,
     g01, g02, g03, g04)
 }

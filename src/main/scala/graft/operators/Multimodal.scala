@@ -54,4 +54,75 @@ object Multimodal {
       .as[MMRecord]
       .mapPartitions { it => it.map(stubDecode) }
   }
+
+  // -------------------------------------------------------------- real PGM
+
+  /** Decoded grayscale image features (REAL decode, not the stub). */
+  case class PgmFeatures(doc_id: Long, width: Int, height: Int,
+                         n_pixels: Int, mean_gray: Double)
+
+  /** A REAL binary image decoder — PGM "P5" (binary grayscale), a pure
+    * bytes-on-the-wire format needing no codec library: magic, ASCII
+    * dimensions and maxval, one whitespace, then `w*h` raw pixel bytes.
+    * Returns None on any malformed payload (dead-letter, never throw — the
+    * same poisoned-message discipline as the capnp decoder). This is the
+    * existence proof that [[stubDecode]]'s seam takes a real decoder: only
+    * formats needing external codecs (JPEG/PNG/audio) stay stubbed in this
+    * container.
+    */
+  def decodePgm(docId: Long, b: Array[Byte]): Option[PgmFeatures] = {
+    var i = 0
+    def skipWs(): Unit = {
+      while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = -1
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    if (b.length < 2 || b(0) != 'P' || b(1) != '5') return None
+    i = 2
+    val w = readInt(); val h = readInt(); val maxVal = readInt()
+    if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return None
+    i += 1 // exactly one whitespace after maxval, then raw bytes
+    val n = w * h
+    if (i + n > b.length) return None
+    var sum = 0L
+    var p = 0
+    while (p < n) { sum += (b(i + p) & 0xff); p += 1 }
+    Some(PgmFeatures(docId, w, h, n, sum.toDouble / n))
+  }
+
+  /** Deterministic synthetic PGM payload: dimensions and every pixel are
+    * closed-form functions of the id, so an oracle can compute the decoded
+    * statistics analytically WITHOUT parsing — if the parser mis-reads the
+    * header or pixel plane, the values cannot match.
+    */
+  def syntheticPgm(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = 0
+    while (p < w * h) {
+      out(header.length + p) = ((docId * 31 + p.toLong * 7) % 256).toByte
+      p += 1
+    }
+    out
+  }
+
+  /** Real decode over a payload column; malformed rows are dropped
+    * (dead-letter semantics), well-formed rows yield exact pixel stats.
+    */
+  def extractPgm(spark: SparkSession, df: DataFrame,
+                 idCol: String, payloadCol: String): Dataset[PgmFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+      .mapPartitions(_.flatMap(r => decodePgm(r.doc_id, r.payload)))
+  }
 }

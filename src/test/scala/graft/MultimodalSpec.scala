@@ -22,6 +22,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(feats.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
   }
 
+  test("real PGM decoder: known-answer roundtrip, malformed payloads dead-letter") {
+    // hand-built 2x2 P5 image, pixels 10,20,30,40 → mean 25.0
+    val img = "P5\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40)
+    val f = Multimodal.decodePgm(7L, img).get
+    assert(f.width == 2 && f.height == 2 && f.n_pixels == 4 && f.mean_gray == 25.0)
+    // synthetic generator roundtrips through the real parser
+    val s = Multimodal.decodePgm(42L, Multimodal.syntheticPgm(42L)).get
+    assert(s.width == (8 + 42 % 9) && s.height == (8 + 42 % 7))
+    // malformed: wrong magic, truncated pixel plane, junk — dropped, no throw
+    assert(Multimodal.decodePgm(1L, "P6\n2 2\n255\nxxxx".getBytes).isEmpty)
+    assert(Multimodal.decodePgm(1L, "P5\n9 9\n255\nxx".getBytes).isEmpty)
+    assert(Multimodal.decodePgm(1L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodePgm(1L, Array.emptyByteArray).isEmpty)
+  }
+
   test("stub decode is a pure function of the payload") {
     val a = Multimodal.stubDecode(Multimodal.MMRecord(1L, "hello world".getBytes("UTF-8")))
     val b = Multimodal.stubDecode(Multimodal.MMRecord(1L, "hello world".getBytes("UTF-8")))
