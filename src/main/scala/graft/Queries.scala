@@ -1672,8 +1672,9 @@ object Queries {
     "c14_exact_dedup_keep_best",
     // c01 with the RefinedWeb-style keeper policy: among exact copies keep
     // the highest-quality one (e02's score; id DESC tie-break = newest
-    // crawl wins). One hash-aggregation, fixed-width max(struct) buffer —
-    // never SortAggregate.
+    // crawl wins). One shuffle via keep_latest (ObjectHashAggregate) with
+    // the (score, id) order packed into a long — max(struct) would demote
+    // to SortAggregate on both sides (struct agg buffers aren't hash-able).
     (s, dir) => {
       val chars = length(col("text"))
       val toks = size(split(trim(col("text")), "\\s+"))

@@ -50,16 +50,25 @@ object Dedup {
   /** Exact dedup keeping the copy that maximizes `scoreCol` (id as the
     * deterministic tie-break) — the RefinedWeb-style policy of keeping the
     * best-quality/longest representative instead of the first-seen one.
-    * Same single hash-aggregation shape as [[exact]]: `max(struct)` with the
-    * score leading combines map-side and never demotes to SortAggregate
-    * (fixed-width buffer).
+    * Same single-shuffle aggregation shape as [[exact]], but `max(struct)`
+    * carries a struct aggregation buffer, which HashAggregate's fixed-width
+    * UnsafeRow map cannot hold — Catalyst demotes it to SortAggregate on both
+    * sides (the a03 pathology; the 100× probe measured that at 2.4× the
+    * hash-agg sibling). Instead the (score, id) order is PACKED into one long
+    * — `round(score·10⁴) << 48 | id` — and fed to the native `keep_latest`
+    * TypedImperativeAggregate, which plans as ObjectHashAggregate with
+    * map-side combine and carries the exact (score, id) payload unrounded.
+    * Packing contract: score ∈ [0,1] (quality scores are), 1e-4 order
+    * resolution (callers already round scores to 4 dp), ids < 2^48.
     */
   def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
                     scoreCol: String): DataFrame =
     df.withColumn("fp", md5(col(textCol).cast("binary")))
       .groupBy("fp")
       .agg(
-        max(struct(col(scoreCol).as("s"), col(idCol).as("id"))).as("best"),
+        graft.functions.keep_latest(
+          shiftleft(round(col(scoreCol) * 10000).cast("long"), 48) + col(idCol),
+          struct(col(scoreCol).as("s"), col(idCol).cast("long").as("id"))).as("best"),
         count(lit(1)).as("n_copies"))
       .select(col("fp"), col("best.id").as("keeper_id"),
         col("best.s").as("keeper_score"), col("n_copies"))

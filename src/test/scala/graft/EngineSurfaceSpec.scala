@@ -75,6 +75,25 @@ class EngineSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(r.map(_.getString(1)).toSeq == Seq("new", "only"))
   }
 
+  test("c14 keep-best dedup plans hash-based — no SortAggregate demotion") {
+    // same guard as a03 for the keeper-policy variant: the (score, id) order
+    // is packed into keep_latest's long version — max(struct) would carry a
+    // struct buffer and demote to SortAggregate on both sides
+    val df = Queries.all.find(_.name == "c14_exact_dedup_keep_best").get.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"SortAggregate demotion in:\n$plan")
+    // keeper policy on a planted frame: best score wins, id DESC breaks ties
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", 0.2), (2L, "same text", 0.9), (3L, "same text", 0.9),
+      (4L, "other", 0.5)).toDF("doc_id", "text", "q")
+    val kept = operators.Dedup.exactKeepBest(docs, "doc_id", "text", "q")
+      .select("keeper_id", "keeper_score", "n_copies")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(kept == Set((3L, 0.9, 3L), (4L, 0.5, 1L)))
+  }
+
   test("e14 gopher rules is one scan with zero exchanges") {
     // the corpus-wide quality pass must stay a stateless projection: a
     // shuffle or extra scan creeping in (e.g. a rule rewritten through an
