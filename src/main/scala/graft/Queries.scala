@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, HttpLog, Multimodal, SemDedup, Similarity, Skew}
+import graft.operators.{Dedup, HttpLog, Multimodal, SemDedup, Similarity, Skew, TextLm}
 
 /** One registered query of the engine.
   *
@@ -2696,6 +2696,27 @@ object Queries {
       |       nfc_normalize(text || ' cafe' || chr(769) || ' n' || chr(771)) AS INT) AS idempotent
       |FROM documents""".stripMargin))
 
+  private val e18 = Q(
+    "e18_lm_perplexity",
+    // CCNet-style LM quality gate (Wenzek et al. 2020; LLaMA's pipeline):
+    // score each document by the cross-entropy of its tokens under a unigram
+    // LM trained on the corpus itself — high perplexity = word salad / OCR
+    // noise, the classic "keep the head of the LM-score distribution"
+    // filter. Scale notes on operators.TextLm.
+    (s, dir) => TextLm.lmScore(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+      |       WHERE length(term) > 0 GROUP BY 1, 2),
+      |lm AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM lm)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  round(-sum(tf * ln(cnt / tot.tot)) / sum(tf), 4) AS cross_entropy,
+      |  round(exp(-sum(tf * ln(cnt / tot.tot)) / sum(tf)), 2) AS ppl
+      |FROM tf JOIN lm USING (term) CROSS JOIN tot
+      |GROUP BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -2882,6 +2903,7 @@ object Queries {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
+    e18,
     f01, f02, f03,
     g01, g02, g03, g04)
 }

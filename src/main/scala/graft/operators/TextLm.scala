@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained language-model quality scoring (SURVEY.md §2 e18).
+  *
+  * The CCNet recipe (Wenzek et al. 2020, arXiv:1911.00359) — also LLaMA's
+  * data pipeline — gates web text on the perplexity of a language model:
+  * fluent prose scores low, OCR noise and word salad score high, and the
+  * corpus keeps the head (or middle) of the score distribution. The
+  * reference implementation uses a pretrained KenLM; with no model artifacts
+  * in this environment the LM is trained on the corpus itself (a standard
+  * self-perplexity variant — boilerplate and salad still separate cleanly
+  * because they sit in the tails of the corpus's own token distribution).
+  *
+  * Scale shape (100 TB): per-(doc, term) counts aggregate map-side BEFORE
+  * the LM join, so the join input is distinct terms per doc, not every
+  * occurrence. The LM table is |vocab| rows — Zipf-bounded ≪ corpus — so
+  * AQE converts the term join to broadcast at runtime when it fits and
+  * skew-splits the hot-term tail otherwise. The 1-row token total rides a
+  * broadcast cross join, never a collect.
+  */
+object TextLm {
+
+  /** Per-document unigram cross-entropy and perplexity.
+    *
+    * Output: (idCol, n_tokens, cross_entropy, ppl) — cross_entropy =
+    * −Σ tf·ln p(term) / Σ tf with p = corpus unigram MLE (every scored term
+    * is in-vocabulary by construction, so no smoothing term is needed),
+    * rounded to 4 dp; ppl = exp(cross_entropy) rounded to 2 dp. Token-less
+    * documents have no tokens to score and are absent from the output.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val lm = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val tot = lm.agg(sum("cnt").cast("double").as("tot"))
+    val ce = -sum(col("tf") * log(col("cnt").cast("double") / col("tot"))) /
+      sum(col("tf"))
+    tf.join(lm, "term").crossJoin(broadcast(tot))
+      .groupBy(idCol)
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        round(ce, 4).as("cross_entropy"),
+        round(exp(ce), 2).as("ppl"))
+  }
+}

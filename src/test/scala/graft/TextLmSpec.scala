@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the CCNet-style LM quality gate (e18): the DuckDB
+  * hash-compare proves the arithmetic; these prove the scores MEAN what the
+  * filter needs them to mean.
+  */
+class TextLmSpec extends AnyFunSuite with SparkTestBase {
+
+  test("word salad scores higher cross-entropy than formulaic text") {
+    import spark.implicits._
+    // 8 docs of repeated common phrasing + 1 doc of hapax salad: under the
+    // corpus-trained unigram LM the salad's tokens are all rare, so its
+    // cross-entropy must dominate every fluent doc's
+    val fluent = (1L to 8L).map(i => (i, "the cat sat on the mat and the dog sat too"))
+    val salad = Seq((9L, "zyx quv plorth wibble snark grumph"))
+    val scored = operators.TextLm.lmScore(
+      (fluent ++ salad).toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val worstFluent = (1L to 8L).map(scored).max
+    assert(scored(9L) > worstFluent + 1.0,
+      s"salad ce=${scored(9L)} should clear fluent max=$worstFluent by >1 nat")
+  }
+
+  test("cross-entropy is bounded by ln(total tokens) and ppl is exp(ce)") {
+    val rows = operators.TextLm.lmScore(
+      Tables.documents(spark, sfDir), "doc_id", "text").collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val bound = math.log(totalTokens.toDouble)
+    rows.foreach { r =>
+      val ce = r.getAs[Double]("cross_entropy")
+      // MLE unigram probability is ≥ 1/total, so ce ≤ ln(total); > 0 since
+      // no term can cover the whole corpus from one doc at these sizes
+      assert(ce > 0 && ce <= bound + 1e-9, s"ce=$ce outside (0, $bound]")
+      assert(math.abs(r.getAs[Double]("ppl") - math.exp(ce)) < 0.5 + math.exp(ce) * 1e-3)
+    }
+  }
+}
