@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, HttpLog, Multimodal, SemDedup, Similarity, Skew, TextLm}
+import graft.operators.{Dedup, HttpLog, Multimodal, Overlap, SemDedup, Similarity, Skew, TextLm}
 
 /** One registered query of the engine.
   *
@@ -1707,6 +1707,40 @@ object Queries {
       |       CAST(n AS BIGINT) AS n_copies
       |FROM r WHERE rn = 1""".stripMargin))
 
+  private val c15 = Q(
+    "c15_source_overlap",
+    // Corpus-composition analytics: pairwise overlap between data SOURCES
+    // (exact distinct-gram Jaccard + containment, zero-overlap pairs
+    // included) — the "is this new crawl already in the mix?" question,
+    // asked at the feed level. Spark counts 64-bit-hashed grams, the oracle
+    // counts the same grams as strings (collision-free at this
+    // cardinality); the MinHash-union sketch path for 100 TB corpora is
+    // operators.Overlap.sourceSignatures, spec-proven in OverlapSpec.
+    (s, dir) => Overlap.sourceOverlap(Tables.documents(s, dir), "source", "text"),
+    Some("""WITH toks AS (
+      |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |  WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                        x -> x <> '')) > 0),
+      |sg AS (
+      |  SELECT DISTINCT source, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE t END) AS gram
+      |  FROM toks),
+      |sizes AS (SELECT source, count(*) AS sz FROM sg GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      |  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT x.source AS src_a, y.source AS src_b,
+      |  x.sz AS grams_a, y.sz AS grams_b,
+      |  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+      |  round(coalesce(i.inter, 0) / (x.sz + y.sz - coalesce(i.inter, 0)), 4) AS jaccard,
+      |  round(coalesce(i.inter, 0) / least(x.sz, y.sz), 4) AS containment
+      |FROM sizes x JOIN sizes y ON x.source < y.source
+      |LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source""".stripMargin))
+
   private val c04 = Q(
     "c04_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(corpus(s, dir), "doc_id", "text", "source"),
@@ -2900,7 +2934,7 @@ object Queries {
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18,

@@ -88,20 +88,35 @@ object TextHash {
     val sh = wordShingles(text, k)
     val sig = new Array[Long](n)
     val filled = new Array[Boolean](n)
-    var any = false
     var s = 0
     while (s < sh.numElements()) {
-      val x = sh.getLong(s)
-      val h = mix(x ^ 0x5bd1e995L)
-      val b = java.lang.Long.remainderUnsigned(h, n.toLong).toInt
-      val v = mix(h)
-      if (!filled(b) || java.lang.Long.compareUnsigned(v, sig(b)) < 0) {
-        sig(b) = v; filled(b) = true; any = true
-      }
+      ophUpdate(sh.getLong(s), sig, filled)
       s += 1
     }
-    densify(sig, filled, any, n)
+    densifyInPlace(sig, filled)
     new GenericArrayData(sig)
+  }
+
+  /** One OPH step: route shingle hash `x` to its bucket and keep the
+    * unsigned min. Shared by [[minhashSig]] and the mergeable union sketch
+    * (`operators.Overlap.MinhashUnion`) — ONE routing definition, so a
+    * distributed union signature is bit-identical to a single-pass one.
+    */
+  def ophUpdate(x: Long, sig: Array[Long], filled: Array[Boolean]): Unit = {
+    val h = mix(x ^ 0x5bd1e995L)
+    val b = java.lang.Long.remainderUnsigned(h, sig.length.toLong).toInt
+    val v = mix(h)
+    if (!filled(b) || java.lang.Long.compareUnsigned(v, sig(b)) < 0) {
+      sig(b) = v; filled(b) = true
+    }
+  }
+
+  /** Rotation-densify a raw OPH bin array in place (see [[minhashSig]]). */
+  def densifyInPlace(sig: Array[Long], filled: Array[Boolean]): Unit = {
+    var any = false
+    var i = 0
+    while (i < filled.length && !any) { any = filled(i); i += 1 }
+    densify(sig, filled, any, sig.length)
   }
 
   /** Rotation densification (shared by the OPH variants): empty buckets
