@@ -2803,6 +2803,40 @@ object Queries {
       |  round(avg(CAST((doc_id * 31 + i * 7) % 256 AS DOUBLE)), 4) AS mean_gray
       |FROM px GROUP BY doc_id""".stripMargin))
 
+  private val f04 = Q(
+    "f04_wav_decode",
+    // REAL audio decode through the same seam as f03's image decode: RIFF/
+    // WAV is a chunked little-endian container (vs PGM's ASCII header), so
+    // this exercises the other half of binary wire parsing — u16/u32le
+    // fields, chunk walking, word alignment. Payloads are synthesized with
+    // closed-form sample counts/rates/samples; the oracle computes the
+    // decoded stats ANALYTICALLY, so a mis-read endian field or chunk
+    // offset cannot hash-match.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      import s.implicits._
+      val withPayload = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, operators.Multimodal.syntheticWav(id)))
+        .toDF("doc_id", "payload")
+      operators.Multimodal.extractWav(s, withPayload, "doc_id", "payload")
+        .toDF()
+        .withColumn("duration_ms", round(col("duration_ms"), 4))
+        .withColumn("mean_amp", round(col("mean_amp"), 4))
+    },
+    // max sample count is 64 + 128 = 192, so a bounded series + filter
+    // replaces the (unsupported) correlated generate_series
+    Some("""WITH px AS (
+      |  SELECT d.doc_id, s.i
+      |  FROM documents d, generate_series(0, 192) s(i)
+      |  WHERE s.i < 64 + d.doc_id % 129)
+      |SELECT doc_id,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+      |  CAST(64 + doc_id % 129 AS INT) AS n_samples,
+      |  round((64 + doc_id % 129) * 1000.0 / (8000 + (doc_id % 4) * 4000), 4) AS duration_ms,
+      |  round(avg(CAST((doc_id * 13 + i * 11) % 256 AS DOUBLE)), 4) AS mean_amp,
+      |  CAST(max((doc_id * 13 + i * 11) % 256) AS INT) AS peak
+      |FROM px GROUP BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- group G
 
   private val g01 = Q(
@@ -2938,6 +2972,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18,
-    f01, f02, f03,
+    f01, f02, f03, f04,
     g01, g02, g03, g04)
 }

@@ -125,4 +125,94 @@ object Multimodal {
       .as[MMRecord]
       .mapPartitions(_.flatMap(r => decodePgm(r.doc_id, r.payload)))
   }
+
+  // -------------------------------------------------------------- real WAV
+
+  /** Decoded audio features (REAL decode of the other pure-bytes media
+    * family: RIFF/WAV PCM — little-endian multi-byte fields and a chunked
+    * container, a different wire discipline from PGM's ASCII header).
+    */
+  case class WavFeatures(doc_id: Long, sample_rate: Int, n_samples: Int,
+                         duration_ms: Double, mean_amp: Double, peak: Int)
+
+  /** RIFF/WAV decoder for 8-bit unsigned mono PCM: validates the RIFF/WAVE
+    * magic, WALKS the chunk list (word-aligned, unknown chunks skipped —
+    * real files carry LIST/INFO chunks before `data`), reads the `fmt `
+    * chunk's little-endian fields, then computes sample statistics from the
+    * `data` chunk. Returns None on any malformed payload (truncated chunk,
+    * non-PCM, non-8-bit, missing data) — dead-letter, never throw.
+    */
+  def decodeWav(docId: Long, b: Array[Byte]): Option[WavFeatures] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    def tag(i: Int, t: String): Boolean =
+      (0 until 4).forall(j => (b(i + j) & 0xff) == t.charAt(j))
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt = -1; var ch = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length) {
+      val len = u32(i + 4)
+      if (len > b.length - i - 8) return None // truncated chunk
+      if (tag(i, "fmt ")) {
+        if (len < 16) return None
+        fmt = u16(i + 8); ch = u16(i + 10)
+        rate = u32(i + 12).toInt; bits = u16(i + 22)
+      } else if (tag(i, "data")) { dataOff = i + 8; dataLen = len.toInt }
+      i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if (fmt != 1 || ch != 1 || bits != 8 || rate <= 0 ||
+      dataOff < 0 || dataLen <= 0) return None
+    var sum = 0L; var peak = 0; var p = 0
+    while (p < dataLen) {
+      val v = b(dataOff + p) & 0xff
+      sum += v; if (v > peak) peak = v
+      p += 1
+    }
+    Some(WavFeatures(docId, rate, dataLen, dataLen * 1000.0 / rate,
+      sum.toDouble / dataLen, peak))
+  }
+
+  /** Deterministic synthetic WAV payload (8-bit unsigned mono PCM): sample
+    * count, rate and every sample are closed-form in the id so the oracle
+    * computes the decoded statistics analytically — a mis-read endian field
+    * or chunk offset cannot hash-match.
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = (64 + docId % 129).toInt
+    val rate = (8000 + (docId % 4) * 4000).toInt
+    val out = new Array[Byte](44 + n)
+    def tag(i: Int, t: String): Unit =
+      (0 until 4).foreach(j => out(i + j) = t.charAt(j).toByte)
+    def w16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    }
+    def w32(i: Int, v: Long): Unit = {
+      w16(i, (v & 0xffff).toInt); w16(i + 2, ((v >>> 16) & 0xffff).toInt)
+    }
+    tag(0, "RIFF"); w32(4, 36L + n); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16L)
+    w16(20, 1) // PCM
+    w16(22, 1) // mono
+    w32(24, rate)
+    w32(28, rate) // byte rate = rate · 1 ch · 1 B
+    w16(32, 1) // block align
+    w16(34, 8) // bits per sample
+    tag(36, "data"); w32(40, n.toLong)
+    var p = 0
+    while (p < n) {
+      out(44 + p) = ((docId * 13 + p.toLong * 11) % 256).toByte
+      p += 1
+    }
+    out
+  }
+
+  /** Real WAV decode over a payload column; malformed rows dead-letter. */
+  def extractWav(spark: SparkSession, df: DataFrame,
+                 idCol: String, payloadCol: String): Dataset[WavFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+      .mapPartitions(_.flatMap(r => decodeWav(r.doc_id, r.payload)))
+  }
 }

@@ -37,6 +37,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodePgm(1L, Array.emptyByteArray).isEmpty)
   }
 
+  test("real WAV decoder: chunk walk, known answers, malformed dead-letter") {
+    // synthetic generator roundtrips through the real parser
+    val s = Multimodal.decodeWav(42L, Multimodal.syntheticWav(42L)).get
+    assert(s.sample_rate == 8000 + (42 % 4) * 4000)
+    assert(s.n_samples == 64 + 42 % 129)
+    assert(s.peak <= 255 && s.mean_amp > 0)
+    // a LIST chunk BEFORE fmt/data must be skipped by the chunk walk —
+    // this is what separates a chunk parser from a fixed-offset reader.
+    // LIST payload is 5 bytes (odd) to exercise the word-alignment pad.
+    val base = Multimodal.syntheticWav(7L)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val withList = base.take(12) ++ listChunk ++ base.drop(12)
+    // RIFF size field must cover the inserted chunk
+    val fixed = withList.clone()
+    val newSize = withList.length - 8
+    fixed(4) = newSize.toByte; fixed(5) = (newSize >>> 8).toByte
+    fixed(6) = (newSize >>> 16).toByte; fixed(7) = (newSize >>> 24).toByte
+    assert(Multimodal.decodeWav(7L, fixed) == Multimodal.decodeWav(7L, base))
+    // malformed: wrong magic, truncated data chunk, stereo/16-bit/non-PCM
+    assert(Multimodal.decodeWav(1L, "RIFZ".getBytes ++ base.drop(4)).isEmpty)
+    assert(Multimodal.decodeWav(1L, base.dropRight(10)).isEmpty)
+    val stereo = base.clone(); stereo(22) = 2
+    assert(Multimodal.decodeWav(1L, stereo).isEmpty)
+    val bits16 = base.clone(); bits16(34) = 16
+    assert(Multimodal.decodeWav(1L, bits16).isEmpty)
+    val nonPcm = base.clone(); nonPcm(20) = 3
+    assert(Multimodal.decodeWav(1L, nonPcm).isEmpty)
+    assert(Multimodal.decodeWav(1L, Array.emptyByteArray).isEmpty)
+  }
+
   test("stub decode is a pure function of the payload") {
     val a = Multimodal.stubDecode(Multimodal.MMRecord(1L, "hello world".getBytes("UTF-8")))
     val b = Multimodal.stubDecode(Multimodal.MMRecord(1L, "hello world".getBytes("UTF-8")))
