@@ -47,6 +47,13 @@ object GraftSession {
     // should lower SPARK_GRAFT_OBJ_AGG_FALLBACK instead of raising memory.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       env("SPARK_GRAFT_OBJ_AGG_FALLBACK", "1048576"))
+    // Defensive cap: AQE posts a full explainString on EVERY plan update,
+    // and iterative workloads whose round-k plan nests round k-1's
+    // InMemoryRelation (e.g. BPE learning before its lineage truncation)
+    // make that string superlinear in rounds — the default 2 GiB cap let a
+    // KB-sized table burn minutes of driver CPU building plan text. 1 MiB
+    // keeps every legitimate explain intact.
+    .config("spark.sql.maxPlanStringLength", env("SPARK_GRAFT_MAX_PLAN_STR", "1048576"))
     .config("spark.ui.enabled", "false")
 
   /** Local session sized by SPARK_GRAFT_CPUS (driver contract). */

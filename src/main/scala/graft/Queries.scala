@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, HttpLog, Multimodal, Overlap, SemDedup, Similarity, Skew, TextLm}
+import graft.operators.{Bpe, Dedup, HttpLog, Multimodal, Overlap, SemDedup, Similarity, Skew, TextLm}
 
 /** One registered query of the engine.
   *
@@ -2803,6 +2803,43 @@ object Queries {
       |  round(avg(CAST((doc_id * 31 + i * 7) % 256 AS DOUBLE)), 4) AS mean_gray
       |FROM px GROUP BY doc_id""".stripMargin))
 
+  private val e19 = Q(
+    "e19_bpe_learn",
+    // Distributed BPE vocabulary learning (the tokenizer-training workload;
+    // scale analysis on operators.Bpe): 20 merges over the corpus's word-
+    // frequency table. Not SQL-expressible (each round re-tokenizes with the
+    // previous round's merge) → rows-only gate; the full merge list is
+    // proven equal to an independent sequential reference implementation in
+    // BpeSpec, and the first merge decision has the e20 hash oracle.
+    (s, dir) => Bpe.learnMerges(s, Tables.documents(s, dir), "text", 20),
+    None)
+
+  private val e20 = Q(
+    "e20_bpe_first_merge",
+    // Known-answer companion for e19 (the d05 pattern): the FIRST merge is
+    // pure adjacent-pair counting over (chars + </w>) symbolized words —
+    // SQL-expressible, so the decision that seeds the whole learning loop
+    // is hash-checked: argmax pair by (freq desc, left, right).
+    (s, dir) => Bpe.learnMerges(s, Tables.documents(s, dir), "text", 1),
+    // corpus max word length is 8; the bounded series (≤31) replaces the
+    // unsupported correlated generate_series
+    Some("""WITH words AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |wf AS (SELECT w, count(*) AS freq FROM words
+      |       WHERE length(w) > 0 GROUP BY 1),
+      |pairs AS (
+      |  SELECT substring(w, s.i, 1) AS "left",
+      |         substring(w, s.i + 1, 1) AS "right", freq
+      |  FROM wf, generate_series(1, 31) s(i) WHERE s.i < length(w)
+      |  UNION ALL
+      |  SELECT substring(w, length(w), 1) AS "left", '</w>' AS "right", freq
+      |  FROM wf),
+      |pc AS (SELECT "left", "right", sum(freq) AS freq FROM pairs GROUP BY 1, 2)
+      |SELECT CAST(1 AS INT) AS rank, "left", "right",
+      |       "left" || "right" AS merged, CAST(freq AS BIGINT) AS freq
+      |FROM pc ORDER BY freq DESC, "left", "right" LIMIT 1""".stripMargin))
+
   private val f04 = Q(
     "f04_wav_decode",
     // REAL audio decode through the same seam as f03's image decode: RIFF/
@@ -2971,7 +3008,7 @@ object Queries {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-    e18,
+    e18, e19, e20,
     f01, f02, f03, f04,
     g01, g02, g03, g04)
 }
