@@ -22,9 +22,13 @@ import graft.operators.{Dedup, Similarity}
   *    LSH/IVF ANN with a fixed 50-query batch.
   *  - `sketch`: inflate events, compare exact countDistinct vs the KMV
   *    sketch at low and high cardinality (SURVEY §6 "Sketch scale probe").
+  *  - `text`: inflate documents (same dissimilar salting as `dedup`), time
+  *    the text-analysis family that isn't in the dedup probe: LM scoring
+  *    (e18), exact + sketch source overlap (c15), BPE learning (e19, 10
+  *    rounds).
   *  - any query names: inflate events, time those registered queries.
   *
-  * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|sketch|queryName...]
+  * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|sketch|text|queryName...]
   */
 object ScaleProbe {
 
@@ -63,18 +67,19 @@ object ScaleProbe {
 
     if (!Files.exists(Paths.get(s"$out/_done"))) {
       Files.createDirectories(Paths.get(out))
-      if (mode == "dedup") {
+      if (mode == "dedup" || mode == "text") {
         inflate(spark.read.parquet(s"$base/documents.parquet"), mult, "doc_id",
           (d, r) => if (r == 0) d
             else d.withColumn("text", translate(col("text"), alpha, cipher(r))))
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
         // sign-flip mask from murmur3(hash(dim, r)) — distinct per replica for
         // every r (the old (i + r) % 7 pattern repeated with period 7)
-        inflate(spark.read.parquet(s"$base/embeddings.parquet"), mult, "vec_id",
-          (d, r) => if (r == 0) d
-            else d.withColumn("embedding", expr(
-              s"transform(embedding, (x, i) -> CAST(IF(pmod(hash(i, $r), 2) = 0, -x, x) AS FLOAT))")))
-          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        if (mode == "dedup")
+          inflate(spark.read.parquet(s"$base/embeddings.parquet"), mult, "vec_id",
+            (d, r) => if (r == 0) d
+              else d.withColumn("embedding", expr(
+                s"transform(embedding, (x, i) -> CAST(IF(pmod(hash(i, $r), 2) = 0, -x, x) AS FLOAT))")))
+            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       } else {
         // events.ts arrives as epoch-nano long (nanosAsLong) and is written
         // back as plain BIGINT — Tables.events handles both identically
@@ -170,6 +175,20 @@ object ScaleProbe {
             Similarity.lshTopK(emb(), queries(), 10, multiProbe = true)),
           "d03_ivf_ann_50q" -> (() => Similarity.ivfTopK(emb(), queries(), 10)),
           "d08_pq_ann_50q" -> (() => Similarity.pqTopK(emb(), queries(), 10)))
+      } else if (mode == "text") {
+        val docs = () => Tables.documents(spark, out)
+        Seq(
+          "e18_lm_score" -> (() =>
+            operators.TextLm.lmScore(docs(), "doc_id", "text")),
+          "c15_source_overlap_exact" -> (() =>
+            operators.Overlap.sourceOverlap(docs(), "source", "text")),
+          "c15_source_overlap_sketch" -> (() =>
+            operators.Overlap.estimatedOverlap(
+              operators.Overlap.sourceSignatures(docs(), "source", "text"))),
+          // 10 rounds: the probe measures how ROUND COST grows with corpus/
+          // vocab size; round count is a constant workload knob
+          "e19_bpe_10_rounds" -> (() =>
+            operators.Bpe.learnMerges(spark, docs(), "text", 10)))
       } else {
         val names = if (mode == "etl")
           Seq("a00_pipeline_e2e", "a03_dedup_replacing", "a04_traffic_totals")
@@ -179,7 +198,8 @@ object ScaleProbe {
       }
 
     val rows =
-      if (mode == "dedup") spark.read.parquet(s"$out/documents.parquet").count()
+      if (mode == "dedup" || mode == "text")
+        spark.read.parquet(s"$out/documents.parquet").count()
       else spark.read.parquet(s"$out/events.parquet").count()
 
     val results = probes.map { case (name, mk) =>
