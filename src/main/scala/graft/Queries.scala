@@ -2803,6 +2803,44 @@ object Queries {
       |  round(avg(CAST((doc_id * 31 + i * 7) % 256 AS DOUBLE)), 4) AS mean_gray
       |FROM px GROUP BY doc_id""".stripMargin))
 
+  private val e21 = Q(
+    "e21_bigram_backoff",
+    // Context-sensitive LM gate: bigram Stupid Backoff (Brants 2007),
+    // trained on 90% of docs and scoring ALL docs held-out (the CCNet
+    // setup — backoff genuinely fires on unseen bigrams). Scale notes on
+    // operators.TextLm.bigramScore.
+    (s, dir) => TextLm.bigramScore(Tables.documents(s, dir), "doc_id", "text",
+      col("doc_id") % 10 =!= 0),
+    Some("""WITH toks0 AS (
+      |  SELECT doc_id, doc_id % 10 <> 0 AS is_train,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term,
+      |         unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1)) AS pos
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, is_train, term, pos,
+      |         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM toks0 WHERE length(term) > 0),
+      |cnt1 AS (SELECT term, count(*) AS cnt1 FROM toks WHERE is_train GROUP BY 1),
+      |cnt2 AS (SELECT prev, term, count(*) AS cnt2 FROM toks
+      |         WHERE is_train AND prev IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(cnt1) AS DOUBLE) AS tot FROM cnt1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CASE WHEN t.prev IS NULL THEN coalesce(c1.cnt1, 0.5) / tot.tot
+      |         WHEN c2.cnt2 IS NOT NULL THEN CAST(c2.cnt2 AS DOUBLE) / cx.cnt1
+      |         ELSE 0.4 * coalesce(c1.cnt1, 0.5) / tot.tot END AS p,
+      |    CASE WHEN t.prev IS NOT NULL AND c2.cnt2 IS NULL
+      |         THEN 1.0 ELSE 0.0 END AS bo
+      |  FROM toks t
+      |  LEFT JOIN cnt1 c1 ON c1.term = t.term
+      |  LEFT JOIN cnt2 c2 ON c2.prev = t.prev AND c2.term = t.term
+      |  LEFT JOIN cnt1 cx ON cx.term = t.prev
+      |  CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(-avg(ln(p)), 4) AS ce_bigram,
+      |  round(avg(bo), 4) AS backoff_rate
+      |FROM scored GROUP BY doc_id""".stripMargin))
+
   private val e19 = Q(
     "e19_bpe_learn",
     // Distributed BPE vocabulary learning (the tokenizer-training workload;
@@ -3008,7 +3046,7 @@ object Queries {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-    e18, e19, e20,
+    e18, e19, e20, e21,
     f01, f02, f03, f04,
     g01, g02, g03, g04)
 }

@@ -59,4 +59,61 @@ object TextLm {
     lm.unpersist(blocking = false)
     out
   }
+
+  /** Bigram LM scoring with Stupid Backoff (Brants et al. 2007, the
+    * web-scale LM that dropped normalization because at corpus scale a
+    * penalized unigram fallback ranks just as well): each document's tokens
+    * are scored with p(w|prev) = cnt2(prev,w)/cnt1(prev) when the bigram
+    * was seen in TRAINING, else 0.4 · p_uni(w); the first token and OOV
+    * words score p_uni = (cnt1 | 0.5)/total (0.5 = deterministic OOV
+    * pseudo-count). The LM trains on `trainPred` docs and scores ALL docs —
+    * held-out scoring, the CCNet setup (score with an external model), and
+    * what makes backoff genuinely fire on unseen bigrams.
+    *
+    * Output: (idCol, n_tokens, ce_bigram = −mean ln p rounded 4 dp,
+    * backoff_rate = share of in-context tokens that backed off, 4 dp).
+    *
+    * Scale: token positions are one corpus explode; prev-token attaches via
+    * a per-doc window (partitioned by doc — no global sort); bigram/unigram
+    * tables are vocab²-bounded aggregations joined back by key. The token
+    * frame feeds three consumers → persist-materialize-release, as
+    * [[lmScore]].
+    */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+                  trainPred: org.apache.spark.sql.Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val toks = docs.select(col(idCol), trainPred.as("is_train"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .withColumn("prev", lag("term", 1).over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val train = toks.filter(col("is_train"))
+    val cnt1 = train.groupBy("term").agg(count(lit(1)).as("cnt1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cnt2 = train.filter(col("prev").isNotNull)
+      .groupBy("prev", "term").agg(count(lit(1)).as("cnt2"))
+    val tot = cnt1.agg(sum("cnt1").cast("double").as("tot"))
+    val ctx = cnt1.select(col("term").as("prev"), col("cnt1").as("ctx_cnt"))
+    val pUni = coalesce(col("cnt1").cast("double"), lit(0.5)) / col("tot")
+    val p = when(col("prev").isNull, pUni)
+      .when(col("cnt2").isNotNull,
+        col("cnt2").cast("double") / col("ctx_cnt"))
+      .otherwise(lit(0.4) * pUni)
+    val backedOff = col("prev").isNotNull && col("cnt2").isNull
+    val out = toks
+      .join(cnt1, Seq("term"), "left")
+      .join(cnt2, Seq("prev", "term"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(-avg(log(p)), 4).as("ce_bigram"),
+        round(avg(backedOff.cast("double")), 4).as("backoff_rate"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    toks.unpersist(blocking = false)
+    cnt1.unpersist(blocking = false)
+    out
+  }
 }

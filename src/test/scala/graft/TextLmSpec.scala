@@ -24,6 +24,23 @@ class TextLmSpec extends AnyFunSuite with SparkTestBase {
       s"salad ce=${scored(9L)} should clear fluent max=$worstFluent by >1 nat")
   }
 
+  test("bigram backoff fires only on unseen bigrams and penalizes them") {
+    import spark.implicits._
+    // train docs (id != 0 mod 10) repeat "the cat sat"; held-out doc 10
+    // contains a bigram never seen in training ("cat flew") — it MUST back
+    // off; doc 20 is pure training phrasing — it must NOT
+    val docs = ((1L to 9L).map(i => (i, "the cat sat")) ++
+      Seq((10L, "the cat flew"), (20L, "the cat sat"))).toDF("doc_id", "text")
+    val scored = operators.TextLm.bigramScore(docs, "doc_id", "text",
+      col("doc_id") % 10 =!= 0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("backoff_rate"), r.getAs[Double]("ce_bigram"))).toMap
+    assert(scored(20L)._1 == 0.0)
+    assert(scored(10L)._1 > 0.0, "unseen bigram must back off")
+    // the OOV+backoff doc must score strictly worse than the fluent one
+    assert(scored(10L)._2 > scored(20L)._2 + 1.0)
+  }
+
   test("cross-entropy is bounded by ln(total tokens) and ppl is exp(ce)") {
     val rows = operators.TextLm.lmScore(
       Tables.documents(spark, sfDir), "doc_id", "text").collect()
