@@ -247,6 +247,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LM quality gate equals batch and rejects word salad") {
+    // the admission-control sibling of the near-dup screen: train the
+    // unigram LM on the static corpus once, score each arriving doc under
+    // the watermark, admit by cross-entropy threshold; stream must equal
+    // the same function run as a batch
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val (lm, oov) = graft.streaming.QualityGate.trainLm(corpus, "text")
+    try {
+      val arrivals = Seq(
+        (101L, Timestamp.valueOf("2024-01-01 01:00:10"), "the cat sat"),
+        (102L, Timestamp.valueOf("2024-01-01 01:00:20"), "zyx qqq plorth wibble"))
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.streaming.QualityGate.gate(
+          df, "ts", "doc_id", "text", lm, oov, maxCe = 3.0)
+      val batch = run(arrivals.toDF("doc_id", "ts", "text"))
+        .collect().map(_.toSeq).toSet
+
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      val q = run(ms.toDF().toDF("doc_id", "ts", "text"))
+        .writeStream.format("memory").queryName("lm_gate")
+        .outputMode("append").start()
+      try {
+        ms.addData(arrivals: _*)
+        q.processAllAvailable()
+        // advance the watermark past the arrivals' windows
+        ms.addData((999L, Timestamp.valueOf("2024-01-01 03:00:00"), "flush"))
+        q.processAllAvailable()
+        val got = spark.table("lm_gate")
+          .filter(col("doc_id") < 999).collect().map(_.toSeq).toSet
+        assert(got == batch, s"streamed $got\nbatch $batch")
+        val byId = got.map(r => r.head -> r.last).toMap
+        assert(byId(101L) == true, "fluent doc must be admitted")
+        assert(byId(102L) == false, "word salad must be rejected")
+      } finally q.stop()
+    } finally lm.unpersist(blocking = false)
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
