@@ -103,4 +103,60 @@ object Layout {
                    pred: Column): Long =
     spark.read.parquet(path).filter(pred)
       .select(input_file_name()).distinct().count()
+
+  /** Result of a [[compact]] run. */
+  case class CompactStats(filesBefore: Int, filesAfter: Int,
+                          smallRewritten: Int, bytesRewritten: Long)
+
+  /** Small-file compaction — the `OPTIMIZE` (bin-packing) maintenance
+    * operation: streaming/incremental writers leave many under-sized
+    * parquet files, and at 100 TB the per-file open/footer/stats overhead
+    * plus scheduler pressure of millions of small files dominates scans
+    * long before data volume does.
+    *
+    * Only files smaller than `smallRatio · targetBytes` are rewritten —
+    * merged into ≈`targetBytes` outputs (optionally re-sorted by `sortCols`
+    * so per-file min/max stats stay tight after the merge) — and
+    * well-sized files are left untouched, so the rewrite cost is
+    * proportional to the SMALL-FILE MASS, not the table. The driver-side
+    * work is a filesystem listing (pure metadata, same discipline as range
+    * boundaries); the data moves once through one coalesce+write.
+    *
+    * Filesystem-level swap (write merged to a temp subdir, delete the small
+    * sources, move merged in): crash-safe against loss (sources are removed
+    * only after the merged files are fully written) but not against
+    * duplicate-visibility — a reader racing the swap can see both; a table
+    * format's transaction log (Delta/Iceberg) is the production answer for
+    * that, orthogonal to the compaction itself.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long, smallRatio: Double = 0.5,
+              sortCols: Seq[String] = Nil): CompactStats = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts() = fs.listStatus(new Path(path))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val before = parts()
+    val small = before.filter(_.getLen < (targetBytes * smallRatio).toLong)
+    if (small.length <= 1)
+      return CompactStats(before.length, before.length, 0, 0L)
+    val smallBytes = small.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(path, "_compact_tmp")
+    val merged = spark.read.parquet(small.map(_.getPath.toString): _*)
+    val arranged =
+      if (sortCols.nonEmpty)
+        merged.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else merged.coalesce(nOut)
+    arranged.write.mode("overwrite").parquet(tmp.toString)
+    small.foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("part-"))
+      .zipWithIndex.foreach { case (s, i) =>
+        // compacted files get fresh names — no collision with survivors
+        fs.rename(s.getPath, new Path(path, s"part-compacted-$i.parquet"))
+      }
+    fs.delete(tmp, true)
+    CompactStats(before.length, parts().length, small.length, smallBytes)
+  }
 }

@@ -70,4 +70,39 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       assert(spark.read.parquet(zPath).count() == log.count())
     }
   }
+
+  test("compaction merges small files, preserves content, spares big ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // 1 well-sized file + 40 tiny ones (the streaming-writer pathology)
+    (1L to 50000L).map(i => (i, s"payload-$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    (50001L to 54000L).map(i => (i, s"payload-$i")).toDF("id", "v")
+      .repartition(40).write.mode("append").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val bigBefore = files().filter(_.getLen >= 100000).map(_.getPath.getName).toSet
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().sorted
+
+    val stats = operators.Layout.compact(spark, dir,
+      targetBytes = 200000L, sortCols = Seq("id"))
+
+    assert(stats.smallRewritten >= 40, s"$stats")
+    assert(stats.filesAfter < stats.filesBefore / 4, s"$stats")
+    // content is exactly preserved
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().sorted
+    assert(after.sameElements(before))
+    // the well-sized file was not rewritten
+    val bigAfter = files().map(_.getPath.getName).toSet
+    assert(bigBefore.subsetOf(bigAfter), "well-sized files must survive untouched")
+    // re-sorted merge keeps min/max stats tight: a point predicate on the
+    // compacted range touches at most one compacted file
+    val touched = operators.Layout.filesTouched(spark, dir, col("id") === 53000L)
+    assert(touched <= 1, s"expected tight stats after re-sort, touched $touched")
+    // idempotent: nothing small remains, second run is a no-op
+    val again = operators.Layout.compact(spark, dir, 200000L, sortCols = Seq("id"))
+    assert(again.smallRewritten == 0 || again.filesAfter == stats.filesAfter)
+  }
 }
