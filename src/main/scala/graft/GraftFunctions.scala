@@ -23,10 +23,16 @@ object GraftFunctions {
     // the analyzer wraps a bare AggregateFunction in AggregateExpression
     "keep_latest"            -> ((es: Seq[Expression]) => KeepLatest(es(0), es(1))))
 
-  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo("graft", name),
-      builder)
+  def register(spark: SparkSession): Unit = {
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder)
+    }
+    // optimizer surface (idempotent-call collapsing); idempotent to re-add
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.CollapseIdempotent))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CollapseIdempotent
   }
 }

@@ -75,6 +75,29 @@ class EngineSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(r.map(_.getString(1)).toSeq == Seq("new", "only"))
   }
 
+  test("optimizer collapses nested idempotent calls to one evaluation") {
+    // pipelines compose: a defensive re-anonymize / re-normalize downstream
+    // of an already-clean view is a provable no-op the ENGINE should delete
+    // (a full extra string pass per row at 100 TB otherwise)
+    GraftFunctions.register(spark) // installs CollapseIdempotent
+    val df = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
+      .select(
+        graft.functions.anonymize_ip(
+          graft.functions.anonymize_ip(col("remote_addr"))).as("a"),
+        graft.functions.nfc_normalize(
+          graft.functions.nfc_normalize(col("url"))).as("u"))
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert("anonymize_ip".r.findAllIn(optimized).length == 1,
+      s"nested anonymize_ip must collapse:\n$optimized")
+    assert("nfc_normalize".r.findAllIn(optimized).length == 1,
+      s"nested nfc_normalize must collapse:\n$optimized")
+    // identical results to the single application (idempotence contract)
+    val single = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
+      .select(graft.functions.anonymize_ip(col("remote_addr")).as("a"),
+        graft.functions.nfc_normalize(col("url")).as("u"))
+    assert(df.collect().toSeq == single.collect().toSeq)
+  }
+
   test("c14 keep-best dedup plans hash-based — no SortAggregate demotion") {
     // same guard as a03 for the keeper-policy variant: the (score, id) order
     // is packed into keep_latest's long version — max(struct) would carry a
