@@ -1567,6 +1567,38 @@ object Queries {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin))
 
+  private val b37 = Q(
+    "b37_skew_report",
+    // Key-skew diagnostics — the operational companion to a12's salted
+    // aggregation: BEFORE deploying salting/AQE-skew config you measure
+    // which keys are heavy and how heavy vs the key-count distribution.
+    // One keyed agg (map-side combined) → tiny stats row broadcast back →
+    // top-10 by (cnt, key) — agg-then-TakeOrdered, never a global sort of
+    // the key table.
+    (s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"),
+        expr("percentile(cnt, 0.5D)").as("p50_rows"),
+        expr("percentile(cnt, 0.99D)").as("p99_rows"),
+        sum("cnt").as("total"))
+      counts.crossJoin(broadcast(stats))
+        .select(col("user_id"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 4).as("share"),
+          col("n_keys"), col("p50_rows"), col("p99_rows"))
+        .orderBy(col("cnt").desc, col("user_id"))
+        .limit(10)
+    },
+    Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |             quantile_cont(cnt, 0.5) AS p50_rows,
+      |             quantile_cont(cnt, 0.99) AS p99_rows,
+      |             sum(cnt) AS total FROM c)
+      |SELECT user_id, cnt, round(CAST(cnt AS DOUBLE) / total, 4) AS share,
+      |       n_keys, p50_rows, p99_rows
+      |FROM c CROSS JOIN s ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -3042,7 +3074,7 @@ object Queries {
     a16, a17, a18,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
-    b31, b32, b33, b34, b35, b36,
+    b31, b32, b33, b34, b35, b36, b37,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15,
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
