@@ -26,6 +26,10 @@ import graft.operators.{Dedup, Similarity}
   *    the text-analysis family that isn't in the dedup probe: LM scoring
   *    (e18), exact + sketch source overlap (c15), BPE learning (e19, 10
   *    rounds).
+  *  - `ann`: inflate embeddings (sign-flip salting), measure RECALL@10 vs
+  *    exact brute force AND wall time for each ANN variant (LSH multi-probe,
+  *    IVF, adaptive IVF, PQ) on a fixed 50-query batch — the
+  *    accuracy/latency tradeoff, quantified per corpus size.
   *  - any query names: inflate events, time those registered queries.
   *
   * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|sketch|text|queryName...]
@@ -67,7 +71,13 @@ object ScaleProbe {
 
     if (!Files.exists(Paths.get(s"$out/_done"))) {
       Files.createDirectories(Paths.get(out))
-      if (mode == "dedup" || mode == "text") {
+      if (mode == "ann") {
+        inflate(spark.read.parquet(s"$base/embeddings.parquet"), mult, "vec_id",
+          (d, r) => if (r == 0) d
+            else d.withColumn("embedding", expr(
+              s"transform(embedding, (x, i) -> CAST(IF(pmod(hash(i, $r), 2) = 0, -x, x) AS FLOAT))")))
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      } else if (mode == "dedup" || mode == "text") {
         inflate(spark.read.parquet(s"$base/documents.parquet"), mult, "doc_id",
           (d, r) => if (r == 0) d
             else d.withColumn("text", translate(col("text"), alpha, cipher(r))))
@@ -95,6 +105,44 @@ object ScaleProbe {
         if (!Files.exists(link)) Files.createSymbolicLink(link, Paths.get(s"$base/$t.parquet"))
       }
       Files.createFile(Paths.get(s"$out/_done"))
+    }
+
+    if (mode == "ann") {
+      // recall@10 vs exact, plus wall time, per variant. The result sets
+      // are 50 queries × 10 rows — the collects are probe bookkeeping, not
+      // operator data paths.
+      val emb = Tables.embeddings(spark, out)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      def resultSet(df: DataFrame): Map[Long, Set[Long]] =
+        df.select(col("qid").cast("long"), col("neighbor").cast("long"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val exact = resultSet(Similarity.bruteForceTopK(emb, queries, 10))
+      val variants: Seq[(String, () => DataFrame)] = Seq(
+        "d02_lsh_multiprobe" -> (() => Similarity.lshTopK(emb, queries, 10, multiProbe = true)),
+        "d03_ivf" -> (() => Similarity.ivfTopK(emb, queries, 10)),
+        "d04_ivf_adaptive" -> (() => Similarity.ivfTopKAdaptive(emb, queries, 10)),
+        "d08_pq" -> (() => Similarity.pqTopK(emb, queries, 10)),
+        // the recall knob: the ADC scan cost is unchanged, only the exact
+        // re-rank budget grows (shortlist 40 → 320 of the corpus)
+        "d08_pq_rerank32" -> (() =>
+          Similarity.pqTopK(emb, queries, 10, rerankFactor = 32)))
+      val parts = variants.map { case (name, mk) =>
+        mk().write.format("noop").mode("overwrite").save() // warm
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val rs = resultSet(mk())
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = exact.map { case (q, ex) =>
+          rs.getOrElse(q, Set.empty).count(ex).toDouble / ex.size
+        }.sum / exact.size
+        s""""$name":{"sec":$sec,"recall10":${math.rint(recall * 1000) / 1000}}"""
+      }
+      val nVec = spark.read.parquet(s"$out/embeddings.parquet").count()
+      println(s"""{"metric":"scale_probe","mode":"ann","rows":$nVec,"mult":$mult,"queries":{${parts.mkString(",")}}}""")
+      spark.stop()
+      return
     }
 
     if (mode == "layout") {
