@@ -2944,6 +2944,38 @@ object Queries {
       |  CAST(max((doc_id * 13 + i * 11) % 256) AS INT) AS peak
       |FROM px GROUP BY doc_id""".stripMargin))
 
+  private val f05 = Q(
+    "f05_frame_sample",
+    // REAL frame-sampling decode of a multi-frame (video-like) container:
+    // every 3rd frame is pixel-decoded, the rest are header-parsed and
+    // SEEKED over — the capability a video pipeline needs (sample, don't
+    // decode the stream). Frame count/dims/pixels are closed-form, so the
+    // oracle computes the sampled frames' stats analytically: a wrong
+    // stride, mis-seek, or off-by-one frame boundary cannot hash-match.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      import s.implicits._
+      val withPayload = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, operators.Multimodal.syntheticVideo(id)))
+        .toDF("doc_id", "payload")
+      operators.Multimodal.extractVideo(s, withPayload, "doc_id", "payload")
+        .toDF()
+        .withColumn("mean_gray", round(col("mean_gray"), 4))
+    },
+    // frames ≤ 6, pixels/frame ≤ 10·8 = 80: bounded series replace the
+    // unsupported correlated generate_series
+    Some("""WITH px AS (
+      |  SELECT d.doc_id, f.f, p.p
+      |  FROM documents d, generate_series(0, 5) f(f), generate_series(0, 79) p(p)
+      |  WHERE f.f < 2 + d.doc_id % 5 AND f.f % 3 = 0
+      |    AND p.p < (6 + (d.doc_id + f.f) % 5) * (6 + (d.doc_id + f.f) % 3))
+      |SELECT doc_id,
+      |  CAST(2 + doc_id % 5 AS INT) AS n_frames,
+      |  CAST(count(DISTINCT f) AS INT) AS n_sampled,
+      |  CAST(count(*) AS BIGINT) AS sampled_pixels,
+      |  round(avg(CAST((doc_id * 7 + f * 13 + p * 3) % 256 AS DOUBLE)), 4) AS mean_gray
+      |FROM px GROUP BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- group G
 
   private val g01 = Q(
@@ -3079,6 +3111,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21,
-    f01, f02, f03, f04,
+    f01, f02, f03, f04, f05,
     g01, g02, g03, g04)
 }

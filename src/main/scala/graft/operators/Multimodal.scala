@@ -215,4 +215,112 @@ object Multimodal {
       .as[MMRecord]
       .mapPartitions(_.flatMap(r => decodeWav(r.doc_id, r.payload)))
   }
+
+  // ------------------------------------------------------- frame sampling
+
+  /** Features of a frame-SAMPLED multi-frame container: only every
+    * `stride`-th frame is decoded; the rest are seeked over.
+    */
+  case class VideoFeatures(doc_id: Long, n_frames: Int, n_sampled: Int,
+                           sampled_pixels: Long, mean_gray: Double)
+
+  /** Parse one PGM frame starting at `off`; returns (width, height,
+    * pixelOffset, nextFrameOffset) without touching pixel bytes, or None if
+    * malformed. The pixel plane is summed only by callers that WANT the
+    * frame — this is what makes frame sampling cheaper than decoding.
+    */
+  private def pgmHeaderAt(b: Array[Byte], off: Int): Option[(Int, Int, Int, Int)] = {
+    var i = off
+    def skipWs(): Unit = {
+      while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = -1
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    if (i + 2 > b.length || b(i) != 'P' || b(i + 1) != '5') return None
+    i += 2
+    val w = readInt(); val h = readInt(); val maxVal = readInt()
+    if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return None
+    i += 1
+    if (i + w * h > b.length) return None
+    Some((w, h, i, i + w * h))
+  }
+
+  /** REAL frame-sampling decode of a multi-frame container (`GVID` magic +
+    * u16le frame count + concatenated PGM frames): every `stride`-th frame
+    * is pixel-decoded; skipped frames cost a HEADER PARSE + SEEK only (the
+    * container has no frame index, so offsets come from walking headers —
+    * the same discipline as sampling an MJPEG/ivf stream). Malformed
+    * containers (bad magic, truncated frame, count mismatch) dead-letter.
+    */
+  def decodeVideo(docId: Long, b: Array[Byte], stride: Int = 3): Option[VideoFeatures] = {
+    if (b.length < 6 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' || b(3) != 'D')
+      return None
+    val nFrames = (b(4) & 0xff) | ((b(5) & 0xff) << 8)
+    var off = 6
+    var f = 0
+    var sampled = 0
+    var pixels = 0L
+    var sum = 0L
+    while (f < nFrames) {
+      pgmHeaderAt(b, off) match {
+        case None => return None
+        case Some((w, h, px, next)) =>
+          if (f % stride == 0) { // sampled frame: decode the pixel plane
+            var p = 0
+            val n = w * h
+            while (p < n) { sum += (b(px + p) & 0xff); p += 1 }
+            pixels += n
+            sampled += 1
+          } // else: seek — pixel bytes never touched
+          off = next
+      }
+      f += 1
+    }
+    if (off != b.length || pixels == 0) return None
+    Some(VideoFeatures(docId, nFrames, sampled, pixels, sum.toDouble / pixels))
+  }
+
+  /** Deterministic synthetic container: frame count, per-frame dimensions
+    * and every pixel are closed-form in (id, frame, pixel) — the oracle
+    * computes the SAMPLED frames' statistics analytically, so a wrong
+    * stride, a mis-seek, or an off-by-one frame boundary cannot hash-match.
+    */
+  def syntheticVideo(docId: Long): Array[Byte] = {
+    val nFrames = (2 + docId % 5).toInt
+    val frames = (0 until nFrames).map { f =>
+      val w = (6 + (docId + f) % 5).toInt
+      val h = (6 + (docId + f) % 3).toInt
+      val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var p = 0
+      while (p < w * h) {
+        out(header.length + p) = ((docId * 7 + f * 13 + p.toLong * 3) % 256).toByte
+        p += 1
+      }
+      out
+    }
+    val total = 6 + frames.map(_.length).sum
+    val out = new Array[Byte](total)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    out(4) = nFrames.toByte; out(5) = (nFrames >>> 8).toByte
+    var off = 6
+    frames.foreach { fr => System.arraycopy(fr, 0, out, off, fr.length); off += fr.length }
+    out
+  }
+
+  /** Frame-sampling decode over a payload column; malformed rows dead-letter. */
+  def extractVideo(spark: SparkSession, df: DataFrame, idCol: String,
+                   payloadCol: String, stride: Int = 3): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+      .mapPartitions(_.flatMap(r => decodeVideo(r.doc_id, r.payload, stride)))
+  }
 }

@@ -68,6 +68,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeWav(1L, Array.emptyByteArray).isEmpty)
   }
 
+  test("frame-sampling decode: seeks unsampled frames, dead-letters bad containers") {
+    val vid = Multimodal.syntheticVideo(43L) // 43 % 5 = 3 → 5 frames
+    val s3 = Multimodal.decodeVideo(43L, vid, stride = 3).get
+    assert(s3.n_frames == 5 && s3.n_sampled == 2) // frames 0 and 3
+    // stride 1 decodes everything; pooled mean over all frames
+    val s1 = Multimodal.decodeVideo(43L, vid, stride = 1).get
+    assert(s1.n_sampled == 5 && s1.sampled_pixels > s3.sampled_pixels)
+    // the container walk must be exact: truncated tail, bad magic, frame
+    // count mismatch and mid-stream corruption all dead-letter — even when
+    // the corrupt frame would not have been sampled (structure is always
+    // validated; only pixel DECODING is skipped)
+    assert(Multimodal.decodeVideo(43L, vid.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeVideo(43L, "XVID".getBytes ++ vid.drop(4)).isEmpty)
+    val overCount = vid.clone(); overCount(4) = 9
+    assert(Multimodal.decodeVideo(43L, overCount).isEmpty)
+    val corrupt = vid.clone()
+    // smash frame 1's magic (the second "P5" in the container)
+    val idx = (6 until corrupt.length - 1).filter(i =>
+      corrupt(i) == 'P' && corrupt(i + 1) == '5')(1)
+    corrupt(idx) = 'Q'
+    assert(Multimodal.decodeVideo(43L, corrupt).isEmpty)
+  }
+
   test("stub decode is a pure function of the payload") {
     val a = Multimodal.stubDecode(Multimodal.MMRecord(1L, "hello world".getBytes("UTF-8")))
     val b = Multimodal.stubDecode(Multimodal.MMRecord(1L, "hello world".getBytes("UTF-8")))
