@@ -124,10 +124,12 @@ object ScaleProbe {
         "d03_ivf" -> (() => Similarity.ivfTopK(emb, queries, 10)),
         "d04_ivf_adaptive" -> (() => Similarity.ivfTopKAdaptive(emb, queries, 10)),
         "d08_pq" -> (() => Similarity.pqTopK(emb, queries, 10)),
-        // the recall knob: the ADC scan cost is unchanged, only the exact
-        // re-rank budget grows (shortlist 40 → 320 of the corpus)
+        // the recall knobs: re-rank budget (ADC scan cost unchanged) and
+        // codebook resolution (LUT 4× bigger, codes still 8 B/vec)
         "d08_pq_rerank32" -> (() =>
-          Similarity.pqTopK(emb, queries, 10, rerankFactor = 32)))
+          Similarity.pqTopK(emb, queries, 10, rerankFactor = 32)),
+        "d08_pq_kc64_rerank32" -> (() =>
+          Similarity.pqTopK(emb, queries, 10, kc = 64, rerankFactor = 32)))
       val parts = variants.map { case (name, mk) =>
         mk().write.format("noop").mode("overwrite").save() // warm
         spark.sharedState.cacheManager.clearCache()
