@@ -124,4 +124,48 @@ object FuzzProps extends Properties("graft.kernels") {
       if (a == b) agree == n
       else Math.abs(agree.toDouble / n - jw) <= 0.35
     }
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+
+  property("media decoders never throw: arbitrary AND truncated-valid bytes") =
+    forAll(bytesGen, Gen.chooseNum(0L, 10000L), Gen.chooseNum(0, 500)) {
+      (bs, id, cut) =>
+        // arbitrary garbage
+        operators.Multimodal.decodePgm(id, bs)
+        operators.Multimodal.decodeWav(id, bs)
+        operators.Multimodal.decodeVideo(id, bs)
+        // every prefix-truncation of a VALID payload (the realistic
+        // corruption: a partial object fetch) must dead-letter, not throw
+        val wav = operators.Multimodal.syntheticWav(id)
+        val vid = operators.Multimodal.syntheticVideo(id)
+        val wcut = wav.take(cut min (wav.length - 1))
+        val vcut = vid.take(cut min (vid.length - 1))
+        operators.Multimodal.decodeWav(id, wcut).isEmpty &&
+          operators.Multimodal.decodeVideo(id, vcut).isEmpty &&
+          operators.Multimodal.decodeWav(id, wav).nonEmpty &&
+          operators.Multimodal.decodeVideo(id, vid).nonEmpty
+    }
+
+  property("BPE encode is lossless under ANY merge list") =
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.listOf(Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty),
+        Gen.alphaNumStr.suchThat(_.nonEmpty)))) { (word, pairs) =>
+      // every merge replaces two adjacent symbols by their concatenation,
+      // so token concatenation is invariant whatever the merges are
+      val merges = pairs.zipWithIndex.map { case ((l, r), i) =>
+        operators.Bpe.Merge(i + 1, l, r, l + r, 1L)
+      }
+      operators.Bpe.encodeWord(word, merges).mkString("") ==
+        word + operators.Bpe.Eow
+    }
+
+  property("MinHash-union sketch: any split+merge equals one sequential pass") =
+    forAll(Gen.listOf(Gen.long), Gen.chooseNum(0, 64)) { (hashes, splitAt) =>
+      val agg = new operators.Overlap.MinhashUnion(64)
+      val (l, r) = hashes.splitAt(splitAt min hashes.length)
+      val merged = agg.merge(agg.reduce(agg.zero, l), agg.reduce(agg.zero, r))
+      val whole = agg.reduce(agg.zero, hashes)
+      agg.finish(merged) == agg.finish(whole)
+    }
 }
