@@ -287,6 +287,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally lm.unpersist(blocking = false)
   }
 
+  test("incremental LM maintenance: replayed batch leaves counts exactly-once") {
+    // partial (term, cnt) per batch_id partition + dynamic overwrite: a
+    // replayed micro-batch overwrites exactly itself, and the merged
+    // snapshot equals the LM trained on the full corpus in one batch
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_inc").toString
+    val b0 = Seq((1L, "the cat sat"), (2L, "the dog sat"))
+    val b1 = Seq((3L, "the cat flew home"))
+    val sink = graft.streaming.LmMaintenance.countsSink(dir, "text")
+
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => sink(df.toDF(), id))
+      .option("checkpointLocation", s"$dir-ckpt").start()
+    try {
+      ms.addData(b0: _*); q.processAllAvailable()
+      ms.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // simulate the at-least-once failure: batch 1 is REPLAYED after the fact
+    sink(b1.toDF("doc_id", "text"), 1L)
+
+    val (lm, oov) = graft.streaming.LmMaintenance.currentLm(spark, dir)
+    val (ref, refOov) = graft.streaming.QualityGate.trainLm(
+      (b0 ++ b1).toDF("doc_id", "text"), "text")
+    try {
+      val got = lm.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      val want = ref.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(got == want, s"merged snapshot must equal one-shot LM\n$got\n$want")
+      assert(math.abs(oov - refOov) < 1e-12)
+    } finally ref.unpersist(blocking = false)
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
