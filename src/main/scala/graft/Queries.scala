@@ -2976,6 +2976,37 @@ object Queries {
       |  round(avg(CAST((doc_id * 7 + f * 13 + p * 3) % 256 AS DOUBLE)), 4) AS mean_gray
       |FROM px GROUP BY doc_id""".stripMargin))
 
+  private val f06 = Q(
+    "f06_resize",
+    // REAL image resize (nearest neighbor, 4×4 thumbnail) over the f03 PGM
+    // payloads: output pixel (ox,oy) samples source (⌊ox·w/4⌋, ⌊oy·h/4⌋),
+    // so every resized pixel is closed-form and the checksum pins the full
+    // sampling grid — one mis-mapped index cannot hash-match.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      import s.implicits._
+      val withPayload = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, operators.Multimodal.syntheticPgm(id)))
+        .toDF("doc_id", "payload")
+      operators.Multimodal.extractResized(s, withPayload, "doc_id", "payload", 4, 4)
+        .toDF()
+        .withColumn("mean_resized", round(col("mean_resized"), 4))
+    },
+    Some("""WITH px AS (
+      |  SELECT d.doc_id, ox.i AS ox, oy.i AS oy,
+      |         8 + d.doc_id % 9 AS w, 8 + d.doc_id % 7 AS h
+      |  FROM documents d, generate_series(0, 3) ox(i), generate_series(0, 3) oy(i)),
+      |v AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 31 + (CAST(floor(oy * h / 4.0) AS BIGINT) * w
+      |                    + CAST(floor(ox * w / 4.0) AS BIGINT)) * 7) % 256 AS val
+      |  FROM px)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+      |  round(avg(CAST(val AS DOUBLE)), 4) AS mean_resized,
+      |  CAST(sum(val) AS BIGINT) AS checksum
+      |FROM v GROUP BY doc_id, w, h""".stripMargin))
+
   // ---------------------------------------------------------------- group G
 
   private val g01 = Q(
@@ -3111,6 +3142,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21,
-    f01, f02, f03, f04, f05,
+    f01, f02, f03, f04, f05, f06,
     g01, g02, g03, g04)
 }

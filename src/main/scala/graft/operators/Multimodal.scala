@@ -216,6 +216,57 @@ object Multimodal {
       .mapPartitions(_.flatMap(r => decodeWav(r.doc_id, r.payload)))
   }
 
+  // --------------------------------------------------------------- resize
+
+  /** Nearest-neighbor downscale result; `checksum` pins every resized pixel
+    * (a single mis-mapped source index changes it).
+    */
+  case class ResizedFeatures(doc_id: Long, width: Int, height: Int,
+                             out_w: Int, out_h: Int, mean_resized: Double,
+                             checksum: Long)
+
+  /** REAL image resize (nearest neighbor) over a PGM payload: output pixel
+    * (ox, oy) samples source pixel (⌊ox·w/ow⌋, ⌊oy·h/oh⌋) — the standard
+    * thumbnail/embedding-prep step, done executor-side on the raw plane
+    * with no codec library. Malformed payloads dead-letter.
+    */
+  def resizePgm(docId: Long, b: Array[Byte], ow: Int, oh: Int): Option[ResizedFeatures] = {
+    decodePgm(docId, b).map { f =>
+      // re-locate the pixel plane (decodePgm validated the header)
+      var i = 2
+      var seen = 0
+      while (seen < 3) { // skip w, h, maxval
+        while (i < b.length && !(b(i) >= '0' && b(i) <= '9')) i += 1
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        seen += 1
+      }
+      i += 1
+      var sum = 0L
+      var oy = 0
+      while (oy < oh) {
+        val sy = oy * f.height / oh
+        var ox = 0
+        while (ox < ow) {
+          val sx = ox * f.width / ow
+          sum += (b(i + sy * f.width + sx) & 0xff)
+          ox += 1
+        }
+        oy += 1
+      }
+      ResizedFeatures(docId, f.width, f.height, ow, oh,
+        sum.toDouble / (ow * oh), sum)
+    }
+  }
+
+  /** Resize over a payload column; malformed rows dead-letter. */
+  def extractResized(spark: SparkSession, df: DataFrame, idCol: String,
+                     payloadCol: String, ow: Int, oh: Int): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+      .mapPartitions(_.flatMap(r => resizePgm(r.doc_id, r.payload, ow, oh)))
+  }
+
   // ------------------------------------------------------- frame sampling
 
   /** Features of a frame-SAMPLED multi-frame container: only every

@@ -68,6 +68,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeWav(1L, Array.emptyByteArray).isEmpty)
   }
 
+  test("nearest-neighbor resize samples the exact grid") {
+    // 2×2 source (10,20 / 30,40) resized to 4×4: sy=⌊oy·2/4⌋, sx=⌊ox·2/4⌋ →
+    // each source pixel replicated 2×2 → sum = (10+20+30+40)·4 = 400
+    val img = "P5\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40)
+    val r = Multimodal.resizePgm(7L, img, 4, 4).get
+    assert(r.checksum == 400L && r.mean_resized == 25.0)
+    assert(r.out_w == 4 && r.out_h == 4 && r.width == 2 && r.height == 2)
+    // downscale: 4×4 → 1×1 keeps only source (0,0)
+    val img4 = "P5\n4 4\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](16)(i => (i * 10).toByte)
+    assert(Multimodal.resizePgm(8L, img4, 1, 1).get.checksum == 0L)
+    assert(Multimodal.resizePgm(1L, "junk".getBytes, 4, 4).isEmpty)
+  }
+
   test("frame-sampling decode: seeks unsampled frames, dead-letters bad containers") {
     val vid = Multimodal.syntheticVideo(43L) // 43 % 5 = 3 → 5 frames
     val s3 = Multimodal.decodeVideo(43L, vid, stride = 3).get
