@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2117,6 +2117,55 @@ object Queries {
     annTwinQuery((s, dir) => d08.fn(s, dir)),
     Some(twinRank1Sql))
 
+  private val d10 = Q(
+    "d10_int8_quant",
+    // int8 embedding quantization — the storage-side 100 TB lever PQ's
+    // 8 B/vec sits beyond: per-vector absmax scaling to one byte per dim
+    // (4× smaller than float32, dequant = code·scale) with the
+    // quantization error measured in the same pass. All scalar math in
+    // codegen'd higher-order functions, one scan, no shuffle; the oracle
+    // mirrors scale, the full code CHECKSUM (one mis-rounded code cannot
+    // hash-match), extrema, and mean abs dequantization error.
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dbl = (c: Column) => c.cast("double")
+      // the raw scale column must NOT share the output alias's name:
+      // Spark 4's lateral column alias resolution lets the select's own
+      // `round(.,6) AS scale` shadow the input column inside sibling
+      // expressions, silently quantizing with the ROUNDED scale (caught by
+      // the oracle: one code flipped at a rounding boundary)
+      val code = (v: Column) => round(dbl(v) / col("_scale_raw"))
+      emb
+        .withColumn("_scale_raw",
+          array_max(transform(col("embedding"), v => abs(dbl(v)))) / 127.0)
+        .filter(col("_scale_raw") > 0) // a zero vector has nothing to quantize
+        .select(col("vec_id"), round(col("_scale_raw"), 6).as("scale"),
+          aggregate(transform(col("embedding"), code), lit(0L),
+            (acc, x) => acc + x.cast("long")).as("code_sum"),
+          array_min(transform(col("embedding"), v => code(v).cast("int")))
+            .as("code_min"),
+          array_max(transform(col("embedding"), v => code(v).cast("int")))
+            .as("code_max"),
+          round(aggregate(transform(col("embedding"),
+              v => abs(code(v) * col("_scale_raw") - dbl(v))), lit(0.0d),
+            (acc, x) => acc + x) / size(col("embedding")), 6).as("mean_abs_err"))
+    },
+    Some("""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  CAST(list_sum(list_transform(embedding,
+      |        x -> round(CAST(x AS DOUBLE) / scale))) AS BIGINT) AS code_sum,
+      |  CAST(list_min(list_transform(embedding,
+      |        x -> round(CAST(x AS DOUBLE) / scale))) AS INT) AS code_min,
+      |  CAST(list_max(list_transform(embedding,
+      |        x -> round(CAST(x AS DOUBLE) / scale))) AS INT) AS code_max,
+      |  round(list_sum(list_transform(embedding,
+      |        x -> abs(round(CAST(x AS DOUBLE) / scale) * scale - CAST(x AS DOUBLE))))
+      |        / len(embedding), 6) AS mean_abs_err
+      |FROM e WHERE scale > 0""".stripMargin))
+
   // ---------------------------------------------------------------- group E
 
   private val e01 = Q(
@@ -3139,7 +3188,7 @@ object Queries {
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21,
     f01, f02, f03, f04, f05, f06,
