@@ -3099,6 +3099,31 @@ object Queries {
       |SELECT log_id, resource_id, bytes_sent, date_trunc('second', ts) AS ts_sec
       |FROM http_log""".stripMargin))
 
+  private val g05 = Q(
+    "g05_stream_topk",
+    // the reference README's dashboard question ("top resources, always
+    // fresh") as a continuous query: ONE watermark-bounded windowed count
+    // (streaming-legal state) + a stateless k-bounded TopK selection over
+    // closed windows (foreachBatch on a stream; same function here on
+    // batch — parity in StreamingSpec). Never a second streaming agg, never
+    // a whole-partition window sort.
+    (s, dir) => streaming.HttpLogPipeline.topResources(
+      streaming.HttpLogPipeline.hourlyResourceCounts(
+        streaming.HttpLogPipeline.withEventTimeBounds(httpLog(s, dir)))),
+    Some(s"""${HttpLog.cte},
+      |hourly AS (
+      |  SELECT date_trunc('hour', ts) AS ts_hour, resource_id,
+      |         count(*) AS requests
+      |  FROM http_log GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT ts_hour, resource_id, requests,
+      |         row_number() OVER (PARTITION BY ts_hour
+      |           ORDER BY requests DESC, resource_id) AS rn
+      |  FROM hourly)
+      |SELECT ts_hour, CAST(rn AS INT) AS rank, resource_id,
+      |       CAST(requests AS BIGINT) AS requests
+      |FROM ranked WHERE rn <= 5""".stripMargin))
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -3192,5 +3217,5 @@ object Queries {
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21,
     f01, f02, f03, f04, f05, f06,
-    g01, g02, g03, g04)
+    g01, g02, g03, g04, g05)
 }

@@ -69,4 +69,32 @@ object HttpLogPipeline {
   def dedupReplayed(logs: DataFrame, keys: Seq[String] = Seq("log_id")): DataFrame =
     if (logs.isStreaming) logs.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
     else logs.dropDuplicates(keys)
+
+  /** Hourly per-resource request counts — the streaming-legal HALF of the
+    * continuous top-N dashboard: ONE windowed aggregation (state bounded by
+    * the watermark), emitted per closed window in append mode.
+    */
+  def hourlyResourceCounts(logs: DataFrame): DataFrame =
+    logs.groupBy(window(col("ts"), "1 hour").as("w"), col("resource_id"))
+      .agg(count(lit(1)).as("requests"))
+
+  /** Top-k selection over emitted window counts — STATELESS given closed
+    * windows, so on a stream it runs per micro-batch (foreachBatch) over
+    * the append output rather than as a second streaming aggregation
+    * (chained streaming aggs would double the state for a selection the
+    * closed windows already determine). The k-bounded [[graft.operators.TopK]]
+    * aggregate keeps partial state at k entries per window; resource ids are
+    * zero-padded so the aggregate's string tie-break equals numeric order.
+    */
+  def topResources(hourly: DataFrame, k: Int = 5): DataFrame = {
+    val agg = graft.operators.TopK.top_k(k)
+    hourly
+      .groupBy(col("w"))
+      .agg(agg(lpad(col("resource_id").cast("string"), 10, "0"),
+        col("requests")).as("top"))
+      .select(col("w.start").as("ts_hour"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("ts_hour"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.key").cast("bigint").as("resource_id"),
+        col("e.value").as("requests"))
+  }
 }

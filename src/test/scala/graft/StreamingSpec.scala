@@ -287,6 +287,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally lm.unpersist(blocking = false)
   }
 
+  test("continuous top-k resources: stream windows + batch selection equal batch") {
+    // the g05 split: the stream owns ONE windowed count aggregation
+    // (append mode, watermark-bounded state); top-k selection runs
+    // stateless over the emitted closed windows — and must equal the whole
+    // pipeline run as a batch
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 01:10:00"), 7L),
+      (2L, Timestamp.valueOf("2024-01-01 01:20:00"), 7L),
+      (3L, Timestamp.valueOf("2024-01-01 01:30:00"), 3L),
+      (4L, Timestamp.valueOf("2024-01-01 01:40:00"), 3L),
+      (5L, Timestamp.valueOf("2024-01-01 01:50:00"), 3L),
+      (6L, Timestamp.valueOf("2024-01-01 02:10:00"), 9L))
+    def toDf(xs: Seq[(Long, Timestamp, Long)]) =
+      xs.toDF("log_id", "ts", "resource_id")
+    val batch = graft.streaming.HttpLogPipeline.topResources(
+      graft.streaming.HttpLogPipeline.hourlyResourceCounts(toDf(rows)), k = 2)
+      .collect().map(_.toSeq).toSet
+
+    val ms = MemoryStream[(Long, Timestamp, Long)]
+    val counts = graft.streaming.HttpLogPipeline.hourlyResourceCounts(
+      ms.toDF().toDF("log_id", "ts", "resource_id").withWatermark("ts", "10 minutes"))
+    val q = counts.writeStream.format("memory").queryName("g05_counts")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows: _*); q.processAllAvailable()
+      ms.addData((99L, Timestamp.valueOf("2024-01-01 09:00:00"), 99L))
+      q.processAllAvailable()
+      val emitted = spark.table("g05_counts").filter(col("resource_id") < 99)
+      val streamed = graft.streaming.HttpLogPipeline.topResources(emitted, k = 2)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+      // within hour 1: resource 3 (3 hits) then 7 (2 hits)
+      assert(batch.exists(r => r(1) == 1 && r(2) == 3L && r(3) == 3L))
+      assert(batch.exists(r => r(1) == 2 && r(2) == 7L && r(3) == 2L))
+    } finally q.stop()
+  }
+
   test("incremental LM maintenance: replayed batch leaves counts exactly-once") {
     // partial (term, cnt) per batch_id partition + dynamic overwrite: a
     // replayed micro-batch overwrites exactly itself, and the merged
