@@ -48,13 +48,14 @@ object QualityGate {
     */
   def gate(docs: DataFrame, tsCol: String, idCol: String, textCol: String,
            lm: DataFrame, oovLogp: Double, maxCe: Double,
-           watermark: String = "10 minutes"): DataFrame =
+           watermark: String = "10 minutes",
+           windowDur: String = "1 minute"): DataFrame =
     docs.withWatermark(tsCol, watermark)
       .select(col(tsCol), col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
       .join(lm, Seq("term"), "left")
-      .groupBy(window(col(tsCol), "1 minute"), col(idCol))
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         round(-avg(coalesce(col("logp"), lit(oovLogp))), 4).as("ce"))
       .select(col(idCol), col("n_tokens"), col("ce"),
