@@ -1773,6 +1773,38 @@ object Queries {
       |FROM sizes x JOIN sizes y ON x.source < y.source
       |LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source""".stripMargin))
 
+  private val c16 = Q(
+    "c16_snapshot_diff",
+    // incremental-crawl diff: a synthetic "next snapshot" removes every
+    // 13th doc, rewrites every 11th, adds a batch of new ids — and the diff
+    // must classify every id exactly (added/removed/changed/same), counted
+    // per status. The join carries (id, fingerprint), never text.
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+      val next = base
+        .filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 300000))
+      Dedup.snapshotDiff(base, next, "doc_id", "text")
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""WITH next AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      |d AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.doc_id IS NULL THEN 'added'
+      |              WHEN n.doc_id IS NULL THEN 'removed'
+      |              WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+      |              ELSE 'same' END AS status
+      |  FROM documents o FULL OUTER JOIN next n ON o.doc_id = n.doc_id)
+      |SELECT status, count(*) AS n_docs FROM d GROUP BY status""".stripMargin))
+
   private val c04 = Q(
     "c04_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(corpus(s, dir), "doc_id", "text", "source"),
@@ -3212,7 +3244,7 @@ object Queries {
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21,

@@ -73,6 +73,25 @@ object Dedup {
       .select(col("fp"), col("best.id").as("keeper_id"),
         col("best.s").as("keeper_score"), col("n_copies"))
 
+  /** Per-document diff of two corpus snapshots — the incremental-pipeline
+    * question ("what did the new crawl change?") answered before any
+    * reprocessing is scheduled: full outer join on the id, content compared
+    * by fingerprint. Output: (idCol, status ∈ added|removed|changed|same).
+    * One shuffle per side (the join); fingerprints are computed in the scan
+    * projection, so the join carries (id, 32-byte fp), never the text.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, as: String) =
+      df.select(col(idCol), md5(col(textCol).cast("binary")).as(as))
+    fp(oldSnap, "fp_old").join(fp(newSnap, "fp_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("same").as("status"))
+  }
+
   /** Materialize the (tiny) verified-pair frame into its own cache, then
     * release the operator's internal caches. Without this, every invocation
     * leaks a MEMORY_AND_DISK cache into the session — in a long-lived service
