@@ -123,6 +123,33 @@ object Bpe {
         col("freq"))
   }
 
+  /** Corpus-wide tokenization with a learned merge list: the merges are a
+    * model artifact (KBs), broadcast once, and each word is encoded
+    * executor-side with [[encodeWord]] via `mapPartitions` — the production
+    * tokenizer shape (HF tokenizers ship the merges file to every worker;
+    * iterative symbol merging is genuinely imperative, the same
+    * justification as the media decoders' seam). Output: (idCol, n_words,
+    * n_tokens, fertility = tokens/word rounded 4 dp).
+    */
+  def encodeCorpus(spark: SparkSession, docs: DataFrame, textCol: String,
+                   idCol: String, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (id, text) =>
+          val words = text.trim.split("\\s+").filter(_.nonEmpty)
+          val nTokens = words.map(w => encodeWord(w, ms).length).sum
+          (id, words.length.toLong, nTokens.toLong,
+            if (words.isEmpty) 0.0
+            else math.rint(nTokens.toDouble / words.length * 10000) / 10000)
+        }
+      }
+      .toDF(idCol, "n_words", "n_tokens", "fertility")
+  }
+
   /** Encode one word with a learned merge list — the tokenizer's hot path,
     * as a plain static function (shared by specs and any per-partition
     * encoder). Applies merges in rank order, each greedily left to right.

@@ -75,6 +75,27 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       Seq(("a", "b", 3L), ("ab", Bpe.Eow, 3L)))
   }
 
+  test("corpus-wide encoding matches per-word reference counts") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.learn(spark, docs, "text", 8)
+    val got = Bpe.encodeCorpus(spark, docs, "text", "doc_id", merges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+    // independent per-doc recount through the single-word encoder
+    docs.select("doc_id", "text").collect().take(50).foreach { r =>
+      val words = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+      val want = (words.length.toLong,
+        words.map(w => Bpe.encodeWord(w, merges).length).sum.toLong)
+      assert(got(r.getLong(0)) == want, s"doc ${r.getLong(0)}")
+    }
+    // merges compress: fertility must drop below the no-merge chars+1 bound
+    val fert = Bpe.encodeCorpus(spark, docs, "text", "doc_id", merges)
+      .agg(avg("fertility")).head().getDouble(0)
+    val fert0 = Bpe.encodeCorpus(spark, docs, "text", "doc_id", Nil)
+      .agg(avg("fertility")).head().getDouble(0)
+    assert(fert < fert0, s"learned merges must compress: $fert vs $fert0")
+  }
+
   test("encodeWord agrees with the learned symbolization and is stable") {
     val docs = Tables.documents(spark, sfDir)
     val merges = Bpe.learn(spark, docs, "text", 12)
