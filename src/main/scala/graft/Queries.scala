@@ -1599,6 +1599,41 @@ object Queries {
       |       n_keys, p50_rows, p99_rows
       |FROM c CROSS JOIN s ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin))
 
+  private val b38 = Q(
+    "b38_funnel",
+    // ClickHouse windowFunnel, Spark-first: how far down view→click→
+    // purchase does each user get within 24 h of their first view? One
+    // shuffle, per-user sorted-event fold (state ∝ user activity, the same
+    // memory model as ClickHouse's function); oracle states the cascading-
+    // min definition, which the greedy fold provably equals.
+    (s, dir) => operators.Funnel.windowFunnel(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 86400000000L)
+      .groupBy("level").agg(count(lit(1)).as("n_users")),
+    Some("""WITH t1 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN t1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+      |    AND epoch_us(e.ts) <= t1.t1 + 86400000000 GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+      |    AND epoch_us(e.ts) <= t1.t1 + 86400000000 GROUP BY 1),
+      |lv AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+      |         WHEN t2.user_id IS NOT NULL THEN 2
+      |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |  LEFT JOIN t3 USING (user_id))
+      |SELECT CAST(level AS INT) AS level, count(*) AS n_users
+      |FROM lv GROUP BY level""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -3243,7 +3278,7 @@ object Queries {
     a16, a17, a18,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
-    b31, b32, b33, b34, b35, b36, b37,
+    b31, b32, b33, b34, b35, b36, b37, b38,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
