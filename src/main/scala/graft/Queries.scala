@@ -1634,6 +1634,43 @@ object Queries {
       |SELECT CAST(level AS INT) AS level, count(*) AS n_users
       |FROM lv GROUP BY level""".stripMargin))
 
+  private val b39 = Q(
+    "b39_retention",
+    // weekly cohort retention (the other signature dashboard matrix): users
+    // cohorted by first-active week, the (cohort, week-offset) cell = how
+    // many came back. distinct (user, week) → per-user min → same-key join
+    // (no extra shuffle: both sides partitioned by user) → one matrix agg;
+    // cohort sizes re-join broadcast-small.
+    (s, dir) => {
+      val weeks = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val firsts = weeks.groupBy("user_id").agg(min("wk").as("cohort"))
+      val cells = weeks.join(firsts, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+        .groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("active_users"))
+      val sizes = cells.filter(col("week_offset") === 0)
+        .select(col("cohort"), col("active_users").as("cohort_size"))
+      cells.join(broadcast(sizes), "cohort")
+        .select(col("cohort"), col("week_offset"), col("active_users"),
+          round(col("active_users").cast("double") / col("cohort_size"), 4)
+            .as("retention"))
+    },
+    Some("""WITH weeks AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      |firsts AS (SELECT user_id, min(wk) AS cohort FROM weeks GROUP BY 1),
+      |cells AS (
+      |  SELECT cohort, CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_offset,
+      |         count(*) AS active_users
+      |  FROM weeks JOIN firsts USING (user_id) GROUP BY 1, 2),
+      |sizes AS (SELECT cohort, active_users AS cohort_size FROM cells
+      |          WHERE week_offset = 0)
+      |SELECT cohort, week_offset, active_users,
+      |       round(CAST(active_users AS DOUBLE) / cohort_size, 4) AS retention
+      |FROM cells JOIN sizes USING (cohort)""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -3278,7 +3315,7 @@ object Queries {
     a16, a17, a18,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
-    b31, b32, b33, b34, b35, b36, b37, b38,
+    b31, b32, b33, b34, b35, b36, b37, b38, b39,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
