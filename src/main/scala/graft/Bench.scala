@@ -24,12 +24,16 @@ object Bench {
     def run(q: Q): Boolean =
       try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e"); false }
-    // warm each query once (codegen compile, JIT, file index), then time two
-    // runs and keep the min — one slow run from CI-machine contention (GC,
-    // other tenants) otherwise dominates the reported number. A failing query
+    // warm each query once (codegen compile, JIT, file index), then time
+    // THREE full passes and keep the per-query min — one slow run from
+    // CI-machine contention (GC, other tenants, writeback) otherwise
+    // dominates the reported number (observed swings up to 3×). The passes
+    // are INTERLEAVED: each pass runs the whole suite in a rotated order, so
+    // a single contended wall-clock window degrades at most one of a query's
+    // three samples instead of all of them back-to-back. A failing query
     // reports -1, never a flattering near-zero timing.
     // Every timed run starts from a CLEARED cache: operators that persist
-    // intermediates (the dedup family) would otherwise be served the warm
+    // intermediates (the dedup family) would otherwise be served a previous
     // run's blocks via canonical-plan cache matching and the "timing" would
     // measure a cache read, not the computation. In-run persists still count
     // — they're part of the operator's real cost.
@@ -38,12 +42,17 @@ object Bench {
       val t0 = System.nanoTime()
       if (run(q)) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    val warmed = headline.filter(run)
+    val reps   = 3
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    for (rep <- 0 until reps) {
+      val shift   = if (warmed.isEmpty) 0 else rep * warmed.length / reps
+      val rotated = warmed.drop(shift) ++ warmed.take(shift)
+      rotated.foreach { q => samples(q.name) = timed(q) :: samples(q.name) }
+    }
     val results = headline.map { q =>
-      val warmOk = run(q)
-      val t = if (warmOk) {
-        val (t1, t2) = (timed(q), timed(q))
-        if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
-      } else -1.0
+      val ts = samples(q.name)
+      val t  = if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.min
       q.name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -1601,11 +1601,12 @@ object Queries {
 
   private val b38 = Q(
     "b38_funnel",
-    // ClickHouse windowFunnel, Spark-first: how far down view→click→
-    // purchase does each user get within 24 h of their first view? One
-    // shuffle, per-user sorted-event fold (state ∝ user activity, the same
-    // memory model as ClickHouse's function); oracle states the cascading-
-    // min definition, which the greedy fold provably equals.
+    // Earliest-anchor funnel (stricter than ClickHouse windowFunnel — see
+    // b40 for CH re-anchoring parity): how far down view→click→purchase
+    // does each user get within 24 h of their FIRST view? One shuffle into
+    // a k-bounded aggregate (skew-safe: per-user state capped, non-step
+    // events absorbed map-side); oracle states the cascading-min
+    // definition, which the greedy fold provably equals.
     (s, dir) => operators.Funnel.windowFunnel(
         Tables.events(s, dir), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), 86400000000L)
@@ -1633,6 +1634,98 @@ object Queries {
       |  LEFT JOIN t3 USING (user_id))
       |SELECT CAST(level AS INT) AS level, count(*) AS n_users
       |FROM lv GROUP BY level""".stripMargin))
+
+  private val b40 = Q(
+    "b40_funnel_reanchor",
+    // ClickHouse windowFunnel default-mode PARITY (re-anchoring: every
+    // later view restarts the 24 h window; level = best chain over any
+    // anchor). Implemented as n−1 running-max window recurrences over one
+    // user-partitioned sort — no per-user buffer, spills instead of OOMing
+    // on bot users. Greedy = EXISTS-chain (monotone best anchor), so the
+    // oracle can state it as joins: click strictly after view (equal-ts
+    // click sorts before 'view', so strict), purchase at-or-after click
+    // (equal-ts purchase sorts after 'click'), all within anchor+24 h.
+    (s, dir) => operators.Funnel.windowFunnelReanchor(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 86400000000L)
+      .groupBy("level").agg(count(lit(1)).as("n_users")),
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+      |l1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      |l2 AS (
+      |  SELECT DISTINCT v.user_id
+      |  FROM events v JOIN events c ON v.user_id = c.user_id
+      |  WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |    AND epoch_us(c.ts) > epoch_us(v.ts)
+      |    AND epoch_us(c.ts) <= epoch_us(v.ts) + 86400000000),
+      |l3 AS (
+      |  SELECT DISTINCT v.user_id
+      |  FROM events v
+      |  JOIN events c ON v.user_id = c.user_id
+      |  JOIN events p ON v.user_id = p.user_id
+      |  WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |    AND p.event_type = 'purchase'
+      |    AND epoch_us(c.ts) > epoch_us(v.ts)
+      |    AND epoch_us(c.ts) <= epoch_us(v.ts) + 86400000000
+      |    AND epoch_us(p.ts) >= epoch_us(c.ts)
+      |    AND epoch_us(p.ts) <= epoch_us(v.ts) + 86400000000)
+      |SELECT CAST(level AS INT) AS level, count(*) AS n_users FROM (
+      |  SELECT u.user_id,
+      |    CASE WHEN l3.user_id IS NOT NULL THEN 3
+      |         WHEN l2.user_id IS NOT NULL THEN 2
+      |         WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+      |  FROM u LEFT JOIN l1 ON u.user_id = l1.user_id
+      |         LEFT JOIN l2 ON u.user_id = l2.user_id
+      |         LEFT JOIN l3 ON u.user_id = l3.user_id)
+      |GROUP BY level""".stripMargin))
+
+  private val b41 = Q(
+    "b41_asof_price",
+    // the SURVEY §2 as-of PRICE query (a13 proves the operator on http
+    // logs; this one is the classic orders-to-price-dimension shape): a
+    // synthetic price-change dimension — 3 epochs per part, price stepping
+    // +4% per epoch — as-of joined to every lineitem at its ship date
+    // (STRICTLY prior change wins; ships before the first change price as
+    // null and are counted, exercising the null path). One union + one
+    // per-key ordered window — the same single-shuffle cost class a native
+    // as-of join needs. Oracle states it as a correlated latest-prior
+    // lookup, which DuckDB decorrelates.
+    (s, dir) => {
+      val changes = Tables.part(s, dir)
+        .select(col("p_partkey").as("partkey"),
+          explode(array(lit(0), lit(1), lit(2))).as("k"),
+          col("p_retailprice"))
+        .select(col("partkey"),
+          date_add(lit("1993-01-01").cast("date"), col("k") * 730).as("ts"),
+          // 0.04 step, not 0.05: cents·104 mod 100 is never 50, so the
+          // rounded price has no half-cent ties where Spark's and DuckDB's
+          // double rounding could disagree
+          round(col("p_retailprice") * (lit(1) + lit(0.04) * col("k")), 2)
+            .as("price"))
+      val left = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("partkey"), col("l_shipdate").as("ts"),
+          col("l_quantity"))
+      operators.AsOf.joinPrior(left, changes, Seq("partkey"), "ts", Seq("price"))
+        .groupBy(year(col("ts")).as("ship_year"))
+        .agg(round(sum(col("asof_price") * col("l_quantity")), 2)
+            .as("asof_revenue"),
+          (count(lit(1)) - count(col("asof_price"))).as("pre_change_rows"))
+    },
+    Some("""WITH ks AS (SELECT unnest([0, 1, 2]) AS k),
+      |changes AS (
+      |  SELECT p_partkey AS partkey,
+      |         DATE '1993-01-01' + INTERVAL (k * 730) DAY AS ts,
+      |         round(p_retailprice * (1 + 0.04 * k), 2) AS price
+      |  FROM part CROSS JOIN ks),
+      |enriched AS (
+      |  SELECT l.l_shipdate, l.l_quantity,
+      |         (SELECT c.price FROM changes c
+      |          WHERE c.partkey = l.l_partkey AND c.ts < l.l_shipdate
+      |          ORDER BY c.ts DESC LIMIT 1) AS asof_price
+      |  FROM lineitem l)
+      |SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+      |       round(sum(asof_price * l_quantity), 2) AS asof_revenue,
+      |       count(*) - count(asof_price) AS pre_change_rows
+      |FROM enriched GROUP BY 1""".stripMargin))
 
   private val b39 = Q(
     "b39_retention",
@@ -3315,7 +3408,7 @@ object Queries {
     a16, a17, a18,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
-    b31, b32, b33, b34, b35, b36, b37, b38, b39,
+    b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,

@@ -155,7 +155,12 @@ object Bpe {
     * encoder). Applies merges in rank order, each greedily left to right.
     */
   def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString) :+ Eow
+    // symbolize at CODE POINTS, matching wordFreq's split(word, "(?!^)") —
+    // splitting at UTF-16 code units would shear non-BMP characters (emoji,
+    // supplementary CJK) into lone surrogates that can never match merges
+    // learned from code-point symbols
+    var syms: Seq[String] =
+      word.codePoints().toArray.toSeq.map(Character.toString) :+ Eow
     merges.foreach { m =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       syms.foreach { x =>

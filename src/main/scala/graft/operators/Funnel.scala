@@ -1,32 +1,82 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
-/** Ordered-funnel analysis — ClickHouse's `windowFunnel` re-expressed
-  * Spark-first (the reference sits in the ClickHouse ecosystem; this is the
-  * signature dashboard question "how far down view→click→purchase do users
-  * get within the window?").
+/** Ordered-funnel analysis — the signature dashboard question "how far down
+  * view→click→purchase do users get within the window?", in two variants:
   *
-  * Semantics (windowFunnel's strict-order mode): the window anchors at the
-  * user's EARLIEST step-1 event; each later level needs an event strictly
-  * after the previous level's match and within (anchor, anchor+window].
-  * Matching each level to its earliest eligible event is optimal for a
-  * fixed anchor, so the greedy fold equals the cascading-min definition the
-  * oracle states in SQL.
+  *  - [[windowFunnel]]: deliberately EARLIEST-ANCHOR semantics — the window
+  *    is fixed at the user's first step-1 event and each level must match
+  *    strictly after the previous level, inside (anchor, anchor+window].
+  *    This is NOT ClickHouse `windowFunnel` parity: CH re-anchors on every
+  *    later step-1 event and reports the best chain (view@t0, view@t90,
+  *    click@t100, window 50 → CH level 2, here level 1). Earliest-anchor is
+  *    the stricter "did the FIRST exposure convert" reading, and is what the
+  *    b38 oracle states in cascading-min SQL.
+  *  - [[windowFunnelReanchor]]: ClickHouse default-mode parity (re-anchoring,
+  *    no strict_increase) — level k is reached iff there EXISTS a chain
+  *    e1 < e2 < … < ek in processing order, each within window of e1. The
+  *    greedy ts-array algorithm CH uses equals that EXISTS definition
+  *    because the best (latest) chain start per level is monotone in time,
+  *    which is how the b40 oracle can state it as a join.
   *
-  * Scale shape: ONE shuffle (groupBy user), per-user events collected and
-  * sorted in the aggregation buffer — exactly ClickHouse's memory model for
-  * this function (state ∝ events per user, not corpus), then a codegen'd
-  * higher-order fold computes the level. No joins, no per-level passes.
+  * Scale shape, [[windowFunnel]]: ONE shuffle (groupBy user) into a
+  * k-BOUNDED typed aggregate — per-user state is capped at ~2·`cap` step
+  * events regardless of how hot the user is, and non-step events are
+  * consumed during map-side partial aggregation (they register the user for
+  * level 0 but never enter the buffer, so a bot spamming foreign event
+  * types costs a hash probe, not buffer growth, and never crosses the
+  * wire). An unbounded `collect_list` here was the one OOM hazard at 100×
+  * skew; the cap trades exactness beyond `cap` step events per user
+  * (default 65 536 — far past any real funnel horizon) for a hard buffer
+  * bound.
+  *
+  * Scale shape, [[windowFunnelReanchor]]: no per-user buffer at all — the
+  * chain recurrence is n−1 running-max window functions over ONE
+  * user-partitioned time sort, and a Spark sort spills to disk, so a 10⁷-
+  * event user degrades to I/O instead of OOM. Same single-Exchange
+  * discipline; the level-0 users come back via a user-keyed left join that
+  * reuses the partitioning.
   */
 object Funnel {
 
-  /** Per-user funnel level: 0 (never entered) … steps.length. */
+  /** One funnel event; `y == null` marks a non-step event that registers
+    * the user (for level 0) but must not enter the buffer.
+    */
+  case class FEv(t: Long, y: String)
+
+  /** K-bounded "earliest events" aggregate: keeps the `k` smallest (t, y)
+    * pairs, trimming lazily at 2k so inserts stay O(1) amortized. Map-side
+    * combine trims before the shuffle — the same bounded-state discipline
+    * as [[TopK]], which is what makes the funnel skew-safe.
+    */
+  class EarliestK(k: Int) extends Aggregator[FEv, Seq[FEv], Seq[FEv]] {
+    private def trim(a: Seq[FEv]): Seq[FEv] = a.sortBy(e => (e.t, e.y)).take(k)
+    override def zero: Seq[FEv] = Seq.empty
+    override def reduce(b: Seq[FEv], e: FEv): Seq[FEv] =
+      if (e.y == null) b
+      else { val nb = b :+ e; if (nb.length >= 2 * k) trim(nb) else nb }
+    override def merge(x: Seq[FEv], y: Seq[FEv]): Seq[FEv] = {
+      val m = x ++ y; if (m.length > k) trim(m) else m
+    }
+    override def finish(b: Seq[FEv]): Seq[FEv] = trim(b)
+    override def bufferEncoder: Encoder[Seq[FEv]] = ExpressionEncoder[Seq[FEv]]()
+    override def outputEncoder: Encoder[Seq[FEv]] = ExpressionEncoder[Seq[FEv]]()
+  }
+
+  /** Per-user funnel level, earliest-anchor semantics: 0 (never entered) …
+    * steps.length. `cap` bounds per-user aggregation state; results are
+    * exact for users with ≤ cap step-type events (beyond that, the earliest
+    * cap events decide — a documented approximation, not a crash).
+    */
   def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, steps: Seq[String],
-                   windowMicros: Long): DataFrame = {
+                   windowMicros: Long, cap: Int = 1 << 16): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length, "funnel steps must be distinct")
     val st = (lv: Column, anchor: Column, last: Column) =>
       struct(lv.as("lv"), anchor.as("anchor"), last.as("last"))
     val fold = (s: Column, e: Column) => {
@@ -41,12 +91,58 @@ object Funnel {
           st(lit(i + 1), s.getField("anchor"), t))
       }.otherwise(s)
     }
+    val bounded = udaf(new EarliestK(cap), ExpressionEncoder[FEv]())
     events
       .groupBy(col(userCol))
-      .agg(sort_array(collect_list(struct(
-        unix_micros(col(tsCol)).as("t"), col(typeCol).as("y")))).as("evs"))
+      // step types keep their label; foreign types aggregate as null and are
+      // dropped inside the bounded buffer (user survives with level 0)
+      .agg(bounded(unix_micros(col(tsCol)),
+        when(col(typeCol).isin(steps: _*), col(typeCol))).as("evs"))
+      // EarliestK.finish returns the events already (t, y)-sorted
       .select(col(userCol),
         aggregate(col("evs"), st(lit(0), lit(0L), lit(0L)), fold,
           s => s.getField("lv")).as("level"))
+  }
+
+  /** Per-user funnel level, ClickHouse default-mode parity (re-anchoring,
+    * non-strict): level k iff some chain e1 < … < ek exists in (t, type)
+    * processing order with every e_i ≤ e1 + window. The CH ts-array greedy
+    * is expressed as a window-function recurrence: `c_k` = chain-start of a
+    * k-chain ending at this row = the running max of `c_(k-1)` over
+    * strictly-earlier rows, when this row matches step k inside the window.
+    * Running max is exact here because a later chain start only widens the
+    * window for later levels (monotone), which is also why greedy = EXISTS.
+    */
+  def windowFunnelReanchor(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, steps: Seq[String],
+                           windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length, "funnel steps must be distinct")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("t"), col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var df = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), unix_micros(col(tsCol)).as("t"),
+        col(typeCol).as("y"))
+      .withColumn("c1", when(col("y") === steps.head, col("t")))
+    for (k <- 2 to steps.length) {
+      df = df
+        .withColumn(s"b${k - 1}", max(col(s"c${k - 1}")).over(w))
+        .withColumn(s"c$k",
+          when(col("y") === steps(k - 1) &&
+            col(s"b${k - 1}").isNotNull &&
+            col("t") <= col(s"b${k - 1}") + lit(windowMicros),
+            col(s"b${k - 1}")))
+    }
+    val lvlExpr = (1 to steps.length).foldLeft(lit(0)) { (acc, k) =>
+      when(col(s"c$k").isNotNull, lit(k)).otherwise(acc)
+    }
+    val perUser = df.withColumn("lv", lvlExpr)
+      .groupBy(col(userCol)).agg(max(col("lv")).as("lv"))
+    // users whose every event was filtered out are level 0; the join keys
+    // match the window partitioning, so no extra exchange on the big side
+    events.select(col(userCol)).distinct()
+      .join(perUser, Seq(userCol), "left")
+      .select(col(userCol), coalesce(col("lv"), lit(0)).as("level"))
   }
 }

@@ -150,12 +150,31 @@ object Layout {
           .sortWithinPartitions(sortCols.map(col): _*)
       else merged.coalesce(nOut)
     arranged.write.mode("overwrite").parquet(tmp.toString)
-    small.foreach(s => fs.delete(s.getPath, false))
-    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("part-"))
-      .zipWithIndex.foreach { case (s, i) =>
-        // compacted files get fresh names — no collision with survivors
-        fs.rename(s.getPath, new Path(path, s"part-compacted-$i.parquet"))
+    // Swap order matters for crash-safety: rename the merged files IN first
+    // (under a per-run unique prefix, so a second compaction can never
+    // collide with a previous run's output — fixed names would silently
+    // overwrite on local FS and rename-fail-then-lose on HDFS), and delete
+    // the small sources only after EVERY rename succeeded. A failed rename
+    // rolls back the already-renamed files and aborts with the sources
+    // intact — worst case is leftover tmp data, never loss.
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val dests = fs.listStatus(tmp).filter(_.getPath.getName.startsWith("part-"))
+      .zipWithIndex.map { case (s, j) =>
+        (s.getPath, new Path(path, s"part-compacted-$runId-$j.parquet"))
       }
+    val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val allOk = dests.forall { case (src, dst) =>
+      val ok = fs.rename(src, dst)
+      if (ok) renamed += dst
+      ok
+    }
+    if (!allOk) {
+      renamed.foreach(p => fs.delete(p, false))
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compact: rename into $path failed; small sources left intact")
+    }
+    small.foreach(s => fs.delete(s.getPath, false))
     fs.delete(tmp, true)
     CompactStats(before.length, parts().length, small.length, smallBytes)
   }

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Sanity cap on decoded image dimensions: headers claiming more are
+    * treated as malformed (dead-letter). Pixel-plane sizes are still
+    * computed in Long and bounds-checked against the payload before any
+    * narrowing to Int.
+    */
+  val MaxDim = 1 << 16
+
   /** An opaque media payload plus its id. */
   case class MMRecord(doc_id: Long, payload: Array[Byte])
 
@@ -75,21 +82,28 @@ object Multimodal {
     def skipWs(): Unit = {
       while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
     }
+    // Accumulates in Long and poisons on Int overflow instead of wrapping:
+    // a crafted header like "4294967297" must read as invalid, not as 1.
     def readInt(): Int = {
       skipWs()
-      var v = -1
+      var v = -1L
       while (i < b.length && b(i) >= '0' && b(i) <= '9') {
-        v = (if (v < 0) 0 else v) * 10 + (b(i) - '0'); i += 1
+        v = (if (v < 0) 0L else v) * 10 + (b(i) - '0'); i += 1
+        if (v > Int.MaxValue) v = Int.MaxValue.toLong + 1
       }
-      v
+      if (v > Int.MaxValue) -2 else v.toInt
     }
     if (b.length < 2 || b(0) != 'P' || b(1) != '5') return None
     i = 2
     val w = readInt(); val h = readInt(); val maxVal = readInt()
-    if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return None
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+        maxVal <= 0 || maxVal > 255) return None
     i += 1 // exactly one whitespace after maxval, then raw bytes
-    val n = w * h
-    if (i + n > b.length) return None
+    // w*h in Int can overflow negative (e.g. w=2147483640, h=1 slips the
+    // bounds check and the pixel loop reads past the array) — size in Long.
+    val nL = w.toLong * h
+    if (i.toLong + nL > b.length) return None
+    val n = nL.toInt
     var sum = 0L
     var p = 0
     while (p < n) { sum += (b(i + p) & 0xff); p += 1 }
@@ -287,19 +301,23 @@ object Multimodal {
     }
     def readInt(): Int = {
       skipWs()
-      var v = -1
+      var v = -1L
       while (i < b.length && b(i) >= '0' && b(i) <= '9') {
-        v = (if (v < 0) 0 else v) * 10 + (b(i) - '0'); i += 1
+        v = (if (v < 0) 0L else v) * 10 + (b(i) - '0'); i += 1
+        if (v > Int.MaxValue) v = Int.MaxValue.toLong + 1
       }
-      v
+      if (v > Int.MaxValue) -2 else v.toInt
     }
     if (i + 2 > b.length || b(i) != 'P' || b(i + 1) != '5') return None
     i += 2
     val w = readInt(); val h = readInt(); val maxVal = readInt()
-    if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return None
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+        maxVal <= 0 || maxVal > 255) return None
     i += 1
-    if (i + w * h > b.length) return None
-    Some((w, h, i, i + w * h))
+    // size the plane in Long: w*h in Int wraps negative on crafted headers
+    val nL = w.toLong * h
+    if (i.toLong + nL > b.length) return None
+    Some((w, h, i, i + nL.toInt))
   }
 
   /** REAL frame-sampling decode of a multi-frame container (`GVID` magic +

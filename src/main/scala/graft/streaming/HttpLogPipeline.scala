@@ -90,7 +90,10 @@ object HttpLogPipeline {
     val agg = graft.operators.TopK.top_k(k)
     hourly
       .groupBy(col("w"))
-      .agg(agg(lpad(col("resource_id").cast("string"), 10, "0"),
+      // pad to 19 — the max digit count of a positive 64-bit id; a shorter
+      // pad would TRUNCATE longer ids (lpad cuts, not just fills), silently
+      // corrupting both the id and the tie-break order
+      .agg(agg(lpad(col("resource_id").cast("string"), 19, "0"),
         col("requests")).as("top"))
       .select(col("w.start").as("ts_hour"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("ts_hour"), (col("pos") + 1).cast("int").as("rank"),

@@ -73,4 +73,129 @@ class HttpLogCodecSpec extends AnyFunSuite {
     assert(row.getLong(0) == 0L && row.getInt(4) == 0)
     assert(row.getUTF8String(5).toString == "")
   }
+
+  // ------------------------------------------------------- golden vectors
+  //
+  // Fixed known-byte messages, hand-derived from the PUBLIC Cap'n Proto wire
+  // spec (capnproto.org/encoding.html) for http_log.capnp's HttpLogRecord —
+  // NOT produced by our own encoder. Self-roundtrip tests cannot catch a
+  // shared encode/decode divergence from the real framing; these can: if
+  // the codec's segment table, struct pointer, list pointers, or text
+  // padding ever drift from what a real capnp producer emits, the
+  // byte-exact comparisons below fail.
+  //
+  // Layout per the schema (canonical single-segment message):
+  //   u32 segmentCount-1 = 0, u32 segment0 size (words)
+  //   word 0: root STRUCT pointer: kind=0 (bits 0-1), offset=0 (bits 2-31),
+  //           dataWords=5 (bits 32-47), ptrWords=4 (bits 48-63)
+  //           → LE bytes 00 00 00 00 05 00 04 00
+  //   words 1-4: ts, resourceId, bytesSent, requestTimeMilli (u64 LE)
+  //   word 5: responseStatus in bytes 0-1 (u16 LE), rest zero
+  //   words 6-9: LIST pointers, one per Text field in declaration order:
+  //           kind=1, offset (bits 2-31) = words from END of this pointer
+  //           word to first element, elemSize=2 (1-byte, bits 32-34),
+  //           count (bits 35-63) = byte length INCLUDING the NUL
+  //   then the text blobs, each NUL-terminated and zero-padded to a word.
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.split("\\s+").filter(_.nonEmpty).map(Integer.parseInt(_, 16).toByte)
+
+  /** (HIT, GET, 1.2.3.4, /) with ts=1 rid=2 bytes=3 rtm=4 status=200.
+    * Every text is ≤7 bytes → 1 word each; all four list-pointer offsets
+    * are 3 (3 remaining pointer words + 0..3 blobs ahead cancel out).
+    */
+  private val golden1 = hexBytes("""
+    00 00 00 00 0E 00 00 00
+    00 00 00 00 05 00 04 00
+    01 00 00 00 00 00 00 00
+    02 00 00 00 00 00 00 00
+    03 00 00 00 00 00 00 00
+    04 00 00 00 00 00 00 00
+    C8 00 00 00 00 00 00 00
+    0D 00 00 00 22 00 00 00
+    0D 00 00 00 22 00 00 00
+    0D 00 00 00 42 00 00 00
+    0D 00 00 00 12 00 00 00
+    48 49 54 00 00 00 00 00
+    47 45 54 00 00 00 00 00
+    31 2E 32 2E 33 2E 34 00
+    2F 00 00 00 00 00 00 00""")
+
+  /** Empty texts, u64-max ts, u16-max status, and a 2-word url blob:
+    * ts=2^64-1 rid=0 bytes=123456789 rtm=0 status=65535,
+    * ("", POST, "", /a/b?q=1). Empty Text still encodes count=1 (the NUL).
+    */
+  private val golden2 = hexBytes("""
+    00 00 00 00 0F 00 00 00
+    00 00 00 00 05 00 04 00
+    FF FF FF FF FF FF FF FF
+    00 00 00 00 00 00 00 00
+    15 CD 5B 07 00 00 00 00
+    00 00 00 00 00 00 00 00
+    FF FF 00 00 00 00 00 00
+    0D 00 00 00 0A 00 00 00
+    0D 00 00 00 2A 00 00 00
+    0D 00 00 00 0A 00 00 00
+    0D 00 00 00 4A 00 00 00
+    00 00 00 00 00 00 00 00
+    50 4F 53 54 00 00 00 00
+    00 00 00 00 00 00 00 00
+    2F 61 2F 62 3F 71 3D 31
+    00 00 00 00 00 00 00 00""")
+
+  /** Multi-byte UTF-8 in a Text field (é = C3 A9): Text carries UTF-8
+    * BYTES, so the count is 4 (2F C3 A9 + NUL), not the char count.
+    * ts=0x0123456789ABCDEF rid=42 bytes=0 rtm=7 status=404.
+    */
+  private val golden3 = hexBytes("""
+    00 00 00 00 0E 00 00 00
+    00 00 00 00 05 00 04 00
+    EF CD AB 89 67 45 23 01
+    2A 00 00 00 00 00 00 00
+    00 00 00 00 00 00 00 00
+    07 00 00 00 00 00 00 00
+    94 01 00 00 00 00 00 00
+    0D 00 00 00 2A 00 00 00
+    0D 00 00 00 22 00 00 00
+    0D 00 00 00 22 00 00 00
+    0D 00 00 00 22 00 00 00
+    4D 49 53 53 00 00 00 00
+    47 45 54 00 00 00 00 00
+    3A 3A 31 00 00 00 00 00
+    2F C3 A9 00 00 00 00 00""")
+
+  private def assertDecodes(bytes: Array[Byte], ts: Long, rid: Long, bs: Long,
+                            rtm: Long, st: Int, cache: String, method: String,
+                            addr: String, url: String): Unit = {
+    val row = HttpLogCodec.decode(bytes)
+    assert(row != null, "golden vector failed to decode")
+    assert(row.getLong(0) == ts && row.getLong(1) == rid &&
+      row.getLong(2) == bs && row.getLong(3) == rtm && row.getInt(4) == st)
+    assert(row.getUTF8String(5).toString == cache)
+    assert(row.getUTF8String(6).toString == method)
+    assert(row.getUTF8String(7).toString == addr)
+    assert(row.getUTF8String(8).toString == url)
+  }
+
+  test("golden wire vector 1: typical record decodes and encodes byte-exactly") {
+    assertDecodes(golden1, 1L, 2L, 3L, 4L, 200, "HIT", "GET", "1.2.3.4", "/")
+    val enc = HttpLogCodec.encode(1L, 2L, 3L, 4L, 200,
+      u("HIT"), u("GET"), u("1.2.3.4"), u("/"))
+    assert(enc.toSeq == golden1.toSeq, "encoder diverged from capnp framing")
+  }
+
+  test("golden wire vector 2: empty texts, u64/u16 extremes, 2-word blob") {
+    assertDecodes(golden2, -1L, 0L, 123456789L, 0L, 65535, "", "POST", "", "/a/b?q=1")
+    val enc = HttpLogCodec.encode(-1L, 0L, 123456789L, 0L, 65535,
+      u(""), u("POST"), u(""), u("/a/b?q=1"))
+    assert(enc.toSeq == golden2.toSeq, "encoder diverged from capnp framing")
+  }
+
+  test("golden wire vector 3: multi-byte UTF-8 counts bytes, not chars") {
+    assertDecodes(golden3, 0x0123456789ABCDEFL, 42L, 0L, 7L, 404,
+      "MISS", "GET", "::1", "/é")
+    val enc = HttpLogCodec.encode(0x0123456789ABCDEFL, 42L, 0L, 7L, 404,
+      u("MISS"), u("GET"), u("::1"), u("/é"))
+    assert(enc.toSeq == golden3.toSeq, "encoder diverged from capnp framing")
+  }
 }
