@@ -3045,11 +3045,38 @@ object Queries {
 
   private val f02 = Q(
     "f02_mm_features",
-    (s, dir) =>
-      Multimodal.extractFeatures(
-        s, Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
-        "doc_id", "payload").toDF(),
-    None)
+    // REAL color-image decode (was the declared stub until r5): 24-bit
+    // BI_RGB BMP — fixed-offset LE headers, honored pixel-data offset,
+    // BOTTOM-UP padded BGR rows — synthesized per doc with closed-form
+    // channel bytes; the oracle computes the per-channel means analytically
+    // (means are row-order independent, so the bottom-up storage the
+    // decoder must undo cannot leak into the expected values — but a missed
+    // padding byte or BGR swap changes them).
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      import s.implicits._
+      val withPayload = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, operators.Multimodal.syntheticBmp(id)))
+        .toDF("doc_id", "payload")
+      operators.Multimodal.extractBmp(s, withPayload, "doc_id", "payload")
+        .toDF()
+        .withColumn("mean_r", round(col("mean_r"), 4))
+        .withColumn("mean_g", round(col("mean_g"), 4))
+        .withColumn("mean_b", round(col("mean_b"), 4))
+    },
+    // max pixel count is 8*6 = 48 → bounded series + filter
+    Some("""WITH px AS (
+      |  SELECT d.doc_id, s.i
+      |  FROM documents d, generate_series(0, 47) s(i)
+      |  WHERE s.i < (4 + d.doc_id % 5) * (3 + d.doc_id % 4))
+      |SELECT doc_id,
+      |  CAST(4 + doc_id % 5 AS INT) AS width,
+      |  CAST(3 + doc_id % 4 AS INT) AS height,
+      |  CAST((4 + doc_id % 5) * (3 + doc_id % 4) AS INT) AS n_pixels,
+      |  round(avg(CAST((doc_id * 13 + i * 2) % 256 AS DOUBLE)), 4) AS mean_r,
+      |  round(avg(CAST((doc_id * 11 + i * 5) % 256 AS DOUBLE)), 4) AS mean_g,
+      |  round(avg(CAST((doc_id * 7 + i * 3) % 256 AS DOUBLE)), 4) AS mean_b
+      |FROM px GROUP BY doc_id""".stripMargin))
 
   private val f03 = Q(
     "f03_pgm_decode",

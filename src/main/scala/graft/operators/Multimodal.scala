@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2 group F): image/audio/video
-  * travel as opaque `binary` columns with typed metadata. The Spark side —
-  * schema, typed Dataset, per-partition batching — is real; the media decode
-  * itself is STUBBED (no image/audio libraries in this container) with a
-  * deterministic fake so the pipeline is testable end-to-end. A production
-  * deployment swaps [[Multimodal.stubDecode]] for a real codec (or an Arrow
-  * batch UDF) without touching the surrounding plan.
+  * travel as opaque `binary` columns with typed metadata. Four REAL
+  * executor-side decoders cover the pure-bytes wire disciplines — PGM
+  * (ASCII header + raw plane), BMP (little-endian fixed-offset headers,
+  * bottom-up padded BGR rows), RIFF/WAV (chunk walk), and a multi-frame
+  * container (header-walk frame seeking). Only formats that require an
+  * external codec library (JPEG/PNG/MP3 entropy coding) are out of scope in
+  * this container; [[Multimodal.stubDecode]] marks that seam — a production
+  * deployment swaps it for a real codec (or an Arrow batch UDF) without
+  * touching the surrounding plan, exactly as the four real decoders do.
   */
 object Multimodal {
 
@@ -391,5 +394,103 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
       .as[MMRecord]
       .mapPartitions(_.flatMap(r => decodeVideo(r.doc_id, r.payload, stride)))
+  }
+
+  // -------------------------------------------------------------- real BMP
+
+  /** Decoded 24-bit color image features: per-channel means pin every pixel
+    * byte; a swapped channel order (BMP stores BGR) or a missed row-padding
+    * byte cannot hash-match the analytic oracle.
+    */
+  case class BmpFeatures(doc_id: Long, width: Int, height: Int, n_pixels: Int,
+                         mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL Windows BMP decoder (24-bit uncompressed BI_RGB, the dominant
+    * interchange flavor) — the third pure-bytes image family after PGM's
+    * ASCII header and RIFF's chunk walk, exercising the remaining wire
+    * disciplines: a little-endian FIXED-OFFSET header pair
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER), an explicit pixel-data offset
+    * that must be honored (real writers put gaps/palettes there), BOTTOM-UP
+    * row order (positive height; negative = top-down, also handled), BGR
+    * byte order, and rows padded to 4-byte boundaries. Malformed payloads
+    * (bad magic, wrong bpp/compression, overflowing or capped dims, short
+    * pixel data) dead-letter as None, never throw. All plane arithmetic is
+    * in Long — a crafted width cannot wrap a bounds check.
+    */
+  def decodeBmp(docId: Long, b: Array[Byte]): Option[BmpFeatures] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def i32(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    val dataOff = i32(10)
+    val infoSize = i32(14)
+    if (infoSize < 40) return None // BITMAPCOREHEADER not supported
+    val w = i32(18)
+    val hRaw = i32(22)
+    val topDown = hRaw < 0
+    val h = if (topDown) -hRaw else hRaw
+    if (hRaw == Int.MinValue || w <= 0 || h <= 0 ||
+      w > MaxDim || h > MaxDim) return None
+    if (u16(26) != 1 || u16(28) != 24 || i32(30) != 0) return None
+    val rowBytes = (w.toLong * 3 + 3) & ~3L
+    if (dataOff < 54 || dataOff.toLong + rowBytes * h > b.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var i = dataOff + (srcRow * rowBytes).toInt
+      var x = 0
+      while (x < w) {
+        sb += (b(i) & 0xff); sg += (b(i + 1) & 0xff); sr += (b(i + 2) & 0xff)
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val n = w * h // safe: both ≤ MaxDim and rowBytes·h fit in the payload
+    def mean(s: Long) = math.rint(s.toDouble / n * 10000) / 10000
+    Some(BmpFeatures(docId, w, h, n, mean(sr), mean(sg), mean(sb)))
+  }
+
+  /** Deterministic synthetic 24-bit BMP: dimensions and every channel byte
+    * are closed-form in (id, pixel index), stored BOTTOM-UP with row
+    * padding, so the analytic oracle can compute the channel means without
+    * parsing — a mis-read padding byte or BGR mixup cannot match.
+    */
+  def syntheticBmp(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 5).toInt
+    val h = (3 + docId % 4).toInt
+    val rowBytes = (w * 3 + 3) & ~3
+    val size = 54 + rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var yStored = h - 1 // bottom-up: last logical row first
+    while (yStored >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = yStored * w + x // logical pixel index
+        buf.put(((docId * 7 + p * 3) % 256).toByte)  // B
+        buf.put(((docId * 11 + p * 5) % 256).toByte) // G
+        buf.put(((docId * 13 + p * 2) % 256).toByte) // R
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      yStored -= 1
+    }
+    buf.array()
+  }
+
+  /** Real BMP decode over a payload column; malformed rows dead-letter. */
+  def extractBmp(spark: SparkSession, df: DataFrame,
+                 idCol: String, payloadCol: String): Dataset[BmpFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+      .mapPartitions(_.flatMap(r => decodeBmp(r.doc_id, r.payload)))
   }
 }

@@ -105,6 +105,52 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeVideo(43L, corrupt).isEmpty)
   }
 
+  test("real BMP decoder: bottom-up BGR rows, padding, data-offset gap, dead-letter") {
+    // hand-built 2x2 24-bit BMP, bottom-up: stored rows are logical row 1
+    // then row 0; each 6-byte row padded to 8. Logical pixels (BGR):
+    //   (0,0)=(1,2,3)  (1,0)=(4,5,6)  (0,1)=(7,8,9)  (1,1)=(10,11,12)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val header = "BM".getBytes ++ le32(54 + 16) ++ le16(0) ++ le16(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val rows = Array[Byte](7, 8, 9, 10, 11, 12, 0, 0, // logical row 1 first
+      1, 2, 3, 4, 5, 6, 0, 0)
+    val f = Multimodal.decodeBmp(5L, header ++ rows).get
+    assert(f.width == 2 && f.height == 2 && f.n_pixels == 4)
+    assert(f.mean_b == (1 + 4 + 7 + 10) / 4.0)  // B channel = bytes 0 of each px
+    assert(f.mean_g == (2 + 5 + 8 + 11) / 4.0)
+    assert(f.mean_r == (3 + 6 + 9 + 12) / 4.0)
+    // negative height = top-down: swap stored row order, same means, and the
+    // decoder must read rows forward
+    val tdHeader = header.clone()
+    System.arraycopy(le32(-2), 0, tdHeader, 22, 4)
+    val tdRows = Array[Byte](1, 2, 3, 4, 5, 6, 0, 0, 7, 8, 9, 10, 11, 12, 0, 0)
+    val td = Multimodal.decodeBmp(5L, tdHeader ++ tdRows).get
+    assert(td.mean_r == f.mean_r && td.mean_g == f.mean_g && td.mean_b == f.mean_b)
+    // a data-offset gap (palette/ICC space) must be honored, not assumed 54
+    val gapHeader = header.clone()
+    System.arraycopy(le32(54 + 8), 0, gapHeader, 10, 4)
+    val gap = Multimodal.decodeBmp(5L, gapHeader ++ Array.fill[Byte](8)(99) ++ rows).get
+    assert(gap.mean_r == f.mean_r)
+    // synthetic generator roundtrips through the real parser
+    val s = Multimodal.decodeBmp(42L, Multimodal.syntheticBmp(42L)).get
+    assert(s.width == (4 + 42 % 5) && s.height == (3 + 42 % 4))
+    // malformed: bad magic, 8bpp, RLE compression, truncated plane, crafted
+    // width that wraps Int in w*3, short header — all dead-letter, no throw
+    assert(Multimodal.decodeBmp(1L, "XX".getBytes ++ header.drop(2) ++ rows).isEmpty)
+    val bpp8 = header.clone(); System.arraycopy(le16(8), 0, bpp8, 28, 2)
+    assert(Multimodal.decodeBmp(1L, bpp8 ++ rows).isEmpty)
+    val rle = header.clone(); System.arraycopy(le32(1), 0, rle, 30, 4)
+    assert(Multimodal.decodeBmp(1L, rle ++ rows).isEmpty)
+    assert(Multimodal.decodeBmp(1L, header ++ rows.take(9)).isEmpty)
+    val wide = header.clone(); System.arraycopy(le32(0x7ffffff0), 0, wide, 18, 4)
+    assert(Multimodal.decodeBmp(1L, wide ++ rows).isEmpty)
+    val minH = header.clone(); System.arraycopy(le32(Int.MinValue), 0, minH, 22, 4)
+    assert(Multimodal.decodeBmp(1L, minH ++ rows).isEmpty)
+    assert(Multimodal.decodeBmp(1L, (header ++ rows).take(53)).isEmpty)
+  }
+
   test("stub decode is a pure function of the payload") {
     val a = Multimodal.stubDecode(Multimodal.MMRecord(1L, "hello world".getBytes("UTF-8")))
     val b = Multimodal.stubDecode(Multimodal.MMRecord(1L, "hello world".getBytes("UTF-8")))
