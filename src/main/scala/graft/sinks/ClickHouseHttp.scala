@@ -162,4 +162,60 @@ object ClickHouseHttp {
         }
       }
   }
+
+  /** [[insertSink]] with the reference sink's BATCHING contract
+    * (`sink.rs:94-170`: rows buffer into blocks of `CH__MAX_BLOCK_SIZE`,
+    * and an insert is dispatched when the rate-limit window elapses): a
+    * partition's rows are split into blocks of at most `maxRows`, and a
+    * block also flushes once it has been open for `maxDelayMs` — so one
+    * POST is never unboundedly large (the reference's `413 Payload Too
+    * Large` concern, sink.rs:326) and rows from a slow, trickling upstream
+    * iterator are never unboundedly stale.
+    *
+    * Delivery semantics are UNCHANGED from [[insertSink]]: each block
+    * retries with fixed delay; an exhausted block fails the task, the
+    * micro-batch replays, and earlier already-posted blocks of that
+    * partition duplicate — at-least-once, collapsed to exactly-once by the
+    * ReplacingMergeTree DDL. `nanoTime` is injectable so specs can drive
+    * the delay flush deterministically.
+    */
+  def insertSinkBatched(endpoint: String, table: String, schema: StructType,
+                        maxRows: Int = 4096, maxDelayMs: Long = 10000,
+                        tries: Int = 3, delayMs: Long = 100,
+                        nanoTime: () => Long = () => System.nanoTime())
+                       : (DataFrame, Long) => Unit = {
+    require(maxRows > 0, "maxRows must be positive")
+    val query = ClickHouseDdl.insertDdl(table, schema) + " FORMAT TabSeparated"
+    (batch: DataFrame, _: Long) =>
+      batch.foreachPartition { (rows: Iterator[Row]) =>
+        var tmp: Path = null
+        var out: BufferedOutputStream = null
+        var n = 0
+        var openedAt = 0L
+        def open(): Unit = {
+          tmp = Files.createTempFile("graft-ch-insert-", ".tsv")
+          out = new BufferedOutputStream(Files.newOutputStream(tmp), 1 << 16)
+          n = 0
+          openedAt = nanoTime()
+        }
+        def flush(): Unit = {
+          out.close(); out = null
+          try retry(tries, delayMs)(post(endpoint, query, tmp))
+          finally { Files.deleteIfExists(tmp); tmp = null }
+        }
+        try {
+          while (rows.hasNext) {
+            if (out == null) open()
+            writeTsvRow(rows.next(), out)
+            n += 1
+            if (n >= maxRows || (nanoTime() - openedAt) / 1000000L >= maxDelayMs)
+              flush()
+          }
+          if (out != null) flush()
+        } finally {
+          if (out != null) out.close()
+          if (tmp != null) Files.deleteIfExists(tmp)
+        }
+      }
+  }
 }

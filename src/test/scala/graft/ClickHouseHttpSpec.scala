@@ -113,6 +113,65 @@ class ClickHouseHttpSpec extends AnyFunSuite with SparkTestBase {
     assert(bos.toByteArray.toSeq == expected.toSeq)
   }
 
+  test("batched sink: maxRows splits a partition into counted block inserts") {
+    val stub = new Stub(failFirst = 0)
+    try {
+      val df = spark.range(0, 10).select(
+        col("id").as("log_id"), concat(lit("p"), col("id")).as("payload"))
+        .coalesce(1)
+      val sink = ClickHouseHttp.insertSinkBatched(
+        stub.endpoint, "http_log", df.schema, maxRows = 4,
+        maxDelayMs = Long.MaxValue / 2, tries = 2, delayMs = 1)
+      sink(df, 0L)
+      assert(stub.requests.get() == 3, "10 rows at block size 4 → 4+4+2")
+      import scala.jdk.CollectionConverters._
+      val sizes = stub.bodies.asScala.map(_.split("\n").count(_.nonEmpty))
+      assert(sizes == Seq(4, 4, 2), s"got block sizes $sizes")
+      val ids = stub.lines.map(_.split("\t")(0).toLong).sorted
+      assert(ids == (0L until 10L), "every row delivered exactly once")
+    } finally stub.stop()
+  }
+
+  test("batched sink: maxDelay flushes an open block even below maxRows") {
+    val stub = new Stub(failFirst = 0)
+    try {
+      val df = spark.range(0, 10).select(
+        col("id").as("log_id"), concat(lit("p"), col("id")).as("payload"))
+        .coalesce(1)
+      // injected clock: every reading advances 6 ms. open() reads once, then
+      // each row's flush check reads once → a block's second row always sees
+      // elapsed 12 ms ≥ 10 ms and flushes: 10 rows → 5 two-row blocks
+      val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+      val sink = ClickHouseHttp.insertSinkBatched(
+        stub.endpoint, "http_log", df.schema, maxRows = 1000,
+        maxDelayMs = 10, tries = 2, delayMs = 1,
+        nanoTime = () => clock.addAndGet(6000000L))
+      sink(df, 0L)
+      assert(stub.requests.get() == 5, "delay must flush below-maxRows blocks")
+      import scala.jdk.CollectionConverters._
+      val sizes = stub.bodies.asScala.map(_.split("\n").count(_.nonEmpty))
+      assert(sizes == Seq(2, 2, 2, 2, 2), s"got block sizes $sizes")
+      val ids = stub.lines.map(_.split("\t")(0).toLong).sorted
+      assert(ids == (0L until 10L))
+    } finally stub.stop()
+  }
+
+  test("batched sink: per-block retry/replay semantics unchanged") {
+    val stub = new Stub(failFirst = 2) // first block rejected twice, then ok
+    try {
+      val df = spark.range(0, 9).select(
+        col("id").as("log_id"), concat(lit("p"), col("id")).as("payload"))
+        .coalesce(1)
+      val sink = ClickHouseHttp.insertSinkBatched(
+        stub.endpoint, "http_log", df.schema, maxRows = 3,
+        maxDelayMs = Long.MaxValue / 2, tries = 3, delayMs = 1)
+      sink(df, 0L)
+      val ids = stub.lines.map(_.split("\t")(0).toLong).sorted
+      assert(ids == (0L until 9L), "retried block must re-send whole, once")
+      assert(stub.requests.get() == 3 + 2, "3 blocks + 2 rejected attempts")
+    } finally stub.stop()
+  }
+
   test("multi-thousand-row partition streams chunked and survives a retry") {
     val stub = new Stub(failFirst = 1) // first attempt rejected → file re-streams
     try {
