@@ -48,22 +48,39 @@ object Funnel {
     */
   case class FEv(t: Long, y: String)
 
-  /** K-bounded "earliest events" aggregate: keeps the `k` smallest (t, y)
-    * pairs, trimming lazily at 2k so inserts stay O(1) amortized. Map-side
-    * combine trims before the shuffle — the same bounded-state discipline
-    * as [[TopK]], which is what makes the funnel skew-safe.
+  /** Counted aggregation buffer: `n` makes the size check O(1) and the
+    * List prepend keeps inserts O(1) — a `Seq :+` append here copies the
+    * whole buffer per event, which the 100× probe measured as a quadratic
+    * (95 s vs 2 s for the window variant at 10M events). Insertion order is
+    * irrelevant: trim/finish sort.
     */
-  class EarliestK(k: Int) extends Aggregator[FEv, Seq[FEv], Seq[FEv]] {
-    private def trim(a: Seq[FEv]): Seq[FEv] = a.sortBy(e => (e.t, e.y)).take(k)
-    override def zero: Seq[FEv] = Seq.empty
-    override def reduce(b: Seq[FEv], e: FEv): Seq[FEv] =
-      if (e.y == null) b
-      else { val nb = b :+ e; if (nb.length >= 2 * k) trim(nb) else nb }
-    override def merge(x: Seq[FEv], y: Seq[FEv]): Seq[FEv] = {
-      val m = x ++ y; if (m.length > k) trim(m) else m
+  case class FBuf(n: Int, evs: List[FEv])
+
+  /** K-bounded "earliest events" aggregate: keeps the `k` smallest (t, y)
+    * pairs, trimming lazily at 2k so inserts stay O(1) amortized (each trim
+    * sorts 2k elements and halves the buffer, so sorts amortize to
+    * O(log k) per event). Map-side combine trims before the shuffle — the
+    * same bounded-state discipline as [[TopK]], which is what makes the
+    * funnel skew-safe.
+    */
+  class EarliestK(k: Int) extends Aggregator[FEv, FBuf, Seq[FEv]] {
+    private def trim(b: FBuf): FBuf = {
+      val t = b.evs.sortBy(e => (e.t, e.y)).take(k)
+      FBuf(t.length, t)
     }
-    override def finish(b: Seq[FEv]): Seq[FEv] = trim(b)
-    override def bufferEncoder: Encoder[Seq[FEv]] = ExpressionEncoder[Seq[FEv]]()
+    override def zero: FBuf = FBuf(0, Nil)
+    override def reduce(b: FBuf, e: FEv): FBuf =
+      if (e.y == null) b
+      else {
+        val nb = FBuf(b.n + 1, e :: b.evs)
+        if (nb.n >= 2 * k) trim(nb) else nb
+      }
+    override def merge(x: FBuf, y: FBuf): FBuf = {
+      val m = FBuf(x.n + y.n, x.evs ::: y.evs)
+      if (m.n > k) trim(m) else m
+    }
+    override def finish(b: FBuf): Seq[FEv] = trim(b).evs
+    override def bufferEncoder: Encoder[FBuf] = ExpressionEncoder[FBuf]()
     override def outputEncoder: Encoder[Seq[FEv]] = ExpressionEncoder[Seq[FEv]]()
   }
 

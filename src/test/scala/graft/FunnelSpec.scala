@@ -105,7 +105,7 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
     val agg = new operators.Funnel.EarliestK(64)
     val buf = spam.take(1000).foldLeft(agg.zero) { (b, r) =>
       val nb = agg.reduce(b, operators.Funnel.FEv(r._2.getTime * 1000, r._3))
-      assert(nb.length < 2 * 64, "buffer must stay under 2·cap during reduce")
+      assert(nb.n < 2 * 64, "buffer must stay under 2·cap during reduce")
       nb
     }
     assert(agg.finish(buf).length == 64)
