@@ -3348,6 +3348,54 @@ object Queries {
       |       CAST(requests AS BIGINT) AS requests
       |FROM ranked WHERE rn <= 5""".stripMargin))
 
+  private val g06 = Q(
+    "g06_stream_funnel",
+    // the streaming funnel's EMISSION fold (StatefulFunnel.foldLevel — the
+    // exact function flatMapGroupsWithState runs at watermark timeout),
+    // oracle-gated on batch data: per-user step events through the same
+    // fold, levels counted. StatefulFunnelSpec proves stream==batch through
+    // MemoryStream incl. cross-batch out-of-order delivery; this query pins
+    // the fold itself to the cascading-min oracle. Production path is the
+    // bounded-state stream; this mapGroups twin exists for the gate.
+    (s, dir) => {
+      import s.implicits._
+      val steps = Seq("view", "click", "purchase")
+      Tables.events(s, dir)
+        .select(col("user_id").cast("long").as("u"),
+          unix_micros(col("ts")).as("t"), col("event_type").as("y"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (u, it) =>
+          val evs = it.collect { case (_, t, y) if steps.contains(y) => (t, y) }.toList
+          (u, streaming.StatefulFunnel.foldLevel(evs, steps, 86400000000L))
+        }
+        .toDF("user_id", "level")
+        .groupBy("level").agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH t1 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN t1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+      |    AND epoch_us(e.ts) <= t1.t1 + 86400000000 GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+      |    AND epoch_us(e.ts) <= t1.t1 + 86400000000 GROUP BY 1),
+      |lv AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+      |         WHEN t2.user_id IS NOT NULL THEN 2
+      |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |  LEFT JOIN t3 USING (user_id))
+      |SELECT CAST(level AS INT) AS level, count(*) AS n_users
+      |FROM lv GROUP BY level""".stripMargin))
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -3441,5 +3489,5 @@ object Queries {
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21,
     f01, f02, f03, f04, f05, f06,
-    g01, g02, g03, g04, g05)
+    g01, g02, g03, g04, g05, g06)
 }

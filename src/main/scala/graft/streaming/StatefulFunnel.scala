@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ordered-funnel levels with custom state — the
+  * `flatMapGroupsWithState` counterpart of the batch
+  * [[graft.operators.Funnel.windowFunnel]] (earliest-anchor semantics, b38).
+  *
+  * Why buffered events and not just the fold state: the greedy fold is
+  * order-sensitive, and a stream delivers events out of order within the
+  * watermark — folding on arrival would lock in a wrong level (e.g. a
+  * late-arriving view BEFORE an already-folded click). So state keeps the
+  * user's step events (k-bounded, same cap discipline as the batch
+  * EarliestK aggregate) and the fold runs once, at emission time.
+  *
+  * Bounds, both enforced: state per user ≤ cap events of the step types
+  * only (foreign types never enter the buffer), and the EVENT-TIME TIMEOUT
+  * evicts a user once the watermark passes anchor+window (or lastSeen+window
+  * for users who never entered) — on an unbounded stream, state is
+  * O(active users × cap), not O(history). Each user emits its final level
+  * exactly once, on eviction (append mode).
+  */
+object StatefulFunnel {
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelBuf(evs: List[(Long, String)], lastMs: Long)
+  case class Level(user_id: Long, level: Int)
+
+  /** The batch fold, verbatim semantics: earliest step-1 event anchors the
+    * window; each level needs an event strictly after the previous match
+    * and within (anchor, anchor+window].
+    */
+  def foldLevel(evs: Seq[(Long, String)], steps: Seq[String],
+                windowMs: Long): Int = {
+    var lv = 0; var anchor = 0L; var last = 0L
+    evs.sortBy(identity).foreach { case (t, y) =>
+      if (lv == 0 && y == steps.head) { lv = 1; anchor = t; last = t }
+      else if (lv > 0 && lv < steps.length && y == steps(lv) &&
+        t > last && t <= anchor + windowMs) { lv += 1; last = t }
+    }
+    lv
+  }
+
+  def funnelFn(steps: Seq[String], windowMs: Long, cap: Int)(
+      user: Long, events: Iterator[Event], state: GroupState[FunnelBuf])
+      : Iterator[Level] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption
+        .map(b => Level(user, foldLevel(b.evs, steps, windowMs))).iterator
+      state.remove()
+      out
+    } else {
+      val prev = state.getOption.getOrElse(FunnelBuf(Nil, 0L))
+      var evs = prev.evs
+      var n = evs.length // ≤ cap, so this O(n) is bounded
+      var lastMs = prev.lastMs
+      events.foreach { e =>
+        val t = e.ts.getTime
+        if (t > lastMs) lastMs = t
+        if (steps.contains(e.event_type) && n < cap) {
+          evs = (t, e.event_type) :: evs
+          n += 1
+        }
+      }
+      state.update(FunnelBuf(evs, lastMs))
+      // evict once no event can change the level: the window is closed
+      // relative to the user's earliest possible anchor (or, pre-entry,
+      // relative to the newest thing we've seen from them)
+      val anchor = evs.filter(_._2 == steps.head)
+        .map(_._1).minOption.getOrElse(lastMs)
+      // a very-late batch can put anchor+window at or behind the current
+      // watermark, which setTimeoutTimestamp rejects — clamp forward; the
+      // user then times out on the next watermark advance
+      state.setTimeoutTimestamp(
+        math.max(anchor + windowMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
+  /** events(user_id, ts, event_type) → final per-user funnel levels,
+    * emitted once per user when their window closes under the watermark.
+    */
+  def levels(spark: SparkSession, events: Dataset[Row], steps: Seq[String],
+             windowMinutes: Int, watermark: String = "10 minutes",
+             cap: Int = 1 << 16): Dataset[Level] = {
+    import spark.implicits._
+    require(steps.nonEmpty && steps.distinct.length == steps.length)
+    val windowMs = windowMinutes * 60L * 1000
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type").cast("string").as("event_type"))
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        funnelFn(steps, windowMs, cap))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StatefulFunnel
+
+/** The streaming funnel must equal the batch fold once windows close, keep
+  * per-user state bounded, and emit each user exactly once — driven through
+  * MemoryStream with watermark-advancing sentinel events.
+  */
+class StatefulFunnelSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${1 + min / 60}%02d:${min % 60}%02d:00")
+  private val steps = Seq("view", "click", "purchase")
+
+  test("levels equal the batch fold; out-of-order within watermark is exact") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StatefulFunnel.Event]
+    // 30-minute funnel window, 10-minute watermark lag
+    val q = StatefulFunnel.levels(spark, ms.toDF(), steps, windowMinutes = 30)
+      .writeStream.format("memory").queryName("funnel_levels")
+      .outputMode("append").start()
+    try {
+      // u1 full funnel; u2 click-before-view (level 1); u4 foreign only
+      ms.addData(
+        StatefulFunnel.Event(1L, ts(0), "view"),
+        StatefulFunnel.Event(1L, ts(2), "click"),
+        StatefulFunnel.Event(1L, ts(4), "purchase"),
+        StatefulFunnel.Event(2L, ts(0), "click"),
+        StatefulFunnel.Event(2L, ts(2), "view"),
+        StatefulFunnel.Event(4L, ts(1), "error"),
+        // u3 out of order across BATCHES: click first...
+        StatefulFunnel.Event(3L, ts(5), "click"))
+      q.processAllAvailable()
+      // ...then the earlier view arrives late (still within the watermark);
+      // a fold-on-arrival design would have discarded the click
+      ms.addData(StatefulFunnel.Event(3L, ts(3), "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_levels").count() == 0,
+        "no level may be emitted while windows are still open")
+      // sentinel user far in event-time future: watermark passes every
+      // anchor+window, timing out and emitting all four users
+      ms.addData(StatefulFunnel.Event(99L, ts(600), "error"))
+      q.processAllAvailable()
+      ms.addData(StatefulFunnel.Event(99L, ts(601), "error"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_levels")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0),
+        s"got $got")
+      // exactly-once emission per user
+      assert(spark.table("funnel_levels").count() == 4)
+
+      // parity with the batch operator on the same events
+      val batch = Seq(
+        (1L, ts(0), "view"), (1L, ts(2), "click"), (1L, ts(4), "purchase"),
+        (2L, ts(0), "click"), (2L, ts(2), "view"),
+        (3L, ts(3), "view"), (3L, ts(5), "click"),
+        (4L, ts(1), "error")).toDF("user_id", "ts", "event_type")
+      val expected = operators.Funnel.windowFunnel(
+        batch, "user_id", "ts", "event_type", steps, 30L * 60 * 1000000)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, "stream must equal batch windowFunnel")
+    } finally q.stop()
+  }
+
+  test("state is bounded: foreign types never buffer, step events cap") {
+    var st = StatefulFunnel.FunnelBuf(Nil, 0L)
+    // drive the state-update fn directly with a 10k-event bot
+    val bot = (0 until 10000).map(i =>
+      StatefulFunnel.Event(9L, ts(i % 50), if (i % 2 == 0) "error" else "view"))
+    val state = new TestGroupState(st)
+    StatefulFunnel.funnelFn(steps, 30L * 60 * 1000, cap = 64)(
+      9L, bot.iterator, state)
+    val buf = state.value
+    assert(buf.evs.length == 64, "step events must cap at `cap`")
+    assert(buf.evs.forall(_._2 == "view"), "foreign types must never buffer")
+  }
+
+  /** Minimal GroupState driver for unit-testing the update function. */
+  private class TestGroupState(var value: StatefulFunnel.FunnelBuf)
+      extends org.apache.spark.sql.streaming.GroupState[StatefulFunnel.FunnelBuf] {
+    private var timeout = 0L
+    override def exists: Boolean = value != null
+    override def get: StatefulFunnel.FunnelBuf = value
+    override def getOption: Option[StatefulFunnel.FunnelBuf] = Option(value)
+    override def update(s: StatefulFunnel.FunnelBuf): Unit = value = s
+    override def remove(): Unit = value = null
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(ms: Long): Unit = timeout = ms
+    override def setTimeoutDuration(d: String): Unit = ()
+    override def setTimeoutTimestamp(ms: Long): Unit = timeout = ms
+    override def setTimeoutTimestamp(ms: Long, additional: String): Unit = ()
+    override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(ts: java.sql.Date, additional: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+}
