@@ -3157,6 +3157,64 @@ object Queries {
     (s, dir) => Bpe.learnMerges(s, Tables.documents(s, dir), "text", 20),
     None)
 
+  private val e22 = Q(
+    "e22_repeated_ngrams",
+    // Cross-document repeated-substring detection (Lee et al. 2022
+    // "Deduplicating Training Data Makes LMs Better", the ExactSubstr
+    // idea at gram granularity; the sub-line sibling of c11's line dedup):
+    // 8-token sliding grams, grams occurring ≥2× across the corpus are
+    // boilerplate, docs are scored by their boilerplate-gram share and
+    // kept below 50%. Planted exact duplicates guarantee repeated grams.
+    // Scale shape: one explode → one gram-keyed count with map-side
+    // combine → left join against the REPEATED subset only (the build
+    // side is bounded by corpusGrams/minRep, and at 100 TB you'd join on
+    // xxhash64(gram) to keep shuffle bytes fixed-width) → per-doc agg;
+    // level-0 (short) docs restored by a doc-keyed left join.
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val toks = c.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      val grams = toks.select(col("doc_id"),
+        explode(when(size(col("t")) >= 8,
+          expr("transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))"))
+          .otherwise(array())).as("g"))
+      val heavy = grams.groupBy("g").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val flagged = grams.join(heavy, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("c").isNotNull, 1).otherwise(0)).as("n_repeated"))
+      val ratio = col("n_repeated").cast("double") / col("n_grams")
+      c.select("doc_id").distinct()
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+          round(coalesce(ratio, lit(0.0)), 4).as("repeated_ratio"),
+          when(col("n_grams").isNull || ratio < 0.5, 1).otherwise(0)
+            .cast("int").as("keep"))
+    },
+    Some(s"""WITH $corpusCte,
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus),
+      |gi AS (
+      |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i FROM toks),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS g FROM gi),
+      |heavy AS (SELECT g, count(*) AS c FROM grams GROUP BY 1 HAVING count(*) >= 2),
+      |flagged AS (
+      |  SELECT grams.doc_id, count(*) AS n_grams,
+      |         count(heavy.g) AS n_repeated
+      |  FROM grams LEFT JOIN heavy USING (g) GROUP BY 1)
+      |SELECT d.doc_id,
+      |       coalesce(n_grams, 0) AS n_grams,
+      |       coalesce(n_repeated, 0) AS n_repeated,
+      |       round(coalesce(CAST(n_repeated AS DOUBLE) / n_grams, 0), 4) AS repeated_ratio,
+      |       CAST(CASE WHEN n_grams IS NULL
+      |                 OR CAST(n_repeated AS DOUBLE) / n_grams < 0.5
+      |            THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM (SELECT DISTINCT doc_id FROM corpus) d
+      |LEFT JOIN flagged USING (doc_id)""".stripMargin))
+
   private val e20 = Q(
     "e20_bpe_first_merge",
     // Known-answer companion for e19 (the d05 pattern): the FIRST merge is
@@ -3487,7 +3545,7 @@ object Queries {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-    e18, e19, e20, e21,
+    e18, e19, e20, e21, e22,
     f01, f02, f03, f04, f05, f06,
     g01, g02, g03, g04, g05, g06)
 }
