@@ -489,6 +489,58 @@ object Queries {
       |       CAST(max(n) AS BIGINT) AS requests
       |FROM cum GROUP BY 1""".stripMargin))
 
+  private val a19 = Q(
+    "a19_sample_quantiles",
+    // Quantiles from a DETERMINISTIC bounded-state sample — the third point
+    // on the percentile cost spectrum (a08 exact full-sort, a15 fixed
+    // histogram, here: b24's bottom-k-by-hash reservoir): 256 smallest-
+    // md5(log_id) rows per resource ARE a uniform row sample (the hash is
+    // the random permutation, log_id unique ⇒ duplicates of the value
+    // survive), flowing through O(k) mergeable partial aggregation, then
+    // inverse-CDF picks on the sorted sample (a15's discipline — integer
+    // results, no interpolation, so the oracle reproduces the estimate
+    // EXACTLY, like b23's checked KMV estimator). Exact count rides along.
+    (s, dir) => {
+      val agg = operators.Kmv.hash_sample(256)
+      def pick(q: Double) = element_at(col("vs"),
+        ceil(lit(q) * size(col("vs"))).cast("int"))
+      httpLog(s, dir)
+        .select(col("resource_id"),
+          md5(col("log_id").cast("string").cast("binary")).as("h"),
+          col("request_time_milli"))
+        .groupBy("resource_id")
+        .agg(agg(col("h"), col("request_time_milli")).as("sample"),
+          count(lit(1)).as("requests"))
+        .withColumn("vs",
+          sort_array(expr("transform(sample, e -> CAST(e.payload AS BIGINT))")))
+        .select(col("resource_id"),
+          pick(0.5).as("p50_est"), pick(0.95).as("p95_est"),
+          pick(0.99).as("p99_est"),
+          size(col("vs")).as("sample_n"), col("requests"))
+    },
+    Some(s"""${HttpLog.cte},
+      |ranked AS (
+      |  SELECT resource_id, request_time_milli,
+      |         row_number() OVER (PARTITION BY resource_id
+      |           ORDER BY md5(CAST(log_id AS VARCHAR))) AS hr
+      |  FROM http_log),
+      |vs AS (
+      |  SELECT resource_id, request_time_milli AS v,
+      |         row_number() OVER (PARTITION BY resource_id
+      |           ORDER BY request_time_milli) AS rn,
+      |         count(*) OVER (PARTITION BY resource_id) AS n
+      |  FROM ranked WHERE hr <= 256),
+      |q AS (
+      |  SELECT resource_id,
+      |         min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) AS p50_est,
+      |         min(CASE WHEN rn >= ceil(0.95 * n) THEN v END) AS p95_est,
+      |         min(CASE WHEN rn >= ceil(0.99 * n) THEN v END) AS p99_est,
+      |         CAST(max(n) AS INT) AS sample_n
+      |  FROM vs GROUP BY 1),
+      |tot AS (SELECT resource_id, count(*) AS requests FROM http_log GROUP BY 1)
+      |SELECT q.resource_id, p50_est, p95_est, p99_est, sample_n, requests
+      |FROM q JOIN tot USING (resource_id)""".stripMargin))
+
   private val a16 = Q(
     "a16_gapfill_timeseries",
     (s, dir) => {
@@ -3538,7 +3590,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15,
-    a16, a17, a18,
+    a16, a17, a18, a19,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41,
