@@ -135,16 +135,24 @@ object FuzzProps extends Properties("graft.kernels") {
         operators.Multimodal.decodePgm(id, bs)
         operators.Multimodal.decodeWav(id, bs)
         operators.Multimodal.decodeVideo(id, bs)
+        operators.Multimodal.decodeBmp(id, bs)
+        // a crafted header behind a valid magic must hit the bounds checks,
+        // not the magic check
+        operators.Multimodal.decodeBmp(id, "BM".getBytes ++ bs)
         // every prefix-truncation of a VALID payload (the realistic
         // corruption: a partial object fetch) must dead-letter, not throw
         val wav = operators.Multimodal.syntheticWav(id)
         val vid = operators.Multimodal.syntheticVideo(id)
+        val bmp = operators.Multimodal.syntheticBmp(id)
         val wcut = wav.take(cut min (wav.length - 1))
         val vcut = vid.take(cut min (vid.length - 1))
+        val bcut = bmp.take(cut min (bmp.length - 1))
         operators.Multimodal.decodeWav(id, wcut).isEmpty &&
           operators.Multimodal.decodeVideo(id, vcut).isEmpty &&
+          operators.Multimodal.decodeBmp(id, bcut).isEmpty &&
           operators.Multimodal.decodeWav(id, wav).nonEmpty &&
-          operators.Multimodal.decodeVideo(id, vid).nonEmpty
+          operators.Multimodal.decodeVideo(id, vid).nonEmpty &&
+          operators.Multimodal.decodeBmp(id, bmp).nonEmpty
     }
 
   property("BPE encode is lossless under ANY merge list") =
