@@ -1779,6 +1779,39 @@ object Queries {
       |       count(*) - count(asof_price) AS pre_change_rows
       |FROM enriched GROUP BY 1""".stripMargin))
 
+  private val b42 = Q(
+    "b42_ohlc",
+    // ClickHouse's argMin/argMax signature functions in their classic
+    // OHLC-candlestick shape: per (resource, hour) the FIRST and LAST
+    // bytes_sent by event time plus high/low/volume — one shuffle, all
+    // five aggregates in the same HashAggregate; first/last ride a
+    // zero-padded (ts, log_id) string key through min_by/max_by — log_id
+    // is unique, so ties are deterministic, and the string form is the
+    // one ordering both engines share (DuckDB's arg_min takes no struct).
+    (s, dir) => httpLog(s, dir)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withColumn("tk", concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("log_id").cast("string"), 20, "0")))
+      .groupBy(col("resource_id"), col("hr"))
+      .agg(
+        min_by(col("bytes_sent"), col("tk")).as("open"),
+        max_by(col("bytes_sent"), col("tk")).as("close"),
+        max(col("bytes_sent")).as("high"),
+        min(col("bytes_sent")).as("low"),
+        count(lit(1)).as("volume")),
+    Some(s"""${HttpLog.cte}
+      |SELECT resource_id, date_trunc('hour', ts) AS hr,
+      |       arg_min(bytes_sent, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      |                           || lpad(CAST(log_id AS VARCHAR), 20, '0')) AS open,
+      |       arg_max(bytes_sent, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      |                           || lpad(CAST(log_id AS VARCHAR), 20, '0')) AS close,
+      |       max(bytes_sent) AS high,
+      |       min(bytes_sent) AS low,
+      |       count(*) AS volume
+      |FROM http_log
+      |GROUP BY 1, 2""".stripMargin))
+
   private val b39 = Q(
     "b39_retention",
     // weekly cohort retention (the other signature dashboard matrix): users
@@ -3593,7 +3626,7 @@ object Queries {
     a16, a17, a18, a19,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
-    b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41,
+    b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
