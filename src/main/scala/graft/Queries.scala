@@ -1784,15 +1784,21 @@ object Queries {
     // ClickHouse's argMin/argMax signature functions in their classic
     // OHLC-candlestick shape: per (resource, hour) the FIRST and LAST
     // bytes_sent by event time plus high/low/volume — one shuffle, all
-    // five aggregates in the same HashAggregate; first/last ride a
-    // zero-padded (ts, log_id) string key through min_by/max_by — log_id
-    // is unique, so ties are deterministic, and the string form is the
-    // one ordering both engines share (DuckDB's arg_min takes no struct).
+    // five aggregates in one HashAggregate; first/last ride a packed
+    // numeric (ms, unique log_id) key through min_by/max_by, so ties are
+    // deterministic and both engines order identically.
     (s, dir) => httpLog(s, dir)
       .withColumn("hr", date_trunc("hour", col("ts")))
-      .withColumn("tk", concat(
-        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-        lpad(col("log_id").cast("string"), 20, "0")))
+      // packed numeric ordering key: (relative ms) · 2^26 + log_id — a
+      // primitive-long key keeps min_by/max_by inside a HashAggregate
+      // (string/struct keys demote the whole aggregate to a per-partition
+      // SortAggregate, a map-side fact sort at 100 TB). Bounds: relative ms
+      // < 2^37 (ts between 2023-11 and ~2028-02), log_id < 2^26 (67M) —
+      // DuckDB computes the SAME packed key and its checked INT64 multiply
+      // turns a violated bound into a loud oracle error, not a wrong order.
+      .withColumn("tk",
+        (unix_millis(col("ts")) - lit(1700000000000L)) * lit(1L << 26)
+          + col("log_id"))
       .groupBy(col("resource_id"), col("hr"))
       .agg(
         min_by(col("bytes_sent"), col("tk")).as("open"),
@@ -1802,10 +1808,8 @@ object Queries {
         count(lit(1)).as("volume")),
     Some(s"""${HttpLog.cte}
       |SELECT resource_id, date_trunc('hour', ts) AS hr,
-      |       arg_min(bytes_sent, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-      |                           || lpad(CAST(log_id AS VARCHAR), 20, '0')) AS open,
-      |       arg_max(bytes_sent, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-      |                           || lpad(CAST(log_id AS VARCHAR), 20, '0')) AS close,
+      |       arg_min(bytes_sent, (epoch_ms(ts) - 1700000000000) * 67108864 + log_id) AS open,
+      |       arg_max(bytes_sent, (epoch_ms(ts) - 1700000000000) * 67108864 + log_id) AS close,
       |       max(bytes_sent) AS high,
       |       min(bytes_sent) AS low,
       |       count(*) AS volume
