@@ -541,6 +541,25 @@ object Queries {
       |SELECT q.resource_id, p50_est, p95_est, p99_est, sample_n, requests
       |FROM q JOIN tot USING (resource_id)""".stripMargin))
 
+  private val a20 = Q(
+    "a20_hilbert_curve",
+    // a17's locality upgrade: the Hilbert index over the same
+    // (resource_id, bytes_sent) plane — a CONTINUOUS curve (every
+    // consecutive index is a unit Manhattan step, proven exhaustively in
+    // LayoutSpec; Z jumps diagonally at power-of-two seams), so contiguous
+    // index ranges cover tighter blocks and range scans touch fewer files.
+    // Built as 20 fenced per-bit rotation levels (codegen'd conditionals;
+    // the fence stops CollapseProject from inlining the chain into an
+    // exponential expression), mirrored level-by-level in SQL CTEs.
+    (s, dir) => graft.operators.Layout.withHilbertValue(
+      httpLog(s, dir).select(col("log_id"), col("resource_id"), col("bytes_sent")),
+      20, col("resource_id"), col("bytes_sent"), "hval")
+      .select(col("log_id"), col("hval")),
+    Some(s"""${HttpLog.cte},
+      |${graft.operators.Layout.hilbertSqlCtes(
+             20, "http_log", "log_id", "resource_id", "bytes_sent")}
+      |SELECT log_id, hd AS hval FROM h20""".stripMargin))
+
   private val a16 = Q(
     "a16_gapfill_timeseries",
     (s, dir) => {
@@ -3627,7 +3646,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15,
-    a16, a17, a18, a19,
+    a16, a17, a18, a19, a20,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42,

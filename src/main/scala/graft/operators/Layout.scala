@@ -49,6 +49,82 @@ object Layout {
     terms.mkString("(", " | ", ")")
   }
 
+  /** Hilbert curve index of a 2-D point — the locality upgrade over
+    * [[zvalue]]: consecutive Hilbert indexes are ALWAYS unit Manhattan
+    * steps (the curve is continuous), where the Z curve takes long
+    * diagonal jumps at power-of-two boundaries — so a contiguous
+    * Hilbert-range file covers a tighter spatial block and range predicates
+    * touch fewer files (why Delta added `OPTIMIZE ZORDER` first and Hilbert
+    * after). The classic per-bit fold (consume the top bit of each axis,
+    * add the quadrant's sub-square count, reflect+swap the frame for the
+    * next level) is built as a chain of codegen'd conditional columns; each
+    * level's (x, y) goes through [[graft.functions.opt_fence]] because the
+    * rotation references BOTH previous axes — CollapseProject would inline
+    * the chain into an exponentially-sized expression (the d08 lesson).
+    * Mirrorable level-by-level in SQL ([[hilbertSqlCtes]]), so the curve is
+    * hash-oracle-able like the z-value.
+    */
+  def withHilbertValue(df: DataFrame, bits: Int, xCol: Column, yCol: Column,
+                       as: String): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62, s"2×$bits bits exceeds a long")
+    val n = 1L << bits
+    // mask to the low `bits` first: the reflection (n-1-x) reads the FULL
+    // value, so an out-of-range input would go negative instead of wrapping
+    var cur = df
+      .withColumn("_hx", xCol.cast("long").bitwiseAND(lit(n - 1)))
+      .withColumn("_hy", yCol.cast("long").bitwiseAND(lit(n - 1)))
+      .withColumn("_hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val rx = shiftright(col("_hx"), i).bitwiseAND(lit(1L))
+      val ry = shiftright(col("_hy"), i).bitwiseAND(lit(1L))
+      val step = lit((1L << i) * (1L << i)) * (lit(3L) * rx).bitwiseXOR(ry)
+      val nx = when(ry === 0,
+        when(rx === 1, lit(n - 1) - col("_hy")).otherwise(col("_hy")))
+        .otherwise(col("_hx"))
+      val ny = when(ry === 0,
+        when(rx === 1, lit(n - 1) - col("_hx")).otherwise(col("_hx")))
+        .otherwise(col("_hy"))
+      cur = cur
+        .withColumn("_hd", col("_hd") + step)
+        .withColumn("_nx", graft.functions.opt_fence(nx))
+        .withColumn("_ny", graft.functions.opt_fence(ny))
+        .drop("_hx", "_hy")
+        .withColumnRenamed("_nx", "_hx")
+        .withColumnRenamed("_ny", "_hy")
+    }
+    cur.withColumnRenamed("_hd", as).drop("_hx", "_hy")
+  }
+
+  /** The SQL mirror of [[withHilbertValue]] as a chain of CTEs `h0…h<bits>`
+    * (one per bit level, exactly the fenced projections the Spark side
+    * runs): h0 reads `src`, the final CTE exposes `keyCols` and `hd`.
+    */
+  def hilbertSqlCtes(bits: Int, src: String, keyCols: String,
+                     x: String, y: String): String = {
+    val n = 1L << bits
+    val sb = new StringBuilder(
+      s"h0 AS (SELECT $keyCols, CAST($x AS BIGINT) & ${n - 1} AS hx, " +
+        s"CAST($y AS BIGINT) & ${n - 1} AS hy, CAST(0 AS BIGINT) AS hd FROM $src)")
+    var lvl = 0
+    for (i <- (bits - 1) to 0 by -1) {
+      val s2 = (1L << i) * (1L << i)
+      val prev = lvl
+      lvl += 1
+      sb.append(s""",
+h$lvl AS (
+  SELECT $keyCols,
+    CASE WHEN ((hy >> $i) & 1) = 0 THEN
+      CASE WHEN ((hx >> $i) & 1) = 1 THEN ${n - 1} - hy ELSE hy END
+    ELSE hx END AS hx,
+    CASE WHEN ((hy >> $i) & 1) = 0 THEN
+      CASE WHEN ((hx >> $i) & 1) = 1 THEN ${n - 1} - hx ELSE hx END
+    ELSE hy END AS hy,
+    hd + $s2 * xor(3 * ((hx >> $i) & 1), (hy >> $i) & 1) AS hd
+  FROM h$prev)""")
+    }
+    sb.toString
+  }
+
   /** Rewrite `df` into `numFiles` z-clustered parquet files. Each output
     * file covers one contiguous z-range = one axis-aligned block of the
     * key space, so its per-column min/max stats are tight on every

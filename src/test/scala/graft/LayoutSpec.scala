@@ -105,4 +105,32 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     val again = operators.Layout.compact(spark, dir, 200000L, sortCols = Seq("id"))
     assert(again.smallRewritten == 0 || again.filesAfter == stats.filesAfter)
   }
+
+  test("hilbert curve is continuous where z-order jumps (exhaustive 32x32)") {
+    import spark.implicits._
+    // every cell of the 32x32 grid, indexed by both curves
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val indexed = operators.Layout.withHilbertValue(
+      grid, 5, col("x"), col("y"), "hd")
+      .withColumn("zv", operators.Layout.zvalue(5, col("x"), col("y")))
+      .collect().map(r => (r.getAs[Long]("hd"), r.getAs[Long]("x"),
+        r.getAs[Long]("y"), r.getAs[Long]("zv")))
+    // the Hilbert index is a bijection onto 0..1023
+    assert(indexed.map(_._1).sorted.toSeq == (0L until 1024L))
+    // CONTINUITY: consecutive indexes are unit Manhattan steps, everywhere
+    val byH = indexed.sortBy(_._1)
+    byH.sliding(2).foreach { case Array((_, x1, y1, _), (d2, x2, y2, _)) =>
+      val step = math.abs(x2 - x1) + math.abs(y2 - y1)
+      assert(step == 1, s"hilbert jumped $step at d=$d2 ($x1,$y1)->($x2,$y2)")
+    }
+    // ...which the Z curve does NOT have: it provably jumps (e.g. 31 cells
+    // at every 2^k seam) — the measured reason Hilbert ranges cover tighter
+    // blocks than z ranges
+    val byZ = indexed.sortBy(_._4).map(t => (t._2, t._3))
+    val zJumps = byZ.sliding(2).count { case Array((x1, y1), (x2, y2)) =>
+      math.abs(x2 - x1) + math.abs(y2 - y1) > 1
+    }
+    assert(zJumps > 0, "z-order unexpectedly continuous — test is broken")
+  }
 }
