@@ -1930,6 +1930,46 @@ object Queries {
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gram
       |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id)""".stripMargin
 
+  private val c17 = Q(
+    "c17_fuzzy_contamination",
+    // FUZZY benchmark decontamination — the MinHash sibling of c08's exact
+    // shared-gram check (modern pipelines screen eval sets with fuzzy
+    // 13-gram/MinHash matching precisely because contaminated copies are
+    // rarely verbatim): the planted-dup corpus LSH-screened against the
+    // same every-17th-doc benchmark, flagging any corpus doc at gram
+    // Jaccard ≥ 0.5 with a benchmark item. Bucketed band join + bounded
+    // verify (the g03 screen machinery) — never an all-pairs cross; the
+    // oracle is the exact cross Jaccard (LSH recall 1 at j ≥ 0.5 here,
+    // c02's argument).
+    (s, dir) => streaming.NearDupScreen.screen(
+        corpus(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") % 17 === 0),
+        "doc_id", "text")
+      .withColumnRenamed("corpus_id", "bench_id"),
+    Some(s"""WITH $corpusCte,
+      |${gramCtes("corpus")},
+      |btoks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      |  FROM documents WHERE doc_id % 17 = 0
+      |    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      |                        x -> x <> '')) > 0),
+      |bgrams AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE t END) AS g
+      |  FROM btoks),
+      |bex AS (SELECT doc_id AS bench_id, unnest(g) AS gram FROM bgrams),
+      |inter AS (
+      |  SELECT ex.doc_id, bench_id, count(*) AS i
+      |  FROM ex JOIN bex USING (gram) GROUP BY 1, 2),
+      |csz AS (SELECT doc_id, len(g) AS n FROM grams),
+      |bsz AS (SELECT doc_id AS bench_id, len(g) AS n FROM bgrams)
+      |SELECT doc_id, bench_id,
+      |       round(CAST(i AS DOUBLE) / (csz.n + bsz.n - i), 4) AS jaccard
+      |FROM inter JOIN csz USING (doc_id) JOIN bsz USING (bench_id)
+      |WHERE CAST(i AS DOUBLE) / (csz.n + bsz.n - i) >= 0.5""".stripMargin))
+
   private val c02 = Q(
     "c02_minhash_lsh",
     (s, dir) => Dedup.minhashPairs(corpus(s, dir), "doc_id", "text"),
@@ -3650,7 +3690,7 @@ object Queries {
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22,
