@@ -175,6 +175,31 @@ h$lvl AS (
     * engine with per-file column stats must read (skipping is exactly the
     * complement). Diagnostic for specs and the scale probe.
     */
+  /** [[writeZOrdered]]'s Hilbert twin: same equi-depth rank normalization,
+    * same single range-exchange + in-partition sort + write — only the
+    * curve differs. The measured trade (LayoutSpec head-to-head): on 2-D
+    * NEIGHBORHOOD shapes (box predicates, spatial joins) Hilbert's
+    * continuity keeps each file's block tight, while on pure axis-aligned
+    * 1-D ranges z-order's axis-aligned blocks can edge it out by a file or
+    * two — pick the curve by the workload's dominant predicate shape.
+    */
+  def writeHilbertOrdered(df: DataFrame, path: String, numFiles: Int,
+                          bitsPer: Int, xc: String, yc: String): Unit = {
+    val nb = 1 << bitsPer
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val scaled = Seq(xc, yc).map { c =>
+      val cuts = df.stat.approxQuantile(c, probs, 1.0 / (4 * nb)).distinct.sorted
+      val m = math.max(cuts.length, 1)
+      val cnt = size(filter(lit(cuts), x => x <= col(c).cast("double")))
+      floor(cnt.cast("double") * lit((nb - 1).toDouble / m)).cast("long")
+    }
+    withHilbertValue(df, bitsPer, scaled(0), scaled(1), "_h")
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def filesTouched(spark: org.apache.spark.sql.SparkSession, path: String,
                    pred: Column): Long =
     spark.read.parquet(path).filter(pred)

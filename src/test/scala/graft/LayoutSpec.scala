@@ -106,6 +106,49 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(again.smallRewritten == 0 || again.filesAfter == stats.filesAfter)
   }
 
+  test("hilbert layout prunes on both dimensions, within z-order's file counts") {
+    withTempDir("hlayout") { dir =>
+      val n = 8
+      val hPath = s"$dir/h"
+      val zPath = s"$dir/z"
+      Layout.writeHilbertOrdered(log, hPath, n, 8, "resource_id", "bytes_sent")
+      Layout.writeZOrdered(log, zPath, n, 8, "resource_id", "bytes_sent")
+      // a grid of range predicates on each dimension: on PURE axis-aligned
+      // ranges z-order's axis-aligned blocks can edge Hilbert out (measured
+      // here: the two totals are within a file or two of each other across
+      // seeds) — Hilbert's win is 2-D neighborhood locality (continuity,
+      // proven below), not 1-D ranges. Assert comparability, not victory.
+      def total(path: String): Long =
+        (0 until 4).map { q =>
+          Layout.filesTouched(spark, path, col("resource_id").between(q * 12, q * 12 + 11)) +
+            Layout.filesTouched(spark, path,
+              col("bytes_sent").between(q * 30000, q * 30000 + 29999))
+        }.sum
+      val hTotal = total(hPath)
+      val zTotal = total(zPath)
+      assert(hTotal <= zTotal + n,
+        s"hilbert ($hTotal files) should stay comparable to z-order ($zTotal)")
+      // on 2-D BOX predicates (both dims constrained — the neighborhood
+      // query shape) both curves prune hard; Hilbert must not be worse
+      // than z-order by more than one file per box on this data
+      val boxes = (0 until 4).map { q =>
+        col("resource_id").between(q * 12, q * 12 + 11) &&
+          col("bytes_sent").between(q * 30000, q * 30000 + 29999)
+      }
+      val hBox = boxes.map(Layout.filesTouched(spark, hPath, _)).sum
+      val zBox = boxes.map(Layout.filesTouched(spark, zPath, _)).sum
+      assert(hBox <= zBox + boxes.length,
+        s"hilbert box scans ($hBox files) vs z-order ($zBox)")
+      // still prunes on both single dimensions (narrower band on the
+      // second axis: a wide 1-D slab crosses most of a Hilbert curve —
+      // exactly the axis-range weakness the docstring trades away)
+      assert(Layout.filesTouched(spark, hPath, col("resource_id") === 7) < n)
+      assert(Layout.filesTouched(spark, hPath, col("bytes_sent").between(10000, 20000)) < n)
+      // and the rewrite is lossless
+      assert(spark.read.parquet(hPath).count() == log.count())
+    }
+  }
+
   test("hilbert curve is continuous where z-order jumps (exhaustive 32x32)") {
     import spark.implicits._
     // every cell of the 32x32 grid, indexed by both curves
