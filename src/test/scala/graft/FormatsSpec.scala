@@ -34,6 +34,29 @@ class FormatsSpec extends AnyFunSuite with SparkTestBase {
     roundTrip("json")(Formats.writeJsonLines, p => Formats.readJsonLines(spark, p, src))
   }
 
+  test("jsonl dead-letter split keeps good rows exact and corrupt lines traceable") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_dlq").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha"}""",
+      """{"doc_id": 2, "text": "beta"}""",
+      """{"doc_id": 3, "text": "gamma" INVALID}""", // broken JSON
+      """not json at all""",
+      """{"doc_id": 5, "text": "epsilon"}""")
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(tmp)
+    val schemaFrom = Seq((0L, "")).toDF("doc_id", "text")
+    val (good, dead) = Formats.readJsonLinesWithDlq(spark, tmp, schemaFrom)
+    assert(good.count() == 3)
+    assert(good.columns.toSeq == Seq("doc_id", "text"), "no corrupt col leaks")
+    assert(good.orderBy("doc_id").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "beta", "epsilon"))
+    val deadLines = dead.collect().map(_.getString(0)).toSet
+    assert(deadLines.size == 2, s"got $deadLines")
+    assert(deadLines.exists(_.contains("INVALID")) &&
+      deadLines.contains("not json at all"),
+      "dead lines must carry the raw text for the failure bucket")
+  }
+
   test("approximate sketches stay within error bounds of exact values") {
     val hl = graft.operators.HttpLog.view(Tables.events(spark, sfDir))
     val row = hl.agg(
