@@ -18,7 +18,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * EarliestK aggregate) and the fold runs once, at emission time.
   *
   * Bounds, both enforced: state per user ≤ cap events of the step types
-  * only (foreign types never enter the buffer), and the EVENT-TIME TIMEOUT
+  * only (foreign types never enter the buffer; past the cap the
+  * earliest-ARRIVED events win — a slightly different approximation edge
+  * than the batch aggregate's earliest-by-event-time cap, both exact for
+  * any user under the cap), and the EVENT-TIME TIMEOUT
   * evicts a user once the watermark passes anchor+window (or lastSeen+window
   * for users who never entered) — on an unbounded stream, state is
   * O(active users × cap), not O(history). Each user emits its final level
