@@ -30,6 +30,9 @@ import graft.operators.{Dedup, Similarity}
   *    exact brute force AND wall time for each ANN variant (LSH multi-probe,
   *    IVF, adaptive IVF, PQ) on a fixed 50-query batch — the
   *    accuracy/latency tradeoff, quantified per corpus size.
+  *  - `textq` + query names: inflate DOCUMENTS (dissimilar salting), time
+  *    those registered queries — for document-reading queries (e22, c17)
+  *    whose events-inflating twin would measure a 1× corpus.
   *  - any query names: inflate events, time those registered queries.
   *
   * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|sketch|text|queryName...]
@@ -77,7 +80,7 @@ object ScaleProbe {
             else d.withColumn("embedding", expr(
               s"transform(embedding, (x, i) -> CAST(IF(pmod(hash(i, $r), 2) = 0, -x, x) AS FLOAT))")))
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      } else if (mode == "dedup" || mode == "text") {
+      } else if (mode == "dedup" || mode == "text" || mode == "textq") {
         inflate(spark.read.parquet(s"$base/documents.parquet"), mult, "doc_id",
           (d, r) => if (r == 0) d
             else d.withColumn("text", translate(col("text"), alpha, cipher(r))))
@@ -242,13 +245,14 @@ object ScaleProbe {
       } else {
         val names = if (mode == "etl")
           Seq("a00_pipeline_e2e", "a03_dedup_replacing", "a04_traffic_totals")
+        else if (mode == "textq") args.drop(2).toSeq // documents-reading queries
         else args.drop(1).toSeq
         Queries.all.filter(q => names.contains(q.name))
           .map(q => q.name -> (() => q.fn(spark, out)))
       }
 
     val rows =
-      if (mode == "dedup" || mode == "text")
+      if (mode == "dedup" || mode == "text" || mode == "textq")
         spark.read.parquet(s"$out/documents.parquet").count()
       else spark.read.parquet(s"$out/events.parquet").count()
 
