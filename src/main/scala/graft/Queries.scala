@@ -1383,18 +1383,28 @@ object Queries {
     "b27_top_supplier",
     (s, dir) => {
       // TPC-H Q15 shape: supplier(s) with max quarterly revenue. The scalar
-      // max rides a global window over the ALREADY-AGGREGATED per-supplier
-      // frame (tiny — one row per supplier), so the fact table is scanned
-      // once; a subquery-max formulation would re-derive the whole revenue
-      // aggregate (no subplan CSE). Revenue rounded BEFORE the max compare,
-      // so the tie semantics are decimal-exact in both engines.
+      // max is a 1-row global aggregate broadcast back over the per-supplier
+      // frame: the max reduces through partial aggregates (constant bytes
+      // per partition), and both consumers of `rev` canonicalize to the same
+      // suppkey Exchange, so ReuseExchange scans lineitem once. The previous
+      // `max over Window.partitionBy()` formulation shipped EVERY supplier
+      // row to one partition — supplier cardinality scales with SF, so that
+      // was this inventory's one genuine single-partition scale hazard
+      // (surfaced by PlanGuardSpec's WindowExec warning). Revenue rounded
+      // BEFORE the max compare, so tie semantics are decimal-exact in both
+      // engines.
       val rev = Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        // isnotnull(l_suppkey) is stated HERE, not left for the supplier
+        // join to push down: the join pushes it into only its own subtree,
+        // which would de-canonicalize the two rev consumers and block AQE's
+        // runtime exchange reuse (one lineitem scan, not two)
+        .filter(col("l_suppkey").isNotNull &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("total_rev"))
-      rev.withColumn("mx", max("total_rev").over(Window.partitionBy()))
+      rev.crossJoin(broadcast(rev.agg(max("total_rev").as("mx"))))
         .filter(col("total_rev") === col("mx"))
         .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
@@ -1415,13 +1425,20 @@ object Queries {
     (s, dir) => {
       // TPC-H Q11 shape: nations whose supplier revenue exceeds a fraction
       // of the global total. The HAVING-against-global-scalar decorrelates
-      // into a global window sum over the 25-row aggregated frame.
+      // into a 1-row aggregate broadcast back over the 25-row nation frame
+      // (same rewrite as b27; here the window formulation was only 25 rows,
+      // but the agg+broadcast shape is single-partition-free and reuses the
+      // nationkey Exchange for both consumers).
       val nv = Tables.lineitem(s, dir)
-        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        // isnotnull(s_nationkey) stated here rather than pushed down by the
+        // nation join into one consumer only — keeps both nv subtrees
+        // canonically equal so AQE reuses the nationkey Exchange (b27's note)
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+          .filter(col("s_nationkey").isNotNull)),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_nationkey")
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
-      nv.withColumn("t", sum("v").over(Window.partitionBy()))
+      nv.crossJoin(broadcast(nv.agg(sum("v").as("t"))))
         .filter(col("v") > lit(0.04) * col("t"))
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
         .select(col("n_name").as("nation"), round(col("v"), 2).as("value"))
