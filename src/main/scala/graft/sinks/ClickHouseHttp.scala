@@ -102,7 +102,12 @@ object ClickHouseHttp {
         case e: InterruptedException =>
           Thread.currentThread().interrupt(); throw e
         case e: IOException =>
-          if (remaining <= 0) throw e
+          // a task-kill interrupt can surface as an IOException subclass
+          // (InterruptedIOException / ClosedByInterruptException) — the
+          // interrupt FLAG, not the exception type, is the reliable signal,
+          // and a plain SocketTimeoutException (also InterruptedIOException)
+          // must still retry
+          if (Thread.currentThread().isInterrupted || remaining <= 0) throw e
           remaining -= 1
           sleep(delayMs)
       }

@@ -31,30 +31,33 @@ object Formats {
     * sibling of the capnp decode/DLQ split: web-scale JSONL crawls always
     * carry some malformed lines, and a FAILFAST read would kill a 100 TB
     * job on the first one while silent DROPMALFORMED loses them without a
-    * trace. PERMISSIVE mode + `_corrupt_record` keeps every line: returns
-    * (good rows with the declared schema, dead lines with their raw text
-    * for a failure bucket/audit). Cost: one scan, no extra shuffle — the
-    * split is two filters over the same cached-schema read.
+    * trace. Implemented as a `text` scan + `from_json` with a corrupt-record
+    * column (same Jackson parse path as the json reader), NOT as the json
+    * reader + cache: Spark disallows filtering the lazy json read on the
+    * corrupt column alone, and the cache workaround MATERIALIZES the whole
+    * corpus — a cluster-wide spill at 100 TB with no unpersist seam in a
+    * two-frame API. Here each returned frame is an independent streaming
+    * scan; the dead side re-parses (2× parse CPU, codegen'd) in exchange
+    * for zero materialized state, the right trade at corpus scale. Blank
+    * lines are skipped to match the json reader's behavior.
     */
   def readJsonLinesWithDlq(spark: SparkSession, path: String,
                            schemaFrom: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json, length, trim}
     val schema = org.apache.spark.sql.types.StructType(
       schemaFrom.schema.fields :+
         org.apache.spark.sql.types.StructField(
           "_corrupt_record", org.apache.spark.sql.types.StringType))
-    val raw = spark.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-    // Spark requires the corrupt-record split to run over a materialized
-    // frame (filtering the lazy read on _corrupt_record alone is
-    // unsupported) — cache scoped to the split, caller unpersists via the
-    // returned frames' lifecycle
-    val cached = raw.cache()
-    val good = cached.filter(cached("_corrupt_record").isNull)
-      .drop("_corrupt_record")
-    val dead = cached.filter(cached("_corrupt_record").isNotNull)
-      .select(cached("_corrupt_record").as("raw_line"))
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"),
+        schema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+    val good = parsed.filter(col("r._corrupt_record").isNull)
+      .select(col("r.*")).drop("_corrupt_record")
+    val dead = parsed.filter(col("r._corrupt_record").isNotNull)
+      .select(col("r._corrupt_record").as("raw_line"))
     (good, dead)
   }
 }

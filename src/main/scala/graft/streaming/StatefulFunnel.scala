@@ -24,8 +24,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * any user under the cap), and the EVENT-TIME TIMEOUT
   * evicts a user once the watermark passes anchor+window (or lastSeen+window
   * for users who never entered) — on an unbounded stream, state is
-  * O(active users × cap), not O(history). Each user emits its final level
-  * exactly once, on eviction (append mode).
+  * O(active users × cap), not O(history). Each user emits one level row
+  * per EVICTION (append mode) — once per user for any bounded replay, but
+  * on an unbounded stream a user whose events resume after their window
+  * closed and state was evicted starts a fresh state and will emit again
+  * (a new funnel episode, the standard streaming-eviction semantics; the
+  * batch aggregate, which sees all history at once, would have ignored the
+  * post-window events under its single earliest anchor). Downstream
+  * consumers wanting strict batch parity should keep the first row per
+  * user.
   */
 object StatefulFunnel {
 

@@ -9,8 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StatefulFunnel
 
 /** The streaming funnel must equal the batch fold once windows close, keep
-  * per-user state bounded, and emit each user exactly once — driven through
-  * MemoryStream with watermark-advancing sentinel events.
+  * per-user state bounded, and emit each user exactly once per eviction
+  * (= once per user in this bounded replay; a user resuming AFTER eviction
+  * on an unbounded stream starts a new episode — see the operator doc) —
+  * driven through MemoryStream with watermark-advancing sentinel events.
   */
 class StatefulFunnelSpec extends AnyFunSuite with SparkTestBase {
 
