@@ -33,6 +33,9 @@ import graft.operators.{Dedup, Similarity}
   *  - `textq` + query names: inflate DOCUMENTS (dissimilar salting), time
   *    those registered queries — for document-reading queries (e22, c17)
   *    whose events-inflating twin would measure a 1× corpus.
+  *  - `index`: inflate embeddings (sign-flip salting), time the DISK-SERVED
+  *    ANN path — IVF / IVF+PQ index build (partitioned write) and 50-query
+  *    probe latency against the written index (frozen quantizer).
   *  - any query names: inflate events, time those registered queries.
   *
   * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|sketch|text|queryName...]
@@ -74,7 +77,7 @@ object ScaleProbe {
 
     if (!Files.exists(Paths.get(s"$out/_done"))) {
       Files.createDirectories(Paths.get(out))
-      if (mode == "ann") {
+      if (mode == "ann" || mode == "index") {
         inflate(spark.read.parquet(s"$base/embeddings.parquet"), mult, "vec_id",
           (d, r) => if (r == 0) d
             else d.withColumn("embedding", expr(
@@ -228,6 +231,34 @@ object ScaleProbe {
             Similarity.lshTopK(emb(), queries(), 10, multiProbe = true)),
           "d03_ivf_ann_50q" -> (() => Similarity.ivfTopK(emb(), queries(), 10)),
           "d08_pq_ann_50q" -> (() => Similarity.pqTopK(emb(), queries(), 10)))
+      } else if (mode == "index") {
+        // The 100 TB ANN serving story, TIMED: offline index build
+        // (assignment + partitioned write) and per-batch probe latency for
+        // the disk-served IVF and IVF+PQ layouts. The quantizer is trained
+        // ONCE and frozen (collect + recreate, like IvfIndexSpec) — builds
+        // time the assignment/encode/write, probes time routing + pruned
+        // scan + rank; the ad-hoc in-memory comparators are the `ann`
+        // mode's d03/d08 entries.
+        val emb = Tables.embeddings(spark, out)
+        val queries = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        def frozen(df: DataFrame): DataFrame = spark.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+        val centroids = frozen(Similarity.ivfCentroids(emb, nCells = 64, refineIters = 1))
+        val cb = frozen(Similarity.pqCodebooks(emb, m = 8, kc = 16))
+        val ivfDir = s"$out/ivf_idx"
+        val pqDir = s"$out/pq_idx"
+        def asDf(body: => Unit): DataFrame = { body; spark.range(0).toDF() }
+        Seq(
+          "ivf_index_build" -> (() =>
+            asDf(Similarity.writeIndex(emb, centroids, ivfDir))),
+          "ivf_probe_50q" -> (() =>
+            Similarity.probeIndex(spark, ivfDir, queries, centroids, k = 10, nProbe = 4)),
+          "pq_index_build" -> (() =>
+            asDf(Similarity.writeIndexPQ(emb, centroids, cb, pqDir, m = 8, w = 8))),
+          "pq_probe_50q" -> (() =>
+            Similarity.probeIndexPQ(spark, pqDir, queries, centroids, cb,
+              k = 10, m = 8, kc = 16)))
       } else if (mode == "text") {
         val docs = () => Tables.documents(spark, out)
         Seq(
@@ -254,6 +285,8 @@ object ScaleProbe {
     val rows =
       if (mode == "dedup" || mode == "text" || mode == "textq")
         spark.read.parquet(s"$out/documents.parquet").count()
+      else if (mode == "index")
+        spark.read.parquet(s"$out/embeddings.parquet").count()
       else spark.read.parquet(s"$out/events.parquet").count()
 
     val results = probes.map { case (name, mk) =>
