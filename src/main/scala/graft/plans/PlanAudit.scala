@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+/** Static scale audit of a query's physical plan — the engine's own plan
+  * discipline (PLANS.md review, PlanGuardSpec) packaged as a library API a
+  * user can run on THEIR queries before pointing them at 100 TB.
+  *
+  * Heuristics, each a measured failure mode in this repo's history:
+  *
+  *  - `cartesian`  — a CartesianProduct node: |left|·|right| work; almost
+  *    always a dropped equi-predicate (error severity — at scale this is
+  *    never survivable).
+  *  - `global-window` — a Window with an EMPTY partition spec: every row
+  *    shuffles to ONE partition (the b27 hazard — fine for enum-bounded
+  *    frames, fatal for SF-scaling ones, and the plan cannot tell which,
+  *    so it warns).
+  *  - `single-partition-shuffle` — an `Exchange SinglePartition` whose
+  *    child is NOT an UNGROUPED aggregate: a global scalar reduces through
+  *    one tiny partial-agg row per partition (benign), but an exchange
+  *    over a KEYED aggregate — b27's original shape, per-supplier rows to
+  *    one task — or over raw data funnels an unbounded frame through one
+  *    task.
+  *  - `unfiltered-wide-scan` — a file scan reading every column of a wide
+  *    (>8 col) schema with no data filter and no partition filter: at
+  *    100 TB either the projection or a pushed predicate should have
+  *    narrowed it; full-width full-table reads are usually a missing
+  *    `select`/`filter` (info severity — backups and exports do this on
+  *    purpose).
+  *
+  * The audit reads plan STRUCTURE only (no execution, no stats): it cannot
+  * know a frame's cardinality, so bounded-by-construction patterns — the
+  * two-level prefix-sum's #partitions-row level-2 window (Chunking/
+  * Selection), a 25-nation rollup — will surface as warnings. That is the
+  * intended contract: each warning is either a real hazard or a line a
+  * reviewer consciously waives, exactly like this repo's PLANS.md notes.
+  */
+object PlanAudit {
+
+  final case class Finding(rule: String, severity: String, node: String) {
+    override def toString = s"[$severity] $rule: $node"
+  }
+
+  /** Audit the FINAL plan when the frame already executed, the initial
+    * plan otherwise (AQE re-plans at runtime; auditing after a test-scale
+    * execution also sees runtime decisions like skew splits).
+    */
+  def audit(df: DataFrame): Seq[Finding] =
+    auditPlan(df.queryExecution.executedPlan)
+
+  def auditPlan(root: SparkPlan): Seq[Finding] = {
+    // ≤1 output row per input partition — the benign global-scalar shape.
+    // Codegen wrappers (WholeStageCodegen/InputAdapter) sit between an
+    // exchange and the operator it actually shuffles; see through them.
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => unwrap(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => unwrap(i.child)
+      case other => other
+    }
+    def ungroupedAgg(p: SparkPlan): Boolean = unwrap(p) match {
+      case b: BaseAggregateExec => b.groupingExpressions.isEmpty
+      case _ => false
+    }
+    // AdaptiveSparkPlanExec / query stages hide live subtrees behind
+    // accessors, not `children` — descend through both
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.flatMap(walk)
+    })
+    walk(root).flatMap {
+      case c: CartesianProductExec =>
+        Some(Finding("cartesian", "error", c.simpleStringWithNodeId()))
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Some(Finding("global-window", "warn", w.simpleStringWithNodeId()))
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition
+          && !ungroupedAgg(e.child) =>
+        Some(Finding("single-partition-shuffle", "warn",
+          e.simpleStringWithNodeId()))
+      case s: FileSourceScanExec
+          if s.schema.length > 8 && s.dataFilters.isEmpty
+            && s.partitionFilters.isEmpty
+            && s.schema.length == s.relation.dataSchema.length =>
+        Some(Finding("unfiltered-wide-scan", "info",
+          s.simpleStringWithNodeId()))
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.PlanAudit
+
+/** PlanAudit must flag each hazard class on a plan that exhibits it and
+  * stay silent on the healthy equivalents — including through an executed
+  * AQE plan, where the live tree hides behind query stages.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  test("flags a cartesian product as error") {
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // with broadcast on, tiny frames plan a (benign) broadcast loop join;
+      // the audit targets the non-broadcast CartesianProduct a big-big
+      // non-equi join degenerates into
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = Seq(1, 2, 3).toDF("x")
+      val b = Seq(4, 5).toDF("y")
+      val bad = a.crossJoin(b).filter(col("x") < col("y"))
+      bad.collect()
+      val fs = PlanAudit.audit(bad)
+      assert(fs.exists(f => f.rule == "cartesian" && f.severity == "error"), fs.mkString("; "))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("flags a global window, passes the keyed equivalent") {
+    val hl = operators.HttpLog.view(Tables.events(spark, sfDir))
+      .select("resource_id", "bytes_sent")
+    val global = hl.withColumn("r", row_number().over(
+      Window.orderBy("bytes_sent")))
+    global.collect()
+    assert(PlanAudit.audit(global).exists(_.rule == "global-window"))
+
+    val keyed = hl.withColumn("r", row_number().over(
+      Window.partitionBy("resource_id").orderBy("bytes_sent")))
+    keyed.collect()
+    assert(!PlanAudit.audit(keyed).exists(_.rule == "global-window"))
+  }
+
+  test("keyed aggregate into a single partition warns; global scalar does not") {
+    val hl = operators.HttpLog.view(Tables.events(spark, sfDir))
+    // b27's original hazard shape: per-key frame repartitioned to 1
+    val funneled = hl.groupBy("resource_id").agg(sum("bytes_sent").as("s"))
+      .repartition(1)
+    funneled.collect()
+    assert(PlanAudit.audit(funneled).exists(_.rule == "single-partition-shuffle"))
+
+    // benign: ungrouped partial aggs reduce to one row per partition
+    val scalar = hl.agg(sum("bytes_sent").as("s"))
+    scalar.collect()
+    assert(!PlanAudit.audit(scalar).exists(_.rule == "single-partition-shuffle"),
+      PlanAudit.audit(scalar).mkString("; "))
+  }
+
+  test("full-width filterless wide scan is info; pruned or filtered scans pass") {
+    val wide = spark.read.parquet(s"$sfDir/lineitem.parquet") // 16 columns
+    wide.collect()
+    assert(PlanAudit.audit(wide).exists(_.rule == "unfiltered-wide-scan"))
+
+    val pruned = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    pruned.collect()
+    assert(!PlanAudit.audit(pruned).exists(_.rule == "unfiltered-wide-scan"))
+
+    val filtered = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 10)
+    filtered.collect()
+    assert(!PlanAudit.audit(filtered).exists(_.rule == "unfiltered-wide-scan"))
+  }
+
+  test("the flagship pipeline audits clean") {
+    val df = Queries.all.find(_.name == "a00_pipeline_e2e").get.fn(spark, sfDir)
+    df.collect()
+    val fs = PlanAudit.audit(df).filterNot(_.severity == "info")
+    assert(fs.isEmpty, fs.mkString("; "))
+  }
+}
