@@ -3624,6 +3624,51 @@ object Queries {
       |SELECT CAST(level AS INT) AS level, count(*) AS n_users
       |FROM lv GROUP BY level""".stripMargin))
 
+  private val g07 = Q(
+    "g07_stream_retention",
+    // the streaming retention's EMISSION fold (StatefulRetention
+    // .incrementsOf — the exact increments flatMapGroupsWithState emits as
+    // weeks close under the watermark), oracle-gated on batch data against
+    // b39's matrix SQL: increments aggregated per (cohort, week_offset)
+    // plus cohort-size shares. StatefulRetentionSpec proves stream==batch
+    // through MemoryStream incl. cross-batch out-of-order delivery (the
+    // week-closure argument makes the cohort final before first emission);
+    // this query pins the fold itself to the oracle. Production path is
+    // the bounded-state stream; this flatMapGroups twin exists for the
+    // gate.
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .select(col("user_id").cast("long").as("u"), unix_millis(col("ts")).as("ms"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (u, it) =>
+          streaming.StatefulRetention.incrementsOf(it.map(_._2).toSeq)
+            .map { case (c, off) => (u, new java.sql.Timestamp(c), off) }
+        }
+        .toDF("user_id", "cohort", "week_offset")
+        .groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("active_users"))
+      val sizes = cells.filter(col("week_offset") === 0)
+        .select(col("cohort"), col("active_users").as("cohort_size"))
+      cells.join(broadcast(sizes), "cohort")
+        .select(col("cohort"), col("week_offset"), col("active_users"),
+          round(col("active_users").cast("double") / col("cohort_size"), 4)
+            .as("retention"))
+    },
+    Some("""WITH weeks AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      |firsts AS (SELECT user_id, min(wk) AS cohort FROM weeks GROUP BY 1),
+      |cells AS (
+      |  SELECT cohort, CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_offset,
+      |         count(*) AS active_users
+      |  FROM weeks JOIN firsts USING (user_id) GROUP BY 1, 2),
+      |sizes AS (SELECT cohort, active_users AS cohort_size FROM cells
+      |          WHERE week_offset = 0)
+      |SELECT cohort, week_offset, active_users,
+      |       round(CAST(active_users AS DOUBLE) / cohort_size, 4) AS retention
+      |FROM cells JOIN sizes USING (cohort)""".stripMargin))
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -3717,5 +3762,5 @@ object Queries {
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22,
     f01, f02, f03, f04, f05, f06,
-    g01, g02, g03, g04, g05, g06)
+    g01, g02, g03, g04, g05, g06, g07)
 }
