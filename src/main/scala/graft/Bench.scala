@@ -50,14 +50,30 @@ object Bench {
       val rotated = warmed.drop(shift) ++ warmed.take(shift)
       rotated.foreach { q => samples(q.name) = timed(q) :: samples(q.name) }
     }
+    // headline number per query = min of the three samples (the least-
+    // contended run). The JSON also carries ALL per-pass samples (in run
+    // order) and the median, so a driver-box regression is adjudicable from
+    // the artifact alone: min ≈ median → the query really got slower;
+    // min ≪ median → one or two passes hit machine contention, the min is
+    // the honest number. Without the samples, a 1.8× swing with zero code
+    // change (r5's c02) is unfalsifiable.
     val results = headline.map { q =>
-      val ts = samples(q.name)
+      val ts = samples(q.name).reverse // prepended during runs → reverse to run order
       val t  = if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.min
-      q.name -> t
+      (q.name, t, ts)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(d: Double) = if (d < 0) "-1" else f"$d%.4f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sampleJson = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val medianJson = results.map { case (k, _, ts) =>
+      val m = if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
+      "\"" + k + "\":" + fmt(m)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""samples":$sampleJson,"median":$medianJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -84,8 +84,17 @@ object TextHash {
     * of the classic O(shingles · n) — the difference between 1× and 128× scan
     * cost at 100 TB. Unbiased Jaccard estimator like classic MinHash.
     */
-  def minhashSig(text: UTF8String, k: Int, n: Int): ArrayData = {
-    val sh = wordShingles(text, k)
+  def minhashSig(text: UTF8String, k: Int, n: Int): ArrayData =
+    minhashSigFromShingles(wordShingles(text, k), n)
+
+  /** OPH signature over an ALREADY-SHINGLED hash array. Bit-identical to
+    * [[minhashSig]] on the same text (ophUpdate is a per-bucket min, so the
+    * iteration order over the distinct shingle set is irrelevant) — exists so
+    * a pipeline that materializes the shingle array anyway (minhashPairs
+    * keeps it for exact-Jaccard verification) derives the signature from it
+    * instead of re-tokenizing and re-hashing the full text a second time.
+    */
+  def minhashSigFromShingles(sh: ArrayData, n: Int): ArrayData = {
     val sig = new Array[Long](n)
     val filled = new Array[Boolean](n)
     var s = 0

@@ -45,6 +45,13 @@ package object functions {
   def minhash_sig(c: Column, k: Int = 3, n: Int = 128): Column =
     column(MinHashSig(expression(c), k, n))
 
+  /** MinHash signature over an already-shingled hash array — bit-identical
+    * to [[minhash_sig]] on the source text; use when the shingle array is
+    * materialized anyway so the text isn't tokenized twice.
+    */
+  def minhash_sig_arr(sh: Column, n: Int = 128): Column =
+    column(MinHashSigFromShingles(expression(sh), n))
+
   /** Weighted MinHash signature over pre-hashed shingles + integer weights. */
   def minhash_sig_weighted(sh: Column, w: Column, n: Int = 128): Column =
     column(MinHashSigWeighted(expression(sh), expression(w), n))

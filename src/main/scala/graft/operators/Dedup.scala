@@ -129,10 +129,17 @@ object Dedup {
     // Token-less docs are excluded: their constant densified signature would
     // collide all blank docs on every band, then 0/0 the Jaccard verify
     // (ANSI divide error) — the exact-Jaccard oracle excludes them too.
-    val sigs = df.select(
-      col(idCol).as("id"),
-      word_shingles(col(textCol), k).as("sh"),
-      lsh_band_keys(minhash_sig(col(textCol), k, n), bands).as("keys"))
+    // Shingle ONCE per doc: `sh` is fenced so neither CollapseProject (into
+    // the keys projection) nor PushDownPredicates (into the size filter)
+    // duplicates the tokenize+hash pass, and the signature derives from the
+    // materialized shingle array (bit-identical to minhash_sig on the text —
+    // OPH is a per-bucket min, order-free). The unfenced shape evaluated
+    // word_shingles up to 3× per doc: once in the pushed-down filter, once
+    // for `sh`, once inside minhash_sig's internal re-shingling.
+    val sigs = df
+      .select(col(idCol).as("id"), opt_fence(word_shingles(col(textCol), k)).as("sh"))
+      .select(col("id"), col("sh"),
+        lsh_band_keys(minhash_sig_arr(col("sh"), n), bands).as("keys"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))

@@ -269,6 +269,25 @@ case class MinHashSig(child: Expression, k: Int, n: Int)
     copy(child = newChild)
 }
 
+/** `minhash_sig_arr(shingles, n)` — MinHash signature over a pre-hashed
+  * shingle array; bit-identical to `minhash_sig` on the text the shingles
+  * came from (see [[graft.functions.TextHash.minhashSigFromShingles]]).
+  */
+case class MinHashSigFromShingles(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig_arr"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHash.minhashSigFromShingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashSigFromShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFromShingles =
+    copy(child = newChild)
+}
+
 /** `minhash_sig_weighted(shingles, weights, n)` — weighted MinHash signature
   * over pre-hashed shingles with integer weights (idf-style importance).
   */
