@@ -32,6 +32,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `kafka.isolation.level`.
   *  - `NUM_CONSUMERS` (`config.rs:76`) → `minPartitions`: Spark fans
   *    consumption out to tasks; a partition can be split across tasks.
+  *
+  * SEAM FINAL (r6): this wiring is the end state reachable in a sandbox
+  * with zero egress and no connector jar/broker binary on disk — nothing
+  * here has ever consumed from a live broker. The three risks a first
+  * deployment against a real cluster must shake out, none of which a
+  * brokerless test can falsify:
+  *  1. `kafka.`-prefix passthrough spelling: a typo'd passthrough key
+  *     (e.g. `kafka.isolation.level`) is silently ignored by the consumer
+  *     rather than rejected — verify via consumer-config logs on first run.
+  *  2. offset-commit pacing: checkpoint-commit (not broker auto-commit) is
+  *     asserted from Spark's documented contract, not observed against a
+  *     broker's `__consumer_offsets`.
+  *  3. broker-side truncation/rebalance: `failOnDataLoss=false` paths
+  *     (retention deleting unread offsets, partition reassignment) are
+  *     untested against real broker behavior.
   */
 object KafkaConnector {
 
