@@ -2467,10 +2467,18 @@ object Queries {
       // PQ-ADC: 8-byte codes scanned instead of 256-byte vectors, exact
       // re-rank of the per-query shortlist. Codebook training + encoding
       // not SQL-expressible; twin recall proven in d09 + spec.
+      // Registered with the MEASURED-GOOD knobs (§6 recall probe, re-run
+      // r6 at the 100× corpus): 6-bit codebooks + re-rank ×32 hold recall
+      // 0.686 ≈ IVF, where the 4-bit/×4 default degrades to 0.136 and —
+      // the r6 re-measurement that corrected the r4 note — kc=64 with only
+      // ×8 re-rank reaches 0.428: the re-rank budget stays the dominant
+      // recall knob even at 6-bit resolution, and it's nearly free (the
+      // ADC scan dominates; ×32 measured no slower than ×8). The 4-bit
+      // baseline remains a ScaleProbe point (ann mode, "d08_pq").
       val aug = augEmbeddings(s, dir)
       val queries = aug.filter(col("vec_id") >= 100000)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Similarity.pqTopK(aug, queries, 5)
+      Similarity.pqTopK(aug, queries, 5, kc = 64, rerankFactor = 32)
     },
     None)
 

@@ -134,6 +134,9 @@ object ScaleProbe {
         // codebook resolution (LUT 4× bigger, codes still 8 B/vec)
         "d08_pq_rerank32" -> (() =>
           Similarity.pqTopK(emb, queries, 10, rerankFactor = 32)),
+        "d08_pq_kc64_rerank8" -> (() =>
+          Similarity.pqTopK(emb, queries, 10, kc = 64, rerankFactor = 8)),
+        // the REGISTERED d08 config since r6 (6-bit codebooks, re-rank ×32)
         "d08_pq_kc64_rerank32" -> (() =>
           Similarity.pqTopK(emb, queries, 10, kc = 64, rerankFactor = 32)))
       val parts = variants.map { case (name, mk) =>

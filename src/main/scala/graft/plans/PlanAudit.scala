@@ -34,6 +34,22 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   *    narrowed it; full-width full-table reads are usually a missing
   *    `select`/`filter` (info severity — backups and exports do this on
   *    purpose).
+  *  - `sort-aggregate-demotion` — a KEYED SortAggregate: Catalyst demotes
+  *    an aggregate to sort-based silently when its buffer can't live in
+  *    HashAggregate's fixed-width row (`max(struct)`, `min_by`/`max_by`,
+  *    string-keyed min_by) — the b42/c14 lesson, measured at 2.4× the
+  *    hash-agg sibling at the 100× probe. The fix is usually packing the
+  *    ordering key into a long, or a TypedImperativeAggregate
+  *    (`keep_latest`), both of which plan hash-based. Ungrouped sort
+  *    aggregates reduce one row per partition and are not flagged.
+  *  - `unbounded-collect` — `collect_list`/`collect_set` inside an
+  *    aggregate: per-group state grows with group size and nothing in the
+  *    PLAN bounds it — one hot key (a bot user, a boilerplate fragment)
+  *    OOMs its task at scale (the original b38 funnel shape). Bounded
+  *    alternatives: a k-bounded TypedImperativeAggregate (`EarliestK`) or
+  *    a window + filter. Groups bounded by DATA semantics (per-document
+  *    shingles) surface as waivable warnings, same contract as
+  *    `global-window`.
   *
   * The audit reads plan STRUCTURE only (no execution, no stats): it cannot
   * know a frame's cardinality, so bounded-by-construction patterns — the
@@ -75,22 +91,45 @@ object PlanAudit {
       case q: QueryStageExec => walk(q.plan)
       case other => other.children.flatMap(walk)
     })
-    walk(root).flatMap {
-      case c: CartesianProductExec =>
-        Some(Finding("cartesian", "error", c.simpleStringWithNodeId()))
-      case w: WindowExec if w.partitionSpec.isEmpty =>
-        Some(Finding("global-window", "warn", w.simpleStringWithNodeId()))
-      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition
-          && !ungroupedAgg(e.child) =>
-        Some(Finding("single-partition-shuffle", "warn",
-          e.simpleStringWithNodeId()))
-      case s: FileSourceScanExec
-          if s.schema.length > 8 && s.dataFilters.isEmpty
-            && s.partitionFilters.isEmpty
-            && s.schema.length == s.relation.dataSchema.length =>
-        Some(Finding("unfiltered-wide-scan", "info",
-          s.simpleStringWithNodeId()))
-      case _ => None
+    def collectsUnbounded(b: BaseAggregateExec): Boolean =
+      b.aggregateExpressions.exists(_.aggregateFunction match {
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate.CollectList => true
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet => true
+        case _ => false
+      })
+    // a node can exhibit more than one hazard (a keyed SortAggregate that
+    // also collects) — emit every match, not the first
+    walk(root).flatMap { p =>
+      val structural: Seq[Finding] = p match {
+        case c: CartesianProductExec =>
+          Seq(Finding("cartesian", "error", c.simpleStringWithNodeId()))
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          Seq(Finding("global-window", "warn", w.simpleStringWithNodeId()))
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition
+            && !ungroupedAgg(e.child) =>
+          Seq(Finding("single-partition-shuffle", "warn",
+            e.simpleStringWithNodeId()))
+        case s: FileSourceScanExec
+            if s.schema.length > 8 && s.dataFilters.isEmpty
+              && s.partitionFilters.isEmpty
+              && s.schema.length == s.relation.dataSchema.length =>
+          Seq(Finding("unfiltered-wide-scan", "info",
+            s.simpleStringWithNodeId()))
+        case _ => Nil
+      }
+      val aggregate: Seq[Finding] = p match {
+        case sa: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+            if sa.groupingExpressions.nonEmpty =>
+          Seq(Finding("sort-aggregate-demotion", "warn",
+            sa.simpleStringWithNodeId()))
+        case _ => Nil
+      }
+      val collect: Seq[Finding] = p match {
+        case b: BaseAggregateExec if collectsUnbounded(b) =>
+          Seq(Finding("unbounded-collect", "warn", b.simpleStringWithNodeId()))
+        case _ => Nil
+      }
+      structural ++ aggregate ++ collect
     }
   }
 }

@@ -74,6 +74,57 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!PlanAudit.audit(filtered).exists(_.rule == "unfiltered-wide-scan"))
   }
 
+  test("keyed max(struct) demotes to SortAggregate and is flagged; " +
+      "keep_latest and plain hash aggregates pass") {
+    val hl = operators.HttpLog.view(Tables.events(spark, sfDir))
+    // the b42/c14 shape: a struct-valued agg buffer silently demotes
+    val demoted = hl.groupBy("resource_id")
+      .agg(max(struct(col("bytes_sent"), col("log_id"))).as("best"))
+    demoted.collect()
+    assert(PlanAudit.audit(demoted).exists(_.rule == "sort-aggregate-demotion"),
+      PlanAudit.audit(demoted).mkString("; "))
+
+    // the repo's fix for the same semantics plans ObjectHashAggregate
+    val fixed = hl.groupBy("resource_id")
+      .agg(functions.keep_latest(col("bytes_sent"),
+        struct(col("bytes_sent").as("b"), col("log_id").as("u"))).as("best"))
+    fixed.collect()
+    assert(!PlanAudit.audit(fixed).exists(_.rule == "sort-aggregate-demotion"),
+      PlanAudit.audit(fixed).mkString("; "))
+
+    val hashed = hl.groupBy("resource_id").agg(sum("bytes_sent").as("s"))
+    hashed.collect()
+    assert(!PlanAudit.audit(hashed).exists(_.rule == "sort-aggregate-demotion"))
+
+    // ungrouped sort aggregate = one row per partition, never flagged
+    val scalar = hl.agg(max(struct(col("bytes_sent"), col("log_id"))).as("m"))
+    scalar.collect()
+    assert(!PlanAudit.audit(scalar).exists(_.rule == "sort-aggregate-demotion"),
+      PlanAudit.audit(scalar).mkString("; "))
+  }
+
+  test("collect_list/collect_set inside an aggregate are flagged; bounded " +
+      "custom aggregates pass") {
+    val hl = operators.HttpLog.view(Tables.events(spark, sfDir))
+    val cl = hl.groupBy("remote_addr").agg(collect_list("resource_id").as("rs"))
+    cl.collect()
+    assert(PlanAudit.audit(cl).exists(_.rule == "unbounded-collect"),
+      PlanAudit.audit(cl).mkString("; "))
+
+    val cs = hl.groupBy("remote_addr").agg(collect_set("resource_id").as("rs"))
+    cs.collect()
+    assert(PlanAudit.audit(cs).exists(_.rule == "unbounded-collect"))
+
+    // the original b38 OOM was exactly collect_list per user; its fix — the
+    // k-bounded EarliestK buffer inside windowFunnel — must audit clean
+    val bounded = operators.Funnel.windowFunnel(
+      Tables.events(spark, sfDir), "user_id", "ts", "event_type",
+      Seq("view", "click"), 86400000000L)
+    bounded.collect()
+    assert(!PlanAudit.audit(bounded).exists(_.rule == "unbounded-collect"),
+      PlanAudit.audit(bounded).mkString("; "))
+  }
+
   test("the flagship pipeline audits clean") {
     val df = Queries.all.find(_.name == "a00_pipeline_e2e").get.fn(spark, sfDir)
     df.collect()
