@@ -1829,12 +1829,22 @@ object Queries {
       // primitive-long key keeps min_by/max_by inside a HashAggregate
       // (string/struct keys demote the whole aggregate to a per-partition
       // SortAggregate, a map-side fact sort at 100 TB). Bounds: relative ms
-      // < 2^37 (ts between 2023-11 and ~2028-02), log_id < 2^26 (67M) —
-      // DuckDB computes the SAME packed key and its checked INT64 multiply
-      // turns a violated bound into a loud oracle error, not a wrong order.
+      // in [0, 2^37) (ts between 2023-11 and ~2028-02), log_id in
+      // [0, 2^26) (67M). BOTH engines fail loudly on a violated bound:
+      // DuckDB through its checked INT64 multiply, Spark through the
+      // raise_error guard below — without it Spark would silently
+      // misorder the open/close picks (e.g. a ScaleProbe id inflation
+      // crossing 2^26).
+      .withColumn("_rel_ms", unix_millis(col("ts")) - lit(1700000000000L))
       .withColumn("tk",
-        (unix_millis(col("ts")) - lit(1700000000000L)) * lit(1L << 26)
-          + col("log_id"))
+        when(col("_rel_ms") < 0 || col("_rel_ms") >= lit(1L << 37)
+            || col("log_id") < 0 || col("log_id") >= lit(1L << 26),
+          raise_error(format_string(
+            "b42 packed key out of bounds: rel_ms=%d log_id=%d " +
+              "(need 0<=rel_ms<2^37, 0<=log_id<2^26)",
+            col("_rel_ms"), col("log_id"))).cast("long"))
+          .otherwise(col("_rel_ms") * lit(1L << 26) + col("log_id")))
+      .drop("_rel_ms")
       .groupBy(col("resource_id"), col("hr"))
       .agg(
         min_by(col("bytes_sent"), col("tk")).as("open"),
