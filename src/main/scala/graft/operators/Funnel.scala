@@ -135,31 +135,35 @@ object Funnel {
                            windowMicros: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.length == steps.length, "funnel steps must be distinct")
-    val w = Window.partitionBy(col(userCol)).orderBy(col("t"), col("y"))
+    // Internal columns carry a `_wf_` prefix so a caller whose input already
+    // has a column named e.g. `t` or `lv` never hits ambiguity/shadowing
+    // (same convention as the `_h`/`_hx` helper columns elsewhere in graft).
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_wf_t"), col("_wf_y"))
       .rowsBetween(Window.unboundedPreceding, -1)
     var df = events
       .filter(col(typeCol).isin(steps: _*))
-      .select(col(userCol), unix_micros(col(tsCol)).as("t"),
-        col(typeCol).as("y"))
-      .withColumn("c1", when(col("y") === steps.head, col("t")))
+      .select(col(userCol), unix_micros(col(tsCol)).as("_wf_t"),
+        col(typeCol).as("_wf_y"))
+      .withColumn("_wf_c1", when(col("_wf_y") === steps.head, col("_wf_t")))
     for (k <- 2 to steps.length) {
       df = df
-        .withColumn(s"b${k - 1}", max(col(s"c${k - 1}")).over(w))
-        .withColumn(s"c$k",
-          when(col("y") === steps(k - 1) &&
-            col(s"b${k - 1}").isNotNull &&
-            col("t") <= col(s"b${k - 1}") + lit(windowMicros),
-            col(s"b${k - 1}")))
+        .withColumn(s"_wf_b${k - 1}", max(col(s"_wf_c${k - 1}")).over(w))
+        .withColumn(s"_wf_c$k",
+          when(col("_wf_y") === steps(k - 1) &&
+            col(s"_wf_b${k - 1}").isNotNull &&
+            col("_wf_t") <= col(s"_wf_b${k - 1}") + lit(windowMicros),
+            col(s"_wf_b${k - 1}")))
     }
     val lvlExpr = (1 to steps.length).foldLeft(lit(0)) { (acc, k) =>
-      when(col(s"c$k").isNotNull, lit(k)).otherwise(acc)
+      when(col(s"_wf_c$k").isNotNull, lit(k)).otherwise(acc)
     }
-    val perUser = df.withColumn("lv", lvlExpr)
-      .groupBy(col(userCol)).agg(max(col("lv")).as("lv"))
+    val perUser = df.withColumn("_wf_lv", lvlExpr)
+      .groupBy(col(userCol)).agg(max(col("_wf_lv")).as("_wf_lv"))
     // users whose every event was filtered out are level 0; the join keys
     // match the window partitioning, so no extra exchange on the big side
     events.select(col(userCol)).distinct()
       .join(perUser, Seq(userCol), "left")
-      .select(col(userCol), coalesce(col("lv"), lit(0)).as("level"))
+      .select(col(userCol), coalesce(col("_wf_lv"), lit(0)).as("level"))
   }
 }

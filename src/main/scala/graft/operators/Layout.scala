@@ -223,18 +223,31 @@ h$lvl AS (
     * work is a filesystem listing (pure metadata, same discipline as range
     * boundaries); the data moves once through one coalesce+write.
     *
-    * Filesystem-level swap (write merged to a temp subdir, delete the small
-    * sources, move merged in): crash-safe against loss (sources are removed
-    * only after the merged files are fully written) but not against
-    * duplicate-visibility — a reader racing the swap can see both; a table
-    * format's transaction log (Delta/Iceberg) is the production answer for
-    * that, orthogonal to the compaction itself.
+    * Filesystem-level swap (write merged to a temp subdir, rename merged
+    * in, delete the small sources): crash-safe against LOSS (sources are
+    * removed only after every merged file is renamed in) but not against
+    * DUPLICATE-VISIBILITY — two crash windows leave both copies visible
+    * until the next compact() run: (a) mid-rename, where some
+    * `part-compacted-<runId>-*` files coexist with all sources, and (b)
+    * between the last rename and the source deletes. Both are repaired
+    * idempotently on the NEXT call via a manifest protocol: after all
+    * renames succeed (and before any source delete) a
+    * `_compact_manifest_<runId>` file listing the doomed sources is
+    * written; [[recover]] runs first on every compact() call and (a)
+    * deletes still-present sources listed by a manifest (renames were
+    * complete — the compacted copy is authoritative), (b) deletes orphan
+    * `part-compacted-<rid>-*` files whose rid has no manifest (the run
+    * died mid-rename — the sources are still intact and authoritative).
+    * A reader racing the swap can still transiently see both; a table
+    * format's transaction log (Delta/Iceberg) is the production answer
+    * for serializable reads, orthogonal to the compaction itself.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long, smallRatio: Double = 0.5,
               sortCols: Seq[String] = Nil): CompactStats = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, new Path(path))
     def parts() = fs.listStatus(new Path(path))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     val before = parts()
@@ -259,6 +272,12 @@ h$lvl AS (
     // rolls back the already-renamed files and aborts with the sources
     // intact — worst case is leftover tmp data, never loss.
     val runId = java.util.UUID.randomUUID().toString.take(8)
+    // Intent marker BEFORE the first rename: recovery needs to know which
+    // runId's `part-compacted-<rid>-*` files are uncommitted duplicates —
+    // compacted files from OLD fully-committed runs look identical by name
+    // and must never be swept as orphans.
+    val intent = new Path(path, s"_compact_intent_$runId")
+    fs.create(intent, true).close()
     val dests = fs.listStatus(tmp).filter(_.getPath.getName.startsWith("part-"))
       .zipWithIndex.map { case (s, j) =>
         (s.getPath, new Path(path, s"part-compacted-$runId-$j.parquet"))
@@ -272,11 +291,88 @@ h$lvl AS (
     if (!allOk) {
       renamed.foreach(p => fs.delete(p, false))
       fs.delete(tmp, true)
+      fs.delete(intent, false)
       throw new java.io.IOException(
         s"compact: rename into $path failed; small sources left intact")
     }
+    // Commit point: the manifest existing means "every rename succeeded;
+    // the listed sources are stale duplicates". Written via create+rename
+    // so a half-written manifest is never visible under its final name.
+    val manifest = new Path(path, s"_compact_manifest_$runId")
+    val manifestTmp = new Path(path, s"_compact_manifest_$runId.inprogress")
+    val mout = fs.create(manifestTmp, true)
+    try mout.write(small.map(_.getPath.getName).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mout.close()
+    if (!fs.rename(manifestTmp, manifest))
+      throw new java.io.IOException(s"compact: manifest commit failed in $path")
+    // Cleanup order is load-bearing for recover(): sources, tmp, intent,
+    // manifest. The intent must outlive nothing past the manifest — if the
+    // intent survived the manifest's deletion, recovery would read
+    // "intent without manifest" as a pre-commit crash and sweep this run's
+    // (now sole-copy) compacted files.
     small.foreach(s => fs.delete(s.getPath, false))
     fs.delete(tmp, true)
+    fs.delete(intent, false)
+    fs.delete(manifest, false)
     CompactStats(before.length, parts().length, small.length, smallBytes)
+  }
+
+  /** Idempotent repair of a crashed [[compact]] run (called automatically
+    * at the start of every compact; single concurrent maintainer assumed,
+    * as for compact itself). The run's marker files define the state:
+    *  - `_compact_manifest_<rid>` exists → run `rid` COMMITTED (the
+    *    manifest is written only after the last rename), so the compacted
+    *    files are authoritative; delete any still-present source files the
+    *    manifest lists, then tmp/intent/manifest — finishing the run's own
+    *    cleanup order.
+    *  - `_compact_intent_<rid>` exists with NO matching manifest → run
+    *    `rid` died BEFORE its commit point, so every source file is still
+    *    present and authoritative; its `part-compacted-<rid>-*` files are
+    *    partial duplicates — delete exactly those (an OLD committed run's
+    *    compacted files carry a different rid with no surviving intent and
+    *    are never touched), plus the tmp dir and any half-written
+    *    `.inprogress` manifest.
+    *  - no markers → only fully-committed runs ever ran; `part-compacted-*`
+    *    files are ordinary committed data, untouched.
+    */
+  private[graft] def recover(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(dir)) return
+    val entries = fs.listStatus(dir)
+    entries.filter(_.getPath.getName.endsWith(".inprogress"))
+      .foreach(s => fs.delete(s.getPath, false))
+    val manifests = entries.filter { s =>
+      val n = s.getPath.getName
+      n.startsWith("_compact_manifest_") && !n.endsWith(".inprogress")
+    }
+    val committed = manifests.map(_.getPath.getName
+      .stripPrefix("_compact_manifest_")).toSet
+    val intents = entries.filter(
+      _.getPath.getName.startsWith("_compact_intent_"))
+    val uncommitted = intents.map(_.getPath.getName
+      .stripPrefix("_compact_intent_")).toSet -- committed
+    if (uncommitted.nonEmpty) {
+      // Pre-commit crash: sources intact, renamed-in files are duplicates.
+      entries.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.startsWith("part-compacted-") &&
+          n.split("-").lift(2).exists(uncommitted.contains)
+      }.foreach(s => fs.delete(s.getPath, false))
+    }
+    manifests.foreach { m =>
+      val in = fs.open(m.getPath)
+      val doomed =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      doomed.filter(_.nonEmpty)
+        .foreach(name => fs.delete(new Path(dir, name), false))
+    }
+    val tmp = new Path(dir, "_compact_tmp")
+    if (entries.exists(_.getPath.getName == "_compact_tmp"))
+      fs.delete(tmp, true)
+    intents.foreach(i => fs.delete(i.getPath, false))
+    manifests.foreach(m => fs.delete(m.getPath, false))
   }
 }

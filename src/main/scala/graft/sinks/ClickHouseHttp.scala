@@ -174,8 +174,15 @@ object ClickHouseHttp {
     * partition's rows are split into blocks of at most `maxRows`, and a
     * block also flushes once it has been open for `maxDelayMs` — so one
     * POST is never unboundedly large (the reference's `413 Payload Too
-    * Large` concern, sink.rs:326) and rows from a slow, trickling upstream
-    * iterator are never unboundedly stale.
+    * Large` concern, sink.rs:326) and a slow, trickling upstream iterator
+    * still flushes its open block within `maxDelayMs` OF THE NEXT ROW
+    * ARRIVING. The delay bound is pull-model: the clock is checked as each
+    * row arrives, so an upstream that STALLS entirely (hasNext blocking
+    * indefinitely) keeps its open block unflushed until the next row or
+    * iterator end — a wall-clock bound under a stall would need a flush
+    * thread, which foreachPartition's single-threaded iterator contract
+    * doesn't justify here (a stalled micro-batch is already a failed/
+    * retried task at the streaming layer).
     *
     * Delivery semantics are UNCHANGED from [[insertSink]]: each block
     * retries with fixed delay; an exhausted block fails the task, the
