@@ -36,6 +36,10 @@ import graft.operators.{Dedup, Similarity}
   *  - `index`: inflate embeddings (sign-flip salting), time the DISK-SERVED
   *    ANN path — IVF / IVF+PQ index build (partitioned write) and 50-query
   *    probe latency against the written index (frozen quantizer).
+  *  - `stream`: inflate events, replay them in event-time order through the
+  *    g06/g07 stateful streaming operators (flatMapGroupsWithState) and
+  *    record rows/sec plus peak state-store rows/bytes — evidence that
+  *    state tracks ACTIVE USERS (≤10× under inflation), not history (mult×).
   *  - any query names: inflate events, time those registered queries.
   *
   * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|sketch|text|queryName...]
@@ -111,6 +115,68 @@ object ScaleProbe {
         if (!Files.exists(link)) Files.createSymbolicLink(link, Paths.get(s"$base/$t.parquet"))
       }
       Files.createFile(Paths.get(s"$out/_done"))
+    }
+
+    if (mode == "stream") {
+      // The stateful-streaming probe (g06 funnel / g07 retention): replay the
+      // inflated events through flatMapGroupsWithState in EVENT-TIME ORDER so
+      // the watermark advances the way a live stream's would, and record
+      // (a) rows/sec through the stateful operator and (b) PEAK state-store
+      // rows and bytes. The claim under test: state ∝ active users (one state
+      // row per live user; funnel bytes additionally ∝ min(step events, cap)),
+      // NOT ∝ history — the inflation grows history `mult`× but users ≤10×.
+      //
+      // Ordered replay: range-partition by ts (part-00000 = earliest range)
+      // and give files ascending mtimes — FileStreamSource batches in mtime
+      // order, so maxFilesPerTrigger=1 yields time-ordered micro-batches.
+      val streamIn = s"$out/stream_in"
+      if (!Files.exists(Paths.get(s"$out/_stream_done"))) {
+        Tables.events(spark, out)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .repartitionByRange(16, col("ts"))
+          .write.mode("overwrite").parquet(streamIn)
+        val partRe = "part-(\\d+)".r
+        Files.list(Paths.get(streamIn)).forEach { p =>
+          partRe.findFirstMatchIn(p.getFileName.toString).foreach { m =>
+            Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+              .fromMillis(1_600_000_000_000L + m.group(1).toLong * 60_000L))
+          }
+        }
+        Files.createFile(Paths.get(s"$out/_stream_done"))
+      }
+      val schema = spark.read.parquet(streamIn).schema
+      val steps = Seq("view", "click", "purchase")
+      def probe(name: String,
+                op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_])
+          : String = {
+        val ckpt = Files.createTempDirectory(s"graft_stream_${name}_").toString
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamIn)
+        val t0 = System.nanoTime()
+        val q = op(src.toDF()).writeStream.format("noop")
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val prog = q.recentProgress
+        q.stop()
+        val inRows = prog.map(_.numInputRows).sum
+        val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum).max
+        val peakMb = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum).max / 1e6
+        val emitted = prog.map(_.sink.numOutputRows).filter(_ > 0).sum
+        s""""$name":{"sec":${math.rint(sec * 100) / 100},"rows_per_sec":${(inRows / sec).toLong},""" +
+          s""""peak_state_rows":$peakRows,"peak_state_mb":${math.rint(peakMb * 10) / 10},"emitted":$emitted}"""
+      }
+      val parts = Seq(
+        probe("g06_funnel", df =>
+          streaming.StatefulFunnel.levels(spark, df, steps, windowMinutes = 1440)),
+        probe("g07_retention", df =>
+          streaming.StatefulRetention.increments(spark, df)))
+      val ev = spark.read.parquet(streamIn)
+      val rowsS = ev.count()
+      val users = ev.select(countDistinct(col("user_id"))).first().getLong(0)
+      println(s"""{"metric":"scale_probe","mode":"stream","rows":$rowsS,"mult":$mult,"users":$users,"queries":{${parts.mkString(",")}}}""")
+      spark.stop()
+      return
     }
 
     if (mode == "ann") {
