@@ -18,11 +18,30 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts_ns` (epoch nanos, long) and `ts` (µs-truncated timestamp). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  /** events with `ts_ns` (epoch nanos, long) and `ts` (µs-truncated timestamp).
+    *
+    * The driver's generator has shipped `ts` as both INT64 TIMESTAMP(NANOS)
+    * (read as epoch-nano long under `nanosAsLong`) and plain TIMESTAMP(MICROS);
+    * ScaleProbe-inflated copies write BIGINT. Adapt on the observed type so
+    * every consumer sees the same (ts_ns: long, ts: timestamp) pair in the
+    * same column positions regardless of which vintage is on disk.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ => // TIMESTAMP[_NTZ] (µs precision): ts_ns takes ts's slot, ts last.
+        // NTZ → LTZ cast reads the naive value as session-local; the session
+        // is pinned UTC (GraftSession) so this is value-identity, and all
+        // consumers keep seeing the TIMESTAMP type previous data vintages had.
+        val order = raw.columns.map { case "ts" => "ts_ns"; case c => c } :+ "ts"
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+          .select(order.map(col): _*)
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
