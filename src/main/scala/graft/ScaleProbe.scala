@@ -101,8 +101,9 @@ object ScaleProbe {
                 s"transform(embedding, (x, i) -> CAST(IF(pmod(hash(i, $r), 2) = 0, -x, x) AS FLOAT))")))
             .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       } else {
-        // events.ts arrives as epoch-nano long (nanosAsLong) and is written
-        // back as plain BIGINT — Tables.events handles both identically
+        // events.ts arrives as epoch-nano long or µs timestamp depending on
+        // the testdata vintage and is written back as-is — Tables.events
+        // adapts to either on read
         spark.read.parquet(s"$base/events.parquet")
           .crossJoin(spark.range(mult).toDF("rep"))
           .withColumn("event_id", col("event_id") * mult + col("rep"))
@@ -136,35 +137,60 @@ object ScaleProbe {
           .repartitionByRange(16, col("ts"))
           .write.mode("overwrite").parquet(streamIn)
         val partRe = "part-(\\d+)".r
-        Files.list(Paths.get(streamIn)).forEach { p =>
+        val listing = Files.list(Paths.get(streamIn))
+        try listing.forEach { p =>
           partRe.findFirstMatchIn(p.getFileName.toString).foreach { m =>
             Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
               .fromMillis(1_600_000_000_000L + m.group(1).toLong * 60_000L))
           }
-        }
+        } finally listing.close()
         Files.createFile(Paths.get(s"$out/_stream_done"))
       }
       val schema = spark.read.parquet(streamIn).schema
       val steps = Seq("view", "click", "purchase")
+      // One full throwaway replay (fresh checkpoint) per op before the timed
+      // run — JVM/codegen/stream-startup warm-up otherwise lands in the FIRST
+      // probe's numbers only, skewing g06-vs-g07 and stream-vs-batch reads
+      // (every other probe mode already times warm runs). `emitted_closed`
+      // counts only windows/weeks CLOSED by the final watermark: tail users
+      // whose funnel window / retention week is still open when the bounded
+      // replay ends never emit, so it reads low next to `users` by design.
+      def replay(name: String,
+                 op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_])
+          : (Double, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+        val ckpt = Files.createTempDirectory(s"graft_stream_${name}_")
+        try {
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(streamIn)
+          val t0 = System.nanoTime()
+          val q = op(src.toDF()).writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString).outputMode("append").start()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val prog = q.recentProgress
+          q.stop()
+          (sec, prog)
+        } finally {
+          val walk = Files.walk(ckpt)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }
       def probe(name: String,
                 op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_])
           : String = {
-        val ckpt = Files.createTempDirectory(s"graft_stream_${name}_").toString
-        val src = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(streamIn)
-        val t0 = System.nanoTime()
-        val q = op(src.toDF()).writeStream.format("noop")
-          .option("checkpointLocation", ckpt).outputMode("append").start()
-        q.processAllAvailable()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val prog = q.recentProgress
-        q.stop()
+        replay(s"${name}_warm", op) // discarded: cold-start warm-up
+        val (sec, prog) = replay(name, op)
         val inRows = prog.map(_.numInputRows).sum
-        val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum).max
-        val peakMb = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum).max / 1e6
+        val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .maxOption.getOrElse(0L)
+        val peakMb = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+          .maxOption.getOrElse(0L) / 1e6
         val emitted = prog.map(_.sink.numOutputRows).filter(_ > 0).sum
-        s""""$name":{"sec":${math.rint(sec * 100) / 100},"rows_per_sec":${(inRows / sec).toLong},""" +
-          s""""peak_state_rows":$peakRows,"peak_state_mb":${math.rint(peakMb * 10) / 10},"emitted":$emitted}"""
+        val rps = if (sec > 0 && inRows > 0) (inRows / sec).toLong else 0L
+        s""""$name":{"sec":${math.rint(sec * 100) / 100},"rows_per_sec":$rps,""" +
+          s""""peak_state_rows":$peakRows,"peak_state_mb":${math.rint(peakMb * 10) / 10},"emitted_closed":$emitted}"""
       }
       val parts = Seq(
         probe("g06_funnel", df =>
