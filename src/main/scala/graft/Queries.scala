@@ -3526,6 +3526,43 @@ object Queries {
       |  CAST(sum(val) AS BIGINT) AS checksum
       |FROM v GROUP BY doc_id, w, h""".stripMargin))
 
+  private val f07 = Q(
+    "f07_jpeg_decode",
+    // REAL baseline JPEG/JFIF decode (operators/Jpeg.scala) — the dominant
+    // real-world image format, previously the one declared codec-library
+    // seam. The payloads are block-constant 8×8 images: AC energy is
+    // exactly zero and DC is integer, so with the all-ones quantization
+    // table the ENTROPY-CODED LOSSY pipeline (markers → Huffman → byte
+    // unstuffing → RSTn restarts → dequantize → IDCT → crop) reconstructs
+    // every pixel exactly and the oracle computes the decoded statistics
+    // ANALYTICALLY. The general lossy path is certified differentially
+    // against the JDK's independent ImageIO decoder in JpegSpec.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      import s.implicits._
+      val withPayload = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, operators.Jpeg.syntheticJpeg(id)))
+        .toDF("doc_id", "payload")
+      operators.Jpeg.extractJpeg(s, withPayload, "doc_id", "payload")
+        .toDF()
+        .withColumn("mean_luma", round(col("mean_luma"), 4))
+    },
+    // max pixel count is 16*12 = 192 → bounded series + filter; pixel value
+    // depends only on the containing 8×8 block's coordinates
+    Some("""WITH px AS (
+      |  SELECT d.doc_id,
+      |         s.i % (9 + d.doc_id % 8) AS x,
+      |         s.i // (9 + d.doc_id % 8) AS y
+      |  FROM documents d, generate_series(0, 191) s(i)
+      |  WHERE s.i < (9 + d.doc_id % 8) * (8 + d.doc_id % 5))
+      |SELECT doc_id,
+      |  CAST(9 + doc_id % 8 AS INT) AS width,
+      |  CAST(8 + doc_id % 5 AS INT) AS height,
+      |  CAST((9 + doc_id % 8) * (8 + doc_id % 5) AS INT) AS n_pixels,
+      |  round(avg(CAST((doc_id * 31 + (x // 8) * 17 + (y // 8) * 29) % 256 AS DOUBLE)), 4)
+      |    AS mean_luma
+      |FROM px GROUP BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- group G
 
   private val g01 = Q(
@@ -3779,6 +3816,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22,
-    f01, f02, f03, f04, f05, f06,
+    f01, f02, f03, f04, f05, f06, f07,
     g01, g02, g03, g04, g05, g06, g07)
 }

@@ -4,15 +4,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2 group F): image/audio/video
-  * travel as opaque `binary` columns with typed metadata. Four REAL
-  * executor-side decoders cover the pure-bytes wire disciplines — PGM
+  * travel as opaque `binary` columns with typed metadata. Five REAL
+  * executor-side decoder families cover the wire disciplines — PGM
   * (ASCII header + raw plane), BMP (little-endian fixed-offset headers,
-  * bottom-up padded BGR rows), RIFF/WAV (chunk walk), and a multi-frame
-  * container (header-walk frame seeking). Only formats that require an
-  * external codec library (JPEG/PNG/MP3 entropy coding) are out of scope in
-  * this container; [[Multimodal.stubDecode]] marks that seam — a production
-  * deployment swaps it for a real codec (or an Arrow batch UDF) without
-  * touching the surrounding plan, exactly as the four real decoders do.
+  * bottom-up padded BGR rows), RIFF/WAV (chunk walk), a multi-frame
+  * container (header-walk frame seeking), and baseline JPEG/JFIF
+  * (entropy-coded lossy: Huffman + DCT + restarts, [[Jpeg]]). Only formats
+  * whose decode needs a third-party library in practice (PNG's
+  * DEFLATE+filter chain, MP3/AAC) remain out of scope in this container;
+  * [[Multimodal.stubDecode]] marks that seam — a production deployment
+  * swaps it for a real codec (or an Arrow batch UDF) without touching the
+  * surrounding plan, exactly as the five real decoders do.
   */
 object Multimodal {
 
@@ -76,9 +78,9 @@ object Multimodal {
     * dimensions and maxval, one whitespace, then `w*h` raw pixel bytes.
     * Returns None on any malformed payload (dead-letter, never throw — the
     * same poisoned-message discipline as the capnp decoder). This is the
-    * existence proof that [[stubDecode]]'s seam takes a real decoder: only
-    * formats needing external codecs (JPEG/PNG/audio) stay stubbed in this
-    * container.
+    * existence proof that [[stubDecode]]'s seam takes a real decoder (JPEG
+    * since got its own, [[Jpeg]]): only PNG/compressed-audio stay stubbed
+    * in this container.
     */
   def decodePgm(docId: Long, b: Array[Byte]): Option[PgmFeatures] = {
     var i = 0
