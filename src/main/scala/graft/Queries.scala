@@ -3563,6 +3563,45 @@ object Queries {
       |    AS mean_luma
       |FROM px GROUP BY doc_id""".stripMargin))
 
+  private val f08 = Q(
+    "f08_png_decode",
+    // REAL PNG decode (operators/Png.scala) — the compressed-lossless
+    // family: chunk walk with CRC-32 gates, JDK-zlib inflate, and
+    // sequential un-application of the five scanline predictors
+    // (None/Sub/Up/Average/Paeth; the filter type CYCLES per doc so all
+    // five are live here, not just in specs). Lossless ⇒ the oracle pins
+    // FULL per-pixel variation: every channel byte is closed-form in
+    // (doc_id, index) and the checksum sums all of them — one mis-predicted
+    // byte anywhere shifts it. ImageIO differentials (both directions,
+    // exact) in PngSpec.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      import s.implicits._
+      val withPayload = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, operators.Png.syntheticPng(id)))
+        .toDF("doc_id", "payload")
+      operators.Png.extractPng(s, withPayload, "doc_id", "payload")
+        .toDF()
+        .withColumn("mean_r", round(col("mean_r"), 4))
+        .withColumn("mean_g", round(col("mean_g"), 4))
+        .withColumn("mean_b", round(col("mean_b"), 4))
+    },
+    // max interleaved byte count is 10*8*3 = 240 → bounded series + filter
+    Some("""WITH bytes AS (
+      |  SELECT d.doc_id, s.i,
+      |         CAST((d.doc_id * 37 + s.i * 11) % 256 AS DOUBLE) AS v
+      |  FROM documents d, generate_series(0, 239) s(i)
+      |  WHERE s.i < (5 + d.doc_id % 6) * (4 + d.doc_id % 5) * 3)
+      |SELECT doc_id,
+      |  CAST(5 + doc_id % 6 AS INT) AS width,
+      |  CAST(4 + doc_id % 5 AS INT) AS height,
+      |  CAST((5 + doc_id % 6) * (4 + doc_id % 5) AS INT) AS n_pixels,
+      |  round(avg(CASE WHEN i % 3 = 0 THEN v END), 4) AS mean_r,
+      |  round(avg(CASE WHEN i % 3 = 1 THEN v END), 4) AS mean_g,
+      |  round(avg(CASE WHEN i % 3 = 2 THEN v END), 4) AS mean_b,
+      |  CAST(sum(v) AS BIGINT) AS checksum
+      |FROM bytes GROUP BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- group G
 
   private val g01 = Q(
@@ -3816,6 +3855,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22,
-    f01, f02, f03, f04, f05, f06, f07,
+    f01, f02, f03, f04, f05, f06, f07, f08,
     g01, g02, g03, g04, g05, g06, g07)
 }

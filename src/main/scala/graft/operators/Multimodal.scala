@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * executor-side decoder families cover the wire disciplines — PGM
   * (ASCII header + raw plane), BMP (little-endian fixed-offset headers,
   * bottom-up padded BGR rows), RIFF/WAV (chunk walk), a multi-frame
-  * container (header-walk frame seeking), and baseline JPEG/JFIF
-  * (entropy-coded lossy: Huffman + DCT + restarts, [[Jpeg]]). Only formats
-  * whose decode needs a third-party library in practice (PNG's
-  * DEFLATE+filter chain, MP3/AAC) remain out of scope in this container;
-  * [[Multimodal.stubDecode]] marks that seam — a production deployment
-  * swaps it for a real codec (or an Arrow batch UDF) without touching the
-  * surrounding plan, exactly as the five real decoders do.
+  * container (header-walk frame seeking), baseline JPEG/JFIF
+  * (entropy-coded lossy: Huffman + DCT + restarts, [[Jpeg]]), and PNG
+  * (compressed lossless: CRC-gated chunks + JDK-zlib + predictive
+  * filters, [[Png]]). Only perceptual-audio codecs (MP3/AAC) genuinely
+  * need a third-party library; [[Multimodal.stubDecode]] marks that one
+  * remaining seam — a production deployment swaps it for a real codec (or
+  * an Arrow batch UDF) without touching the surrounding plan, exactly as
+  * the six real decoder families do.
   */
 object Multimodal {
 
@@ -79,8 +80,8 @@ object Multimodal {
     * Returns None on any malformed payload (dead-letter, never throw — the
     * same poisoned-message discipline as the capnp decoder). This is the
     * existence proof that [[stubDecode]]'s seam takes a real decoder (JPEG
-    * since got its own, [[Jpeg]]): only PNG/compressed-audio stay stubbed
-    * in this container.
+    * and PNG since got their own, [[Jpeg]]/[[Png]]): only compressed audio
+    * stays stubbed in this container.
     */
   def decodePgm(docId: Long, b: Array[Byte]): Option[PgmFeatures] = {
     var i = 0

@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PNG decoder — pure Scala over the JDK's zlib (SURVEY.md §2 group F).
+  * With JPEG ([[Jpeg]]) covering the entropy-coded lossy family, PNG covers
+  * the compressed LOSSLESS family: chunked container (length/type/CRC),
+  * zlib-deflated pixel stream, and per-scanline predictive filters
+  * (None/Sub/Up/Average/Paeth) that must be sequentially un-applied.
+  * Everything here derives from the public PNG specification (RFC 2083 /
+  * ISO 15948): the 8-byte signature, IHDR/IDAT/IEND chunk layout, the CRC-32
+  * over type+data, and the Paeth predictor. DEFLATE itself is
+  * `java.util.zip.Inflater` — part of the JDK, not a third-party codec.
+  *
+  * Scope: 8-bit greyscale (color type 0) and 8-bit truecolor RGB (color
+  * type 2), non-interlaced — the shapes a synthetic-data pipeline writes.
+  * Palette/alpha/16-bit/Adam7 are rejected → dead-letter (same
+  * poisoned-message discipline as every other decoder here). Unknown
+  * ancillary chunks are skipped by walking the length fields, exactly as a
+  * real reader must.
+  *
+  * Because PNG is lossless, the analytic oracle (f08) pins FULL per-pixel
+  * variation — unlike JPEG's block-constant contract, every pixel of the
+  * synthetic payloads is an independent closed-form function of
+  * (doc_id, index), so a single mis-filtered byte anywhere in the chain
+  * (wrong predictor, off-by-one row offset, CRC-accepted corruption)
+  * shifts the checksummed stats.
+  *
+  * Scale shape: per-row `mapPartitions` seam, embarrassingly parallel, no
+  * shuffle — identical to the other media decoders.
+  */
+object Png {
+
+  private val MaxDim = 1 << 14
+  private val Signature = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  // ------------------------------------------------------------- decoder
+
+  /** Decoded image: `nComp` 1 (grey) or 3 (RGB), planes row-major w*h. */
+  final case class PngImage(width: Int, height: Int, nComp: Int,
+                            planes: Array[Array[Int]])
+
+  /** Decode a PNG payload. None on ANY malformed/unsupported input. */
+  def decode(b: Array[Byte]): Option[PngImage] =
+    try decodeInner(b)
+    catch { case _: Exception => None }
+
+  private def decodeInner(b: Array[Byte]): Option[PngImage] = {
+    if (b.length < 8) return None
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != Signature(i)) return None; i += 1 }
+    var pos = 8
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var width = 0; var height = 0; var nComp = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 8 <= b.length && !seenIend) {
+      val len = u32(pos)
+      if (len > Int.MaxValue || pos + 12 + len > b.length) return None
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      val dataOff = pos + 8
+      // CRC-32 over chunk type + data (the spec's integrity gate; a reader
+      // that skips it accepts silently-corrupt pixel data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, pos + 4, 4 + len.toInt)
+      if (crc.getValue != u32(dataOff + len.toInt)) return None
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return None
+          seenIhdr = true
+          width = u32(dataOff).toInt; height = u32(dataOff + 4).toInt
+          val bitDepth = b(dataOff + 8) & 0xff
+          val colorType = b(dataOff + 9) & 0xff
+          val compression = b(dataOff + 10) & 0xff
+          val filterMethod = b(dataOff + 11) & 0xff
+          val interlace = b(dataOff + 12) & 0xff
+          if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim) return None
+          if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace != 0) return None
+          nComp = colorType match {
+            case 0 => 1 // greyscale
+            case 2 => 3 // truecolor
+            case _ => return None // palette/alpha out of scope
+          }
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(b, dataOff, len.toInt)
+        case "IEND" => seenIend = true
+        case _ => // ancillary (tEXt, pHYs, ...) — skip via the length field
+          if (!seenIhdr) return None
+      }
+      pos += 12 + len.toInt
+    }
+    if (!seenIhdr || !seenIend) return None
+
+    // zlib inflate of the concatenated IDAT stream
+    val stride = width * nComp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      if (n == 0 && inf.needsInput()) return None // truncated stream
+      off += n
+    }
+    val complete = off == raw.length && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0)
+    inf.end()
+    if (!complete) return None
+
+    // un-filter scanlines (sequential in y by construction — each row's
+    // predictor reads the fully reconstructed row above)
+    val px = new Array[Int](stride * height)
+    val bpp = nComp
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xff
+        val left = if (x >= bpp) px(rowOut + x - bpp) else 0
+        val up = if (y > 0) px(rowOut - stride + x) else 0
+        val ul = if (y > 0 && x >= bpp) px(rowOut - stride + x - bpp) else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 => // Paeth predictor (RFC 2083 §6.6)
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        px(rowOut + x) = v & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val planes = Array.tabulate(nComp) { c =>
+      Array.tabulate(width * height)(i => px(i * nComp + c))
+    }
+    Some(PngImage(width, height, nComp, planes))
+  }
+
+  // ------------------------------------------------------------- encoder
+
+  /** Minimal conforming PNG writer (signature, IHDR, one IDAT, IEND, real
+    * CRCs, zlib via `Deflater`) for payload synthesis and spec fixtures.
+    * `filterType` applies one fixed filter to every row — the decoder must
+    * reverse whichever it's handed, and the spec drives all five.
+    */
+  def encode(w: Int, h: Int, nComp: Int, px: Int => Int,
+             filterType: Int = 4): Array[Byte] = {
+    require(nComp == 1 || nComp == 3)
+    require(filterType >= 0 && filterType <= 4)
+    val out = new java.io.ByteArrayOutputStream()
+    Signature.foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+      out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    def put32(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = ((v >> 24) & 0xff).toByte; a(o + 1) = ((v >> 16) & 0xff).toByte
+      a(o + 2) = ((v >> 8) & 0xff).toByte; a(o + 3) = (v & 0xff).toByte
+    }
+    put32(ihdr, 0, w); put32(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (nComp == 1) 0 else 2).toByte
+    chunk("IHDR", ihdr)
+
+    val stride = w * nComp
+    val bpp = nComp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val plane = Array.tabulate(stride * h)(i => px(i) & 0xff)
+    var y = 0
+    while (y < h) {
+      raw(y * (stride + 1)) = filterType.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = plane(y * stride + x)
+        val left = if (x >= bpp) plane(y * stride + x - bpp) else 0
+        val up = if (y > 0) plane((y - 1) * stride + x) else 0
+        val ul = if (y > 0 && x >= bpp) plane((y - 1) * stride + x - bpp) else 0
+        val f = filterType match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = (f & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val def_ = new java.util.zip.Deflater()
+    def_.setInput(raw); def_.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zout = new java.io.ByteArrayOutputStream()
+    while (!def_.finished()) {
+      val n = def_.deflate(buf)
+      zout.write(buf, 0, n)
+    }
+    def_.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------- payloads + features
+
+  /** Deterministic synthetic RGB PNG: every channel byte is an independent
+    * closed-form function of (doc_id, pixel index); the filter type cycles
+    * through all five per doc so each predictor is live in the registered
+    * query, not just in specs.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = (5 + docId % 6).toInt
+    val h = (4 + docId % 5).toInt
+    encode(w, h, 3, i => ((docId * 37 + i.toLong * 11) % 256).toInt,
+      filterType = (docId % 5).toInt)
+  }
+
+  /** Per-channel means + full-plane checksum pin every byte of every pixel. */
+  final case class PngFeatures(doc_id: Long, width: Int, height: Int,
+                               n_pixels: Int, mean_r: Double, mean_g: Double,
+                               mean_b: Double, checksum: Long)
+
+  def decodePng(docId: Long, b: Array[Byte]): Option[PngFeatures] =
+    decode(b).collect {
+      case PngImage(w, h, 3, planes) =>
+        val n = w * h
+        def mean(p: Array[Int]): Double = { var s = 0L; var i = 0; while (i < n) { s += p(i); i += 1 }; s.toDouble / n }
+        var ck = 0L
+        var i = 0
+        while (i < n) { ck += planes(0)(i).toLong + planes(1)(i) + planes(2)(i); i += 1 }
+        PngFeatures(docId, w, h, n, mean(planes(0)), mean(planes(1)), mean(planes(2)), ck)
+    }
+
+  /** Real decode over a payload column; malformed rows dead-letter. */
+  def extractPng(spark: SparkSession, df: DataFrame,
+                 idCol: String, payloadCol: String): Dataset[PngFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[Multimodal.MMRecord]
+      .mapPartitions(_.flatMap(r => decodePng(r.doc_id, r.payload)))
+  }
+}
