@@ -2546,6 +2546,51 @@ object Queries {
       |        / len(embedding), 6) AS mean_abs_err
       |FROM e WHERE scale > 0""".stripMargin))
 
+  private val d11 = Q(
+    "d11_kmeans_cells",
+    // First-class distributed k-means (8 cells, 2 Lloyd iterations over the
+    // cosine quantizer every IVF/SemDeDup consumer shares) — previously
+    // internal-only machinery, now oracle-gated END TO END: the SQL mirror
+    // replays seeds → assign → per-dim mean → FLOAT cast → assign → mean →
+    // final assign entirely in DuckDB, so one flipped assignment or one
+    // mis-averaged centroid coordinate anywhere in either iteration breaks
+    // the hash. Cross-engine exactness rests on refineCentroids' FLOAT cast
+    // quantizing away summation-order ulp drift (Similarity.kmeansAssign
+    // doc); the cosine argmax ties break (cosine, cid)-max in both engines.
+    (s, dir) => Similarity.kmeansAssign(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      k = 8, iters = 2),
+    Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, e AS cv FROM emb WHERE vec_id < 8),
+      |r0 AS (SELECT m.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY m.vec_id
+      |           ORDER BY list_cosine_similarity(m.e, c.cv) DESC, c.cid DESC) AS rn
+      |       FROM emb m CROSS JOIN c0 c),
+      |a0 AS (SELECT vec_id, cid AS cell FROM r0 WHERE rn = 1),
+      |m1 AS (SELECT a0.cell, s.i,
+      |         CAST(CAST(avg(m.e[s.i]) AS REAL) AS DOUBLE) AS v
+      |       FROM a0 JOIN emb m USING (vec_id), generate_series(1, 64) s(i)
+      |       GROUP BY a0.cell, s.i),
+      |c1 AS (SELECT cell AS cid, list(v ORDER BY i) AS cv FROM m1 GROUP BY cell),
+      |r1 AS (SELECT m.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY m.vec_id
+      |           ORDER BY list_cosine_similarity(m.e, c.cv) DESC, c.cid DESC) AS rn
+      |       FROM emb m CROSS JOIN c1 c),
+      |a1 AS (SELECT vec_id, cid AS cell FROM r1 WHERE rn = 1),
+      |m2 AS (SELECT a1.cell, s.i,
+      |         CAST(CAST(avg(m.e[s.i]) AS REAL) AS DOUBLE) AS v
+      |       FROM a1 JOIN emb m USING (vec_id), generate_series(1, 64) s(i)
+      |       GROUP BY a1.cell, s.i),
+      |c2 AS (SELECT cell AS cid, list(v ORDER BY i) AS cv FROM m2 GROUP BY cell),
+      |r2 AS (SELECT m.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY m.vec_id
+      |           ORDER BY list_cosine_similarity(m.e, c.cv) DESC, c.cid DESC) AS rn
+      |       FROM emb m CROSS JOIN c2 c),
+      |a2 AS (SELECT vec_id, cid AS cell FROM r2 WHERE rn = 1)
+      |SELECT vec_id, cell,
+      |       count(*) OVER (PARTITION BY cell) AS cell_size
+      |FROM a2""".stripMargin))
+
   // ---------------------------------------------------------------- group E
 
   private val e01 = Q(
@@ -3852,7 +3897,7 @@ object Queries {
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22,
     f01, f02, f03, f04, f05, f06, f07, f08,

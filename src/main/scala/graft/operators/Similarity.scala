@@ -88,6 +88,27 @@ object Similarity {
     (1 to refineIters).foldLeft(seeds) { (c, _) => refineCentroids(corpus, c) }
   }
 
+  /** First-class distributed k-means (the clustering step behind IVF cells,
+    * SemDeDup, and domain discovery), exposed with the exact semantics the
+    * internal quantizer uses: deterministic lowest-id seeds, `iters` Lloyd
+    * iterations of [[refineCentroids]], cosine argmax assignment with
+    * (cosine, cid) tie-break, plus the per-cell population a balance check
+    * reads. Scale shape: centroids broadcast (k×dim floats), assignment is
+    * per-row with NO shuffle, refinement is a map-side-combined
+    * per-(cell, dim) mean (≤ k·dim rows per partition after partial agg),
+    * and the final cell_size window shuffles by cell only. Cross-engine
+    * hash-exactness rests on [[refineCentroids]]'s FLOAT cast of the
+    * double means: engines may disagree on the mean's last ulp from
+    * summation order, but quantizing to 24-bit mantissa collapses both to
+    * the same float except on astronomically unlikely rounding boundaries
+    * — so an all-double SQL oracle reproduces every iteration bit-for-bit.
+    */
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells = k, refineIters = iters)
+    assign(corpus, centroids)
+      .withColumn("cell_size", count(lit(1)).over(Window.partitionBy("cell")))
+  }
+
   /** Each query's `nProbe` cosine-nearest cells: (qid, qv, cell).
     * cid DESC on cosine ties — the same tie-break as assign/assignStateless's
     * argmax, so a query's own cell can never be cut off by the probe bound.

@@ -167,4 +167,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // the correctness guarantee
     assert(approx.nonEmpty)
   }
+
+  test("kmeansAssign: total coverage, consistent cell sizes, twins co-cluster") {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val out = Similarity.kmeansAssign(emb, k = 8, iters = 2).cache()
+    try {
+      assert(out.count() == n) // every vector assigned exactly once
+      assert(out.select(countDistinct(col("cell"))).first().getLong(0) <= 8)
+      // cell_size is the true population of its cell
+      val sizes = out.groupBy("cell").agg(
+        count(lit(1)).as("actual"), first("cell_size").as("reported"),
+        countDistinct("cell_size").as("variants")).collect()
+      sizes.foreach { r =>
+        assert(r.getAs[Long]("variants") == 1L)
+        assert(r.getAs[Long]("actual") == r.getAs[Long]("reported"))
+      }
+      // an exact duplicate vector pair must land in the same cell (same
+      // cosine to every centroid, same tie-break)
+      val dup = emb.filter(col("vec_id") === 3)
+        .withColumn("vec_id", lit(900000L))
+      val withDup = Similarity.kmeansAssign(emb.unionByName(dup), k = 8, iters = 2)
+        .filter(col("vec_id").isin(3L, 900000L))
+        .select(col("cell")).distinct().count()
+      assert(withDup == 1L)
+    } finally out.unpersist()
+  }
 }
