@@ -3257,6 +3257,68 @@ object Queries {
       |FROM tf JOIN lm USING (term) CROSS JOIN tot
       |GROUP BY doc_id""".stripMargin))
 
+  private val e23 = Q(
+    "e23_nb_quality",
+    // Model-based quality gate (the GPT-3/LLaMA-style "reference vs crawl"
+    // classifier): Multinomial Naive Bayes DISTILLING a heuristic label —
+    // reference class = stopword density ≥ 0.06, the e14-family signal —
+    // into a token model, trained on the 90% split and scored HELD-OUT on
+    // ALL docs (the classifier genuinely meets unseen terms → the Laplace
+    // floor fires; and the label carries real token evidence, unlike this
+    // corpus's metadata lang tag whose texts are i.i.d. token soup —
+    // TextLmSpec proves held-out accuracy beats the majority baseline).
+    // Exact-count training ⇒ the oracle replays the whole model (label,
+    // class counts, totals, vocab, priors) and the score sum in SQL;
+    // summation-order ulp drift is absorbed by the 4-dp round, the e18
+    // discipline. Scale notes on operators.TextLm.nbQualityScore.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sw = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id")
+        .agg(avg(when(col("term").isin("the", "a"), 1.0).otherwise(0.0)).as("sw"))
+      TextLm.nbQualityScore(docs.join(sw, "doc_id"), "doc_id", "text",
+        col("sw") >= 0.06, col("doc_id") % 10 =!= 0)
+    },
+    Some("""WITH toks0 AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |toks AS (SELECT doc_id, term FROM toks0 WHERE length(term) > 0),
+      |lbl AS (
+      |  SELECT doc_id,
+      |         avg(CASE WHEN term IN ('the', 'a') THEN 1.0 ELSE 0.0 END) >= 0.06
+      |           AS is_pos,
+      |         doc_id % 10 <> 0 AS is_train
+      |  FROM toks GROUP BY doc_id),
+      |tf AS (
+      |  SELECT t.doc_id, l.is_pos, l.is_train, t.term, count(*) AS tf
+      |  FROM toks t JOIN lbl l USING (doc_id) GROUP BY 1, 2, 3, 4),
+      |cls AS (
+      |  SELECT term,
+      |         sum(CASE WHEN is_pos THEN tf ELSE 0 END) AS cpos,
+      |         sum(CASE WHEN NOT is_pos THEN tf ELSE 0 END) AS cneg
+      |  FROM tf WHERE is_train GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
+      |         CAST(sum(cneg) AS DOUBLE) AS tneg,
+      |         CAST(count(*) AS DOUBLE) AS v
+      |  FROM cls),
+      |pri AS (
+      |  SELECT CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE) AS npos,
+      |         CAST(count(*) AS DOUBLE) AS n
+      |  FROM lbl WHERE is_train),
+      |scored AS (
+      |  SELECT tf.doc_id, sum(tf) AS n_tokens,
+      |    ln(max(pri.npos) / (max(pri.n) - max(pri.npos))) +
+      |      sum(tf * (ln((coalesce(cpos, 0) + 1) / (tot.tpos + tot.v))
+      |              - ln((coalesce(cneg, 0) + 1) / (tot.tneg + tot.v)))) AS score
+      |  FROM tf LEFT JOIN cls USING (term) CROSS JOIN tot CROSS JOIN pri
+      |  GROUP BY tf.doc_id, tot.tpos, tot.tneg, tot.v)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       round(score, 4) AS nb_score, score > 0 AS pred_pos
+      |FROM scored""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -3899,7 +3961,7 @@ object Queries {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-    e18, e19, e20, e21, e22,
+    e18, e19, e20, e21, e22, e23,
     f01, f02, f03, f04, f05, f06, f07, f08,
     g01, g02, g03, g04, g05, g06, g07)
 }

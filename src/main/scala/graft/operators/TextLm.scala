@@ -60,6 +60,62 @@ object TextLm {
     out
   }
 
+  /** Model-based quality filter: Multinomial Naive Bayes with Laplace
+    * smoothing, the classic fastText-style "reference vs crawl" classifier
+    * (GPT-3/LLaMA data pipelines gate crawl text on such a model's score;
+    * with no pretrained artifacts in this environment the reference class
+    * is `posPred`, trained on the `trainPred` split and scored HELD-OUT on
+    * every document, the e21 setup).
+    *
+    * score(d) = ln(N⁺/N⁻) + Σ_t tf_d(t)·[ln((c⁺(t)+1)/(T⁺+V)) −
+    * ln((c⁻(t)+1)/(T⁻+V))] over the train vocabulary V; terms unseen in
+    * training smooth to the 1/(T+V) floor on both sides. Output:
+    * (idCol, n_tokens, nb_score 4 dp, pred = score > 0).
+    *
+    * Scale shape: per-(doc, term) counts aggregate map-side before the
+    * weight join (distinct terms per doc, not occurrences); the class-count
+    * table is |vocab| rows — Zipf-bounded, AQE-broadcast when it fits; the
+    * scalar totals (T⁺, T⁻, V, priors) ride one broadcast cross join.
+    * Token-less docs are absent from the output, as [[lmScore]].
+    */
+  def nbQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                     posPred: org.apache.spark.sql.Column,
+                     trainPred: org.apache.spark.sql.Column): DataFrame = {
+    val tf = docs.select(col(idCol), posPred.as("is_pos"), trainPred.as("is_train"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("is_pos"), col("is_train"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cls = tf.filter(col("is_train"))
+      .groupBy("term")
+      .agg(sum(when(col("is_pos"), col("tf")).otherwise(0L)).as("cpos"),
+        sum(when(!col("is_pos"), col("tf")).otherwise(0L)).as("cneg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = cls.agg(sum("cpos").cast("double").as("tpos"),
+      sum("cneg").cast("double").as("tneg"),
+      count(lit(1)).cast("double").as("v"))
+    val pri = docs.filter(trainPred).agg(
+      sum(when(posPred, 1L).otherwise(0L)).cast("double").as("npos"),
+      count(lit(1)).cast("double").as("n"))
+    val w = log((coalesce(col("cpos"), lit(0L)).cast("double") + 1.0) / (col("tpos") + col("v"))) -
+      log((coalesce(col("cneg"), lit(0L)).cast("double") + 1.0) / (col("tneg") + col("v")))
+    val score = log(first(col("npos")) / (first(col("n")) - first(col("npos")))) +
+      sum(col("tf") * w)
+    val out = tf.join(cls, Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(pri))
+      .groupBy(idCol)
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        round(score, 4).as("nb_score"),
+        (score > 0).as("pred_pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist(blocking = false)
+    cls.unpersist(blocking = false)
+    out
+  }
+
   /** Bigram LM scoring with Stupid Backoff (Brants et al. 2007, the
     * web-scale LM that dropped normalization because at corpus scale a
     * penalized unigram fallback ranks just as well): each document's tokens

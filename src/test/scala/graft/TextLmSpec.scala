@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.TextLm
+
 /** Semantic properties of the CCNet-style LM quality gate (e18): the DuckDB
   * hash-compare proves the arithmetic; these prove the scores MEAN what the
   * filter needs them to mean.
@@ -54,5 +56,36 @@ class TextLmSpec extends AnyFunSuite with SparkTestBase {
       assert(ce > 0 && ce <= bound + 1e-9, s"ce=$ce outside (0, $bound]")
       assert(math.abs(r.getAs[Double]("ppl") - math.exp(ce)) < 0.5 + math.exp(ce) * 1e-3)
     }
+  }
+
+  test("NB quality classifier separates the reference class held-out") {
+    val docs = Tables.documents(spark, sfDir)
+    // the e23 label: stopword density ≥ 0.06 — a label with genuine token
+    // evidence (this corpus's lang tag has none; its texts are i.i.d. soup)
+    val sw = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id")
+      .agg(avg(when(col("term").isin("the", "a"), 1.0).otherwise(0.0)).as("sw"))
+    val labeled = docs.join(sw, "doc_id")
+    val scored = TextLm.nbQualityScore(labeled, "doc_id", "text",
+        col("sw") >= 0.06, col("doc_id") % 10 =!= 0)
+      .join(labeled.select(col("doc_id"), (col("sw") >= 0.06).as("truth")), "doc_id")
+    // accuracy on the HELD-OUT docs must beat both constant classifiers —
+    // the model is learning token evidence, not the prior
+    val held = scored.filter(col("doc_id") % 10 === 0)
+      .select(avg((col("pred_pos") === col("truth")).cast("double")).as("acc"),
+        avg(col("truth").cast("double")).as("base"))
+      .first()
+    val acc = held.getAs[Double]("acc")
+    val base = held.getAs[Double]("base")
+    assert(acc > math.max(base, 1 - base),
+      s"held-out accuracy $acc does not beat the majority baseline ${math.max(base, 1 - base)}")
+    // every scored doc carries a finite score and the threshold semantics hold
+    val bad = scored.filter(col("nb_score").isNull ||
+      (col("pred_pos") =!= (col("nb_score") > 0))).count()
+    // pred uses the UNROUNDED score; only a doc whose score rounds across 0
+    // could disagree with the 4-dp column — none in this corpus
+    assert(bad == 0)
   }
 }
