@@ -3319,6 +3319,23 @@ object Queries {
       |       round(score, 4) AS nb_score, score > 0 AS pred_pos
       |FROM scored""".stripMargin))
 
+  private val e24 = Q(
+    "e24_epoch_shuffle",
+    // Deterministic epoch shuffle (operators/Selection.epochShuffle): the
+    // reproducible global training-order permutation, epoch 7. The oracle
+    // ranks by the identical md5 permutation globally; the Spark plan
+    // reaches the same positions without a global sort via the two-level
+    // (bucket-by-hash-prefix → in-bucket rank → tiny offsets broadcast)
+    // scheme — a plain Window.orderBy here is exactly the single-partition
+    // hazard PlanAudit flags.
+    (s, dir) => operators.Selection.epochShuffle(
+      Tables.documents(s, dir), "doc_id", epoch = 7),
+    Some("""SELECT doc_id,
+      |  row_number() OVER (
+      |    ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |    AS shuffle_pos
+      |FROM documents""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -3961,7 +3978,7 @@ object Queries {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-    e18, e19, e20, e21, e22, e23,
+    e18, e19, e20, e21, e22, e23, e24,
     f01, f02, f03, f04, f05, f06, f07, f08,
     g01, g02, g03, g04, g05, g06, g07)
 }

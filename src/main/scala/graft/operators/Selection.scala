@@ -57,4 +57,38 @@ object Selection {
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "quality", "tok_count", "cum_tokens")
   }
+
+  /** Deterministic epoch shuffle — the reproducible global training-order
+    * permutation every epoch of a data loader needs: position = rank of
+    * md5("epoch<e>:" + id), so the permutation is a pure function of
+    * (epoch, id) — reproducible across reruns/retries, different per epoch,
+    * and samplable at any worker without coordination.
+    *
+    * Same scale cure as [[budgetSelect]]: a bare `Window.orderBy(hash)`
+    * would move the corpus to ONE partition, so rows bucket by the hash's
+    * first byte (a prefix of the sort key — bucket order IS hash order),
+    * rank within buckets partition-parallel, and only the ≤256 bucket
+    * counts prefix-sum on a single tiny partition before broadcasting back.
+    * The hash is md5 (not xxhash64) for the b24 reason: the oracle must
+    * rank by the SAME permutation, and md5 is the permutation both engines
+    * spell identically.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
+    val keyed = df.select(col(idCol).as("doc_id"))
+      .withColumn("h", md5(concat(lit(s"epoch$epoch:"),
+        col("doc_id").cast("string")).cast("binary")))
+      .withColumn("bkt", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val inBkt = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
+    val perBkt = keyed.withColumn("pos_in_bkt",
+      row_number().over(inBkt).cast("long"))
+    val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(
+          sum("n").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bkt", "off")
+    perBkt.join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), (col("off") + col("pos_in_bkt")).as("shuffle_pos"))
+  }
 }

@@ -47,4 +47,25 @@ class SelectionSpec extends AnyFunSuite with SparkTestBase {
     assert(windows >= 2, s"expected per-bucket + offsets windows:\n$plan")
     assert(plan.contains("bkt"), plan)
   }
+
+  test("epoch shuffle is a bijection onto 1..N, differs by epoch, repeats exactly") {
+    val docs = Tables.documents(spark, sfDir).limit(300)
+    val n = docs.count()
+    val e7 = Selection.epochShuffle(docs, "doc_id", epoch = 7).cache()
+    try {
+      assert(e7.count() == n)
+      // bijection: positions are exactly 1..N
+      val posAgg = e7.agg(min("shuffle_pos"), max("shuffle_pos"),
+        countDistinct("shuffle_pos")).first()
+      assert(posAgg.getLong(0) == 1L && posAgg.getLong(1) == n && posAgg.getLong(2) == n)
+      // deterministic: a second run is identical
+      val again = Selection.epochShuffle(docs, "doc_id", epoch = 7)
+      assert(e7.except(again).isEmpty && again.except(e7).isEmpty)
+      // a different epoch is a genuinely different permutation
+      val e8 = Selection.epochShuffle(docs, "doc_id", epoch = 8)
+      val moved = e7.as("a").join(e8.as("b"), "doc_id")
+        .filter(col("a.shuffle_pos") =!= col("b.shuffle_pos")).count()
+      assert(moved > n / 2, s"only $moved of $n docs moved between epochs")
+    } finally e7.unpersist()
+  }
 }
