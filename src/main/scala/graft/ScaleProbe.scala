@@ -316,6 +316,8 @@ object ScaleProbe {
           "c08_contamination" -> (() => Dedup.contamination(
             docs(), docs().filter(col("doc_id") % 17 === 0), "doc_id", "text")),
           "c09_clusters" -> (() => Dedup.nearDupClusters(docs(), "doc_id", "text")),
+          "d11_kmeans" -> (() => Similarity.kmeansAssign(
+            emb().select(col("vec_id"), col("embedding")), k = 8, iters = 2)),
           "c12_semdedup" -> (() => {
             // SemDeDup's own scaling rule: cells grow with the corpus so
             // per-cell membership (and the within-cell quadratic) stays flat
@@ -384,7 +386,15 @@ object ScaleProbe {
         spark.read.parquet(s"$out/embeddings.parquet").count()
       else spark.read.parquet(s"$out/events.parquet").count()
 
-    val results = probes.map { case (name, mk) =>
+    // extra args after a NAMED mode narrow the probe list (fast single-probe
+    // iteration without re-timing the whole suite); textq/bare-name modes
+    // already consumed their args as query names above
+    val wanted = args.drop(2).toSet
+    val selected =
+      if (mode == "dedup" || mode == "text" || mode == "sketch")
+        probes.filter(p => wanted.isEmpty || wanted.contains(p._1))
+      else probes
+    val results = selected.map { case (name, mk) =>
       def run(): Unit = mk().write.format("noop").mode("overwrite").save()
       run() // warm
       // cleared cache before every timed run — same reasoning as Bench: the
