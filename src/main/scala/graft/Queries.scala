@@ -3726,6 +3726,44 @@ object Queries {
       |  CAST(sum(v) AS BIGINT) AS checksum
       |FROM bytes GROUP BY doc_id""".stripMargin))
 
+  private val f09 = Q(
+    "f09_flac_decode",
+    // REAL FLAC decode (operators/Flac.scala) — compressed-lossless AUDIO,
+    // the format speech corpora actually ship: bit-packed frame headers,
+    // CRC-8/CRC-16 gates (bit flips reject, never decode to garbage),
+    // UTF-8-coded frame indices, fixed + LPC linear predictors, Rice-coded
+    // residuals. The synthetic frame strategy cycles CONSTANT / FIXED /
+    // VERBATIM / LPC so every subframe decoder is live here. Lossless ⇒
+    // the oracle pins every decoded sample: closed-form amplitude per
+    // (doc_id, i), position-weighted checksum, extrema.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      import s.implicits._
+      val withPayload = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, operators.Flac.syntheticFlac(id)))
+        .toDF("doc_id", "payload")
+      operators.Flac.extractFlac(s, withPayload, "doc_id", "payload")
+        .toDF()
+        .withColumn("mean_amp", round(col("mean_amp"), 4))
+    },
+    // max sample count is 1200 → bounded series + filter; the flat-stretch
+    // predicate mirrors syntheticFlac's (both args non-negative, so % agrees)
+    Some("""WITH px AS (
+      |  SELECT d.doc_id, s.i,
+      |    CASE WHEN ((s.i // 128) + d.doc_id) % 4 = 0
+      |         THEN (d.doc_id * 31) % 1024 - 512
+      |         ELSE (d.doc_id * 7 + s.i * 13) % 2048 - 1024 END AS v
+      |  FROM documents d, generate_series(0, 1199) s(i)
+      |  WHERE s.i < 600 + (d.doc_id % 4) * 200)
+      |SELECT doc_id,
+      |  CAST(16000 AS INT) AS sample_rate,
+      |  CAST(600 + (doc_id % 4) * 200 AS INT) AS n_samples,
+      |  round(avg(CAST(v AS DOUBLE)), 4) AS mean_amp,
+      |  CAST(min(v) AS INT) AS min_s,
+      |  CAST(max(v) AS INT) AS max_s,
+      |  CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+      |FROM px GROUP BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- group G
 
   private val g01 = Q(
@@ -3979,6 +4017,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24,
-    f01, f02, f03, f04, f05, f06, f07, f08,
+    f01, f02, f03, f04, f05, f06, f07, f08, f09,
     g01, g02, g03, g04, g05, g06, g07)
 }
