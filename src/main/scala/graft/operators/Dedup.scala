@@ -207,12 +207,16 @@ object Dedup {
   def weightedMinhashPairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, n: Int = 128, bands: Int = 32,
                            threshold: Double = 0.5, maxWeight: Int = 8): DataFrame = {
-    // corpus size N for idf: a column-pruned count of the input — no shingling
-    val nDocs = df.count()
     // shingle once per doc, cache; the array feeds both the df aggregation
     // and the per-doc packing below (exploding from the cache is cheap)
     val base = df.select(col(idCol).as("id"), word_shingles(col(textCol), k).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus size N for idf, read off the SAME action that materializes the
+    // shingle cache — previously a separate column-pruned count() job that
+    // re-scanned the corpus before the cache existed (one whole extra pass
+    // at 5k docs ≈ the query's fixed-cost floor; at 100 TB, a full extra
+    // read). Every downstream consumer reuses the now-warm cache.
+    val nDocs = base.count()
     val exploded = base.select(col("id"), explode(col("sh")).as("shingle"))
     val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
     // sort_array restores the ascending shingle order wordShingles emits
