@@ -170,6 +170,16 @@ object Jpeg {
       while (i < n) { val bit = nextBit(); if (bit < 0) return Int.MinValue; v = (v << 1) | bit; i += 1 }
       v
     }
+    /** Byte-align after entropy data; the byte position where the next
+      * marker must start (the enclosing parser re-verifies the 0xFF).
+      */
+    def alignToMarker(): Option[Int] = {
+      nbits = 0
+      if (markerAt >= 0) Some(markerAt)
+      else if (pos < b.length) Some(pos)
+      else None
+    }
+
     /** Byte-align and consume the expected FFD0+m restart marker. */
     def consumeRst(expected: Int): Boolean = {
       nbits = 0
@@ -253,6 +263,8 @@ object Jpeg {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    var progressive = false
+    var prog: ProgState = null
 
     while (pos + 1 < b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
@@ -261,8 +273,10 @@ object Jpeg {
       val marker = b(pos) & 0xff
       pos += 1
       marker match {
-        case 0xd9 => return None // EOI before SOS
-        case 0xc0 | 0xc1 => // baseline / extended sequential
+        case 0xd9 => // EOI: valid end only for a progressive image with scans
+          return if (prog != null) prog.finish(qt, qtSeen) else None
+        case 0xc0 | 0xc1 | 0xc2 => // baseline / extended sequential / progressive
+          progressive = marker == 0xc2
           val len = u16(pos)
           if (b(pos + 2) != 8) return None // 8-bit precision only
           height = u16(pos + 3); width = u16(pos + 5)
@@ -276,8 +290,8 @@ object Jpeg {
             c
           }
           pos += len
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // progressive / hierarchical / arithmetic — out of scope
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // lossless / hierarchical / arithmetic — out of scope
         case 0xc4 => // DHT, possibly several tables in one segment
           val len = u16(pos)
           var o = pos + 2
@@ -313,23 +327,41 @@ object Jpeg {
         case 0xdd =>
           restartInterval = u16(pos + 2)
           pos += u16(pos)
-        case 0xda => // SOS — entropy data follows; decode and return
+        case 0xda => // SOS — entropy data follows
           val len = u16(pos)
           val ns = b(pos + 2) & 0xff
-          if (comps == null || ns != comps.length) return None // interleaved-or-single only
+          if (comps == null) return None
+          if (!progressive && ns != comps.length) return None // interleaved-or-single only
+          if (ns < 1 || ns > comps.length) return None
           var o = pos + 3
+          val scanComps = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val cs = b(o) & 0xff
-            val comp = comps.find(_.id == cs).getOrElse(return None)
-            comp.td = (b(o + 1) & 0xff) >> 4
-            comp.ta = b(o + 1) & 0x0f
-            if (comp.td > 3 || comp.ta > 3) return None
+            val ci = comps.indexWhere(_.id == cs)
+            if (ci < 0) return None
+            scanComps(i) = ci
+            comps(ci).td = (b(o + 1) & 0xff) >> 4
+            comps(ci).ta = b(o + 1) & 0x0f
+            if (comps(ci).td > 3 || comps(ci).ta > 3) return None
             o += 2; i += 1
           }
+          val ss = b(o) & 0xff
+          val se = b(o + 1) & 0xff
+          val ah = (b(o + 2) & 0xff) >> 4
+          val al = b(o + 2) & 0x0f
           pos += len
-          return decodeScan(b, pos, width, height, comps, qt, qtSeen, dcTables, acTables,
-            restartInterval)
+          if (!progressive) {
+            if (ss != 0 || se != 63 || ah != 0 || al != 0) return None
+            return decodeScan(b, pos, width, height, comps, qt, qtSeen, dcTables, acTables,
+              restartInterval)
+          }
+          if (prog == null) prog = new ProgState(width, height, comps)
+          pos = prog.decodeScan(b, pos, scanComps, ss, se, ah, al,
+            dcTables, acTables, restartInterval) match {
+            case Some(p) => p
+            case None => return None
+          }
         case m if m >= 0xd0 && m <= 0xd7 => return None // stray RST outside scan
         case _ => // APPn / COM / anything with a length field — skip
           if (pos + 1 >= b.length) return None
@@ -337,6 +369,252 @@ object Jpeg {
       }
     }
     None
+  }
+
+  /** Progressive-mode (SOF2) decode state: quantized DCT coefficients are
+    * accumulated across scans — DC first + refinement, per-component AC
+    * spectral bands + successive-approximation refinement with EOB runs
+    * (T.81 G.2) — and dequantized + IDCT'd once at EOI.
+    */
+  private final class ProgState(width: Int, height: Int, comps: Array[Component]) {
+    private val maxH = comps.map(_.h).max
+    private val maxV = comps.map(_.v).max
+    private val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    private val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    // coefficient blocks at padded-MCU geometry; real (non-padding) extent
+    private val blocksW = comps.map(c => mcusX * c.h)
+    private val blocksH = comps.map(c => mcusY * c.v)
+    private val bw = comps.map(c => ((width * c.h + maxH - 1) / maxH + 7) / 8)
+    private val bh = comps.map(c => ((height * c.v + maxV - 1) / maxV + 7) / 8)
+    private val coefs = comps.indices.map(ci =>
+      new Array[Int](blocksW(ci) * blocksH(ci) * 64)).toArray
+    private var sawScan = false
+
+    def decodeScan(b: Array[Byte], start: Int, scanComps: Array[Int],
+                   ss: Int, se: Int, ah: Int, al: Int,
+                   dcTables: Array[HuffTable], acTables: Array[HuffTable],
+                   restartInterval: Int): Option[Int] = {
+      if (ss > 63 || se > 63 || se < ss || al > 13) return None
+      val isDc = ss == 0
+      if (isDc && se != 0) return None      // DC scans carry only coefficient 0
+      if (!isDc && scanComps.length != 1) return None // AC scans are single-comp
+      if (ah != 0 && ah != al + 1) return None
+      val br = new BitReader(b, start)
+      val pred = new Array[Int](scanComps.length)
+      var eobrun = 0
+      var rstSeq = 0
+      var sinceRestart = 0
+      def restartIfDue(): Boolean = {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          if (!br.consumeRst(rstSeq)) return false
+          rstSeq = (rstSeq + 1) % 8
+          sinceRestart = 0
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+        true
+      }
+
+      def decodeDcBlock(si: Int, ci: Int, blk: Int): Boolean = {
+        val off = blk * 64
+        if (ah == 0) {
+          val t = decodeSym(br, dcTables(comps(ci).td))
+          if (t < 0 || t > 15) return false
+          val bits = br.receive(t)
+          if (bits == Int.MinValue) return false
+          pred(si) += extend(bits, t)
+          coefs(ci)(off) = pred(si) << al
+        } else {
+          val bit = br.nextBit()
+          if (bit < 0) return false
+          if (bit == 1) coefs(ci)(off) |= 1 << al
+        }
+        true
+      }
+
+      def decodeAcFirst(ci: Int, blk: Int): Boolean = {
+        val off = blk * 64
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        while (k <= se) {
+          val rs = decodeSym(br, acTables(comps(ci).ta))
+          if (rs < 0) return false
+          val r = rs >> 4
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) {
+                val extra = br.receive(r)
+                if (extra == Int.MinValue) return false
+                eobrun += extra
+              }
+              return true // EOB for this block
+            }
+          } else {
+            k += r
+            if (k > se) return false
+            val bits = br.receive(s)
+            if (bits == Int.MinValue) return false
+            coefs(ci)(off + Zigzag(k)) = extend(bits, s) << al
+            k += 1
+          }
+        }
+        true
+      }
+
+      def decodeAcRefine(ci: Int, blk: Int): Boolean = {
+        val off = blk * 64
+        val p1 = 1 << al
+        val m1 = -1 << al
+        val c = coefs(ci)
+        def correct(idx: Int): Boolean = {
+          val bit = br.nextBit()
+          if (bit < 0) return false
+          if (bit == 1 && (c(idx) & p1) == 0)
+            c(idx) += (if (c(idx) >= 0) p1 else m1)
+          true
+        }
+        var k = ss
+        if (eobrun == 0) {
+          var atEob = false
+          while (!atEob && k <= se) {
+            val rs = decodeSym(br, acTables(comps(ci).ta))
+            if (rs < 0) return false
+            var r = rs >> 4
+            val s = rs & 0x0f
+            var insert = 0
+            if (s == 0) {
+              if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) {
+                  val extra = br.receive(r)
+                  if (extra == Int.MinValue) return false
+                  eobrun += extra
+                }
+                atEob = true
+              }
+            } else {
+              if (s != 1) return false // refinement may only introduce ±1<<al
+              val bit = br.nextBit()
+              if (bit < 0) return false
+              insert = if (bit == 1) p1 else m1
+            }
+            if (!atEob) {
+              // skip r zero-HISTORY coefficients, correcting nonzero en route
+              var placed = false
+              while (!placed && k <= se) {
+                val idx = off + Zigzag(k)
+                if (c(idx) != 0) {
+                  if (!correct(idx)) return false
+                } else {
+                  if (r == 0) {
+                    if (insert != 0) c(idx) = insert
+                    placed = true
+                  } else r -= 1
+                }
+                k += 1
+              }
+              if (!placed && insert != 0) return false // ran off the band
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val idx = off + Zigzag(k)
+            if (c(idx) != 0) { if (!correct(idx)) return false }
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+
+      if (isDc && scanComps.length > 1) {
+        // interleaved DC scan: MCU order, h×v blocks per component
+        var mcu = 0
+        val total = mcusX * mcusY
+        while (mcu < total) {
+          if (!restartIfDue()) return None
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var si = 0
+          while (si < scanComps.length) {
+            val ci = scanComps(si)
+            val cmp = comps(ci)
+            var by = 0
+            while (by < cmp.v) {
+              var bx = 0
+              while (bx < cmp.h) {
+                val blk = (my * cmp.v + by) * blocksW(ci) + (mx * cmp.h + bx)
+                if (!decodeDcBlock(si, ci, blk)) return None
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          sinceRestart += 1
+          mcu += 1
+        }
+      } else {
+        // non-interleaved: the single component's real blocks in raster order
+        val ci = scanComps(0)
+        val total = bw(ci) * bh(ci)
+        var i = 0
+        while (i < total) {
+          if (!restartIfDue()) return None
+          val blk = (i / bw(ci)) * blocksW(ci) + (i % bw(ci))
+          val ok =
+            if (isDc) decodeDcBlock(0, ci, blk)
+            else if (ah == 0) decodeAcFirst(ci, blk)
+            else decodeAcRefine(ci, blk)
+          if (!ok) return None
+          sinceRestart += 1
+          i += 1
+        }
+      }
+      br.alignToMarker() match {
+        case Some(p) => sawScan = true; Some(p)
+        case None => None
+      }
+    }
+
+    /** Dequantize + IDCT every accumulated block, then assemble. */
+    def finish(qt: Array[Array[Int]], qtSeen: Array[Boolean]): Option[DecodedImage] = {
+      if (!sawScan) return None
+      val planeW = comps.indices.map(ci => blocksW(ci) * 8).toArray
+      val planes = comps.indices.map(ci =>
+        new Array[Int](planeW(ci) * blocksH(ci) * 8)).toArray
+      val dq = new Array[Int](64)
+      val block = new Array[Int](64)
+      for (ci <- comps.indices) {
+        val c = comps(ci)
+        if (!qtSeen(c.tq)) return None
+        val q = qt(c.tq)
+        var blk = 0
+        val nBlocks = blocksW(ci) * blocksH(ci)
+        while (blk < nBlocks) {
+          val off = blk * 64
+          var k = 0
+          while (k < 64) { dq(Zigzag(k)) = coefs(ci)(off + Zigzag(k)) * q(k); k += 1 }
+          idct(dq, block)
+          val px = (blk % blocksW(ci)) * 8
+          val py = (blk / blocksW(ci)) * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            val rowOff = (py + yy) * planeW(ci) + px
+            while (xx < 8) { planes(ci)(rowOff + xx) = block(yy * 8 + xx); xx += 1 }
+            yy += 1
+          }
+          blk += 1
+        }
+      }
+      assemble(width, height, comps,
+        comps.map(_.h), comps.map(_.v), planeW, planes)
+    }
   }
 
   private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
@@ -436,18 +714,27 @@ object Jpeg {
       sinceRestart += 1
       mcu += 1
     }
-    // Upsample to full resolution, crop to width×height.
+    assemble(width, height, comps,
+      comps.indices.map(ci => if (single) maxH else comps(ci).h).toArray,
+      comps.indices.map(ci => if (single) maxV else comps(ci).v).toArray,
+      planeW, planes)
+  }
+
+  /** Upsample per-component planes to full resolution, crop, color-convert. */
+  private def assemble(width: Int, height: Int, comps: Array[Component],
+                       sh: Array[Int], sv: Array[Int],
+                       planeW: Array[Int], planes: Array[Array[Int]])
+      : Option[DecodedImage] = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
     val full = comps.indices.map { ci =>
-      val c = comps(ci)
       val out = new Array[Int](width * height)
-      val sh = if (single) maxH else c.h // effective sampling of the stored plane
-      val sv = if (single) maxV else c.v
       var y = 0
       while (y < height) {
-        val sy = y * sv / maxV
+        val sy = y * sv(ci) / maxV
         var x = 0
         while (x < width) {
-          out(y * width + x) = planes(ci)(sy * planeW(ci) + x * sh / maxH)
+          out(y * width + x) = planes(ci)(sy * planeW(ci) + x * sh(ci) / maxH)
           x += 1
         }
         y += 1

@@ -1,6 +1,6 @@
 package graft
 
-import java.io.ByteArrayInputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
@@ -108,27 +108,84 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("malformed payloads dead-letter: truncation, bad magic, progressive, garbage") {
+  private def progressiveBytes(src: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+    writer.dispose(); ios.close()
+    val bytes = baos.toByteArray
+    // sanity: the writer really produced SOF2
+    assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "ImageIO did not emit a progressive JPEG")
+    bytes
+  }
+
+  test("progressive (SOF2) grayscale: ImageIO-encoded scans decode within tolerance") {
+    // libjpeg's default progressive script: DC-first + refinement, spectral
+    // AC bands with EOB runs, successive-approximation AC refinement —
+    // every ProgState path, authored by an independent encoder.
+    val w = 41; val h = 27
+    val src = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, (x * 6 + y * 11 + (x * y) % 17) % 256)
+    val bytes = progressiveBytes(src)
+    val ours = Jpeg.decode(bytes).getOrElse(fail("progressive grayscale rejected"))
+    assert(ours.width == w && ours.height == h && ours.nComp == 1)
+    val theirs = gray(ImageIO.read(new ByteArrayInputStream(bytes)))
+    val maxDiff = ours.planes(0).indices.map(i => math.abs(ours.planes(0)(i) - theirs(i))).max
+    assert(maxDiff <= 2, s"max per-pixel disagreement on progressive bitstream: $maxDiff")
+  }
+
+  test("progressive (SOF2) color with subsampling decodes within tolerance") {
+    val w = 48; val h = 32
+    val (r0, g0, b0) = (60, 180, 220)
+    val src = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) src.setRGB(x, y, (r0 << 16) | (g0 << 8) | b0)
+    val bytes = progressiveBytes(src)
+    val ours = Jpeg.decode(bytes).getOrElse(fail("progressive color rejected"))
+    assert(ours.nComp == 3 && ours.width == w && ours.height == h)
+    for (ch <- 0 until 3; i <- Seq(0, w * h / 2, w * h - 1)) {
+      val want = Seq(r0, g0, b0)(ch)
+      assert(math.abs(ours.planes(ch)(i) - want) <= 3,
+        s"channel $ch pixel $i: got ${ours.planes(ch)(i)}, want ~$want")
+    }
+  }
+
+  test("malformed payloads dead-letter: truncation, bad magic, lossless SOF, garbage") {
     val good = Jpeg.syntheticJpeg(5L)
     assert(Jpeg.decode(Array.emptyByteArray).isEmpty)
     assert(Jpeg.decode("not a jpeg at all".getBytes("UTF-8")).isEmpty)
     assert(Jpeg.decode(good.take(2)).isEmpty) // bare SOI
     assert(Jpeg.decode(good.take(good.length / 2)).isEmpty) // truncated mid-scan
-    // flip SOF0 (FFC0) to progressive SOF2 (FFC2) → out of scope, must reject
-    val prog = good.clone()
-    val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff && i + 1 < prog.length
-      && (prog(i + 1) & 0xff) == 0xc0).get
-    prog(sof + 1) = 0xc2.toByte
-    assert(Jpeg.decode(prog).isEmpty)
+    // flip SOF0 to SOF3 (lossless) → out of scope, must reject
+    val lossless = good.clone()
+    val sof = lossless.indices.find(i => (lossless(i) & 0xff) == 0xff && i + 1 < lossless.length
+      && (lossless(i + 1) & 0xff) == 0xc0).get
+    lossless(sof + 1) = 0xc3.toByte
+    assert(Jpeg.decode(lossless).isEmpty)
+    // a baseline-tagged stream whose scan header claims progressive bands
+    // must also reject (ss/se/ah/al are now parsed, not skipped)
   }
 
-  test("fuzz: random single-byte corruptions never throw") {
+  test("fuzz: random single-byte corruptions never throw (baseline + progressive)") {
     val rnd = new scala.util.Random(42)
     val good = Jpeg.syntheticJpeg(11L)
     for (_ <- 0 until 500) {
       val mut = good.clone()
       mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
       Jpeg.decode(mut) // Some or None, never an exception
+    }
+    val src = new java.awt.image.BufferedImage(24, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 24) src.getRaster.setSample(x, y, 0, (x * 9 + y * 5) % 256)
+    val prog = progressiveBytes(src)
+    for (_ <- 0 until 300) {
+      val mut = prog.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      Jpeg.decode(mut) // ProgState paths must also never throw
     }
     for (_ <- 0 until 100) {
       val junk = new Array[Byte](rnd.nextInt(200))
