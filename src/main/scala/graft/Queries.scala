@@ -50,6 +50,82 @@ object Queries {
   /** DuckDB equivalent of anonymize_ip over the view's IPv4 addresses. */
   private val anonV4Sql = """regexp_replace(remote_addr, '\.[0-9]+$', '.x')"""
 
+  /** Generated SQL replay of d08's PQ pipeline (m=8, w=8, kc=64, one Lloyd
+    * round, shortlist 5·32, k=5). Explicit per-term sums pin the double
+    * accumulation ORDER to Spark's sequential aggregate fold; the
+    * CAST-to-REAL on each square reproduces Spark's float-precision
+    * multiply bit-for-bit (a 24-bit product fits double exactly, so
+    * double-multiply-then-round-to-float ≡ float multiply).
+    */
+  private lazy val pqOracleSql: String = {
+    // Σ float(e[i]²) widened to double, i = 1..64 — Spark's dot(v, v)
+    val normSq = (1 to 64)
+      .map(i => s"CAST(CAST(e[$i] * e[$i] AS REAL) AS DOUBLE)").mkString(" + ")
+    // Σ (a[aOff+j] − b[bOff+j])² over the 8-dim subspace, sequential order;
+    // bOff = "" for the trained codebook (8-dim lists), the subspace offset
+    // for seed centroids (full 64-dim vectors — indexing them at [j] was the
+    // bug that scrambled the initial assignment)
+    def l2sq8(a: String, aOff: String, bv: String, bOff: String) = (1 to 8)
+      .map { j =>
+        val bi = if (bOff.isEmpty) s"$j" else s"$bOff + $j"
+        s"($a[$aOff + $j] - $bv[$bi]) * ($a[$aOff + $j] - $bv[$bi])"
+      }
+      .mkString(" + ")
+    val dot8 = (1 to 8).map(j => s"q.nv[b.sub * 8 + $j] * b.cv[$j]").mkString(" + ")
+    val adcSum = (0 until 8)
+      .map(s => s"max(CASE WHEN l.sub = $s THEN l.v END)").mkString(" + ")
+    s"""WITH aug AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |nrm AS (
+      |  SELECT vec_id, e, list_transform(e, x -> x / sqrt($normSq)) AS nv
+      |  FROM aug),
+      |a0 AS (
+      |  SELECT v.vec_id, s.i AS sub, c.vec_id AS scid,
+      |    row_number() OVER (PARTITION BY v.vec_id, s.i
+      |      ORDER BY ${l2sq8("v.nv", "s.i * 8", "c_sv", "s.i * 8")} ASC, c.vec_id ASC) AS rn
+      |  FROM nrm v, generate_series(0, 7) s(i),
+      |    (SELECT vec_id, nv AS c_sv FROM nrm WHERE vec_id < 64) c),
+      |code0 AS (SELECT vec_id, sub, scid AS cid FROM a0 WHERE rn = 1),
+      |cb1 AS (
+      |  SELECT c0.sub, c0.cid, s2.j,
+      |    CAST(CAST(avg(round(v.nv[c0.sub * 8 + s2.j] * 1048576) / 1048576) AS REAL) AS DOUBLE) AS cvj
+      |  FROM code0 c0 JOIN nrm v USING (vec_id), generate_series(1, 8) s2(j)
+      |  GROUP BY c0.sub, c0.cid, s2.j),
+      |cbl AS (SELECT sub, cid, list(cvj ORDER BY j) AS cv FROM cb1 GROUP BY sub, cid),
+      |enc AS (
+      |  SELECT v.vec_id, b.sub, b.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id, b.sub
+      |      ORDER BY ${l2sq8("v.nv", "b.sub * 8", "b.cv", "")} ASC, b.cid ASC) AS rn
+      |  FROM nrm v CROSS JOIN cbl b),
+      |codes AS (SELECT vec_id, sub, cid FROM enc WHERE rn = 1),
+      |lut AS (
+      |  SELECT q.vec_id AS qid, b.sub, b.cid, $dot8 AS v
+      |  FROM nrm q CROSS JOIN cbl b WHERE q.vec_id >= 100000),
+      |adc AS (
+      |  SELECT l.qid, c.vec_id, $adcSum AS adc
+      |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+      |  GROUP BY l.qid, c.vec_id),
+      |short AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn
+      |    FROM adc) WHERE rn <= 160),
+      |ranked AS (
+      |  SELECT s.qid, s.vec_id AS neighbor,
+      |    list_cosine_similarity(a.e, qa.e) AS cs,
+      |    row_number() OVER (PARTITION BY s.qid
+      |      ORDER BY list_cosine_similarity(a.e, qa.e) DESC, s.vec_id) AS rank
+      |  FROM short s
+      |  JOIN aug a ON a.vec_id = s.vec_id
+      |  JOIN aug qa ON qa.vec_id = s.qid
+      |  WHERE s.vec_id <> s.qid)
+      |SELECT qid, neighbor, round(cs, 4) AS cos_sim, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   // ---------------------------------------------------------------- group A
 
   private val a00 = Q(
@@ -2429,7 +2505,50 @@ object Queries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfTopK(aug, queries, 5)
     },
-    None) // coarse-quantizer assignment not SQL-expressible; twin recall in spec
+    // Flipped from rows-only in r7: the d11 technique replays the ENTIRE
+    // IVF pipeline in SQL — seed centroids, one Lloyd iteration (per-dim
+    // double mean, FLOAT cast to kill summation-order ulps), argmax cell
+    // assignment, per-query top-4 cell probe, candidate join, exact-cosine
+    // top-5 — so the hash now certifies the coarse quantizer itself, not
+    // just twin recall (d06 stays as the planted-recall companion).
+    Some("""WITH aug AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |c0 AS (SELECT vec_id AS cid, e AS cv FROM aug WHERE vec_id < 16),
+      |r0 AS (SELECT a.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY a.vec_id
+      |           ORDER BY list_cosine_similarity(a.e, c.cv) DESC, c.cid DESC) AS rn
+      |       FROM aug a CROSS JOIN c0 c),
+      |a0 AS (SELECT vec_id, cid AS cell FROM r0 WHERE rn = 1),
+      |m1 AS (SELECT a0.cell, s.i, CAST(CAST(avg(round(a.e[s.i] * 1048576) / 1048576) AS REAL) AS DOUBLE) AS v
+      |       FROM a0 JOIN aug a USING (vec_id), generate_series(1, 64) s(i)
+      |       GROUP BY a0.cell, s.i),
+      |c1 AS (SELECT cell AS cid, list(v ORDER BY i) AS cv FROM m1 GROUP BY cell),
+      |asg AS (SELECT a.vec_id, c.cid AS cell, a.e,
+      |          row_number() OVER (PARTITION BY a.vec_id
+      |            ORDER BY list_cosine_similarity(a.e, c.cv) DESC, c.cid DESC) AS rn
+      |        FROM aug a CROSS JOIN c1 c),
+      |assigned AS (SELECT vec_id, cell, e FROM asg WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, e AS qv FROM aug WHERE vec_id >= 100000),
+      |pc AS (SELECT q.qid, q.qv, c.cid AS cell,
+      |         row_number() OVER (PARTITION BY q.qid
+      |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC) AS rn
+      |       FROM q CROSS JOIN c1 c),
+      |probes AS (SELECT qid, qv, cell FROM pc WHERE rn <= 4),
+      |cand AS (
+      |  SELECT p.qid, p.qv, s.vec_id, s.e
+      |  FROM probes p JOIN assigned s USING (cell)
+      |  WHERE s.vec_id <> p.qid),
+      |ranked AS (
+      |  SELECT qid, vec_id AS neighbor,
+      |         list_cosine_similarity(e, qv) AS c,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY list_cosine_similarity(e, qv) DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT qid, neighbor, round(c, 4) AS cos_sim, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5""".stripMargin))
 
   private val d04 = Q(
     "d04_ann_ivf_adaptive",
@@ -2439,7 +2558,55 @@ object Queries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfTopKAdaptive(aug, queries, 5)
     },
-    None) // adaptive probe depth not SQL-expressible; twin recall in spec
+    // Flipped from rows-only in r7 (the d03/d11 replay + the adaptive
+    // probe rule): per query, cells rank by cosine and probe until the
+    // PRECEDING cells already cover 25% of the corpus (max 8) — equal
+    // work per query, not equal probe count. The hash certifies quantizer,
+    // cell sizes, and the coverage cutoff together.
+    Some("""WITH aug AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |c0 AS (SELECT vec_id AS cid, e AS cv FROM aug WHERE vec_id < 16),
+      |r0 AS (SELECT a.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY a.vec_id
+      |           ORDER BY list_cosine_similarity(a.e, c.cv) DESC, c.cid DESC) AS rn
+      |       FROM aug a CROSS JOIN c0 c),
+      |a0 AS (SELECT vec_id, cid AS cell FROM r0 WHERE rn = 1),
+      |m1 AS (SELECT a0.cell, s.i, CAST(CAST(avg(round(a.e[s.i] * 1048576) / 1048576) AS REAL) AS DOUBLE) AS v
+      |       FROM a0 JOIN aug a USING (vec_id), generate_series(1, 64) s(i)
+      |       GROUP BY a0.cell, s.i),
+      |c1 AS (SELECT cell AS cid, list(v ORDER BY i) AS cv FROM m1 GROUP BY cell),
+      |asg AS (SELECT a.vec_id, c.cid AS cell, a.e,
+      |          row_number() OVER (PARTITION BY a.vec_id
+      |            ORDER BY list_cosine_similarity(a.e, c.cv) DESC, c.cid DESC) AS rn
+      |        FROM aug a CROSS JOIN c1 c),
+      |assigned AS (SELECT vec_id, cell, e FROM asg WHERE rn = 1),
+      |cs AS (SELECT cell AS cid, count(*) AS cell_n FROM assigned GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cell_n) AS DOUBLE) AS tot FROM cs),
+      |q AS (SELECT vec_id AS qid, e AS qv FROM aug WHERE vec_id >= 100000),
+      |pc AS (SELECT q.qid, q.qv, c.cid, cs.cell_n,
+      |         row_number() OVER (PARTITION BY q.qid
+      |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC) AS rn,
+      |         sum(cs.cell_n) OVER (PARTITION BY q.qid
+      |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+      |       FROM q CROSS JOIN c1 c JOIN cs ON cs.cid = c.cid),
+      |probes AS (SELECT qid, qv, cid AS cell FROM pc CROSS JOIN tot
+      |           WHERE rn <= 8 AND (rn = 1 OR coalesce(cum_before, 0) < tot.tot * 0.25)),
+      |cand AS (
+      |  SELECT p.qid, p.qv, s.vec_id, s.e
+      |  FROM probes p JOIN assigned s USING (cell)
+      |  WHERE s.vec_id <> p.qid),
+      |ranked AS (
+      |  SELECT qid, vec_id AS neighbor,
+      |         list_cosine_similarity(e, qv) AS c,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY list_cosine_similarity(e, qv) DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT qid, neighbor, round(c, 4) AS cos_sim, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5""".stripMargin))
 
   /** Known-answer oracle for the ANN family: every planted query's rank-1
     * neighbor MUST be its exact twin at cosine 1.0. The full top-k set is
@@ -2490,7 +2657,16 @@ object Queries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.pqTopK(aug, queries, 5, kc = 64, rerankFactor = 32)
     },
-    None)
+    // Flipped from rows-only in r7: the full PQ pipeline replayed in SQL —
+    // unit normalization (float-precision squares via CAST-to-REAL, the
+    // same bit pattern Spark's float multiply produces), per-subspace
+    // seed assignment + one Lloyd round (FLOAT-cast means), re-encode,
+    // per-query LUT dots, ADC sum in subspace order, the 160-deep
+    // shortlist cut (adc DESC, vec_id), and the exact-cosine re-rank.
+    // Every argmin/argmax tie-break is replicated; the d09 twin stays as
+    // the planted-recall companion. The SQL is generated (explicit 8-term
+    // sums keep double accumulation order identical to Spark's fold).
+    Some(pqOracleSql))
 
   private val d09 = Q(
     "d09_pq_twin_rank1",
@@ -2568,7 +2744,7 @@ object Queries {
       |       FROM emb m CROSS JOIN c0 c),
       |a0 AS (SELECT vec_id, cid AS cell FROM r0 WHERE rn = 1),
       |m1 AS (SELECT a0.cell, s.i,
-      |         CAST(CAST(avg(m.e[s.i]) AS REAL) AS DOUBLE) AS v
+      |         CAST(CAST(avg(round(m.e[s.i] * 1048576) / 1048576) AS REAL) AS DOUBLE) AS v
       |       FROM a0 JOIN emb m USING (vec_id), generate_series(1, 64) s(i)
       |       GROUP BY a0.cell, s.i),
       |c1 AS (SELECT cell AS cid, list(v ORDER BY i) AS cv FROM m1 GROUP BY cell),
@@ -2578,7 +2754,7 @@ object Queries {
       |       FROM emb m CROSS JOIN c1 c),
       |a1 AS (SELECT vec_id, cid AS cell FROM r1 WHERE rn = 1),
       |m2 AS (SELECT a1.cell, s.i,
-      |         CAST(CAST(avg(m.e[s.i]) AS REAL) AS DOUBLE) AS v
+      |         CAST(CAST(avg(round(m.e[s.i] * 1048576) / 1048576) AS REAL) AS DOUBLE) AS v
       |       FROM a1 JOIN emb m USING (vec_id), generate_series(1, 64) s(i)
       |       GROUP BY a1.cell, s.i),
       |c2 AS (SELECT cell AS cid, list(v ORDER BY i) AS cv FROM m2 GROUP BY cell),

@@ -63,7 +63,17 @@ object Similarity {
     val cells = assigned(corpus, centroids)
     cells
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos").agg(avg("v").as("m"))
+      // Grid-quantize BEFORE averaging (2^-20 steps): every addend is
+      // k·2^-20 with |k| < 2^21, so the double sum is EXACT for up to ~2^32
+      // members — and exact sums are summation-ORDER-INDEPENDENT, which
+      // makes the trained centroids bit-identical under any partitioning,
+      // any executor count, and any engine replaying the same math (the
+      // d03/d04/d11 SQL oracles). Without it, a mean landing within the
+      // partial-sum ulp drift of a float rounding boundary flips a borderline
+      // assignment between engines (~1% of datasets at this table's size —
+      // observed on d08 before the same fix landed in pqCodebooks).
+      .groupBy("cell", "pos")
+      .agg(avg(round(col("v") * 1048576) / 1048576).as("m"))
       .groupBy("cell")
       .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
       .select(col("cell").as("cid"),
@@ -97,11 +107,11 @@ object Similarity {
     * per-row with NO shuffle, refinement is a map-side-combined
     * per-(cell, dim) mean (≤ k·dim rows per partition after partial agg),
     * and the final cell_size window shuffles by cell only. Cross-engine
-    * hash-exactness rests on [[refineCentroids]]'s FLOAT cast of the
-    * double means: engines may disagree on the mean's last ulp from
-    * summation order, but quantizing to 24-bit mantissa collapses both to
-    * the same float except on astronomically unlikely rounding boundaries
-    * — so an all-double SQL oracle reproduces every iteration bit-for-bit.
+    * (and cross-partitioning) hash-exactness rests on
+    * [[refineCentroids]]'s grid-quantized means: addends on a 2^-20 grid
+    * sum EXACTLY in double, so the trained centroids are bit-identical
+    * under any summation order — an all-double SQL oracle reproduces
+    * every iteration bit-for-bit.
     */
   def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val centroids = ivfCentroids(corpus, nCells = k, refineIters = iters)
@@ -267,7 +277,10 @@ object Similarity {
           struct(l2sq(col("sv"), c.getField("cv")).as("d"),
             c.getField("cid").as("cid")))).getField("cid"))
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("sub", "code", "pos").agg(avg("v").as("mv"))
+        // same 2^-20 grid-quantize-then-average as refineCentroids: exact,
+        // order-independent sums make codebook training deterministic
+        .groupBy("sub", "code", "pos")
+        .agg(avg(round(col("v") * 1048576) / 1048576).as("mv"))
         .groupBy("sub", "code")
         .agg(collect_list(struct(col("pos"), col("mv"))).as("pm"))
         .select(col("sub"), col("code").as("cid"),
