@@ -3512,6 +3512,56 @@ object Queries {
       |    AS shuffle_pos
       |FROM documents""".stripMargin))
 
+  private val e25 = Q(
+    "e25_bm25_search",
+    // BM25 ranked retrieval (operators/Bm25.scala) — the lexical-search
+    // complement to group D's vector ANN: five keyword queries (one with a
+    // repeated term — bag-of-words accumulation is part of the contract)
+    // scored with Okapi BM25 + Lucene-style non-negative idf, top-10 per
+    // query. Exact-count statistics ⇒ the oracle replays tf/df/dl/avgdl
+    // and the scoring formula termwise; ties (exact-duplicate docs) break
+    // on doc_id identically in both engines.
+    (s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "spark join"), (1L, "window agg"), (2L, "customer data table"),
+        (3L, "hash group stream"), (4L, "the a the"))
+        .toDF("query_id", "qtext")
+      operators.Bm25.search(Tables.documents(s, dir), qs,
+        "doc_id", "text", "query_id", "qtext")
+    },
+    Some("""WITH q(query_id, qtext) AS (VALUES
+      |    (0, 'spark join'), (1, 'window agg'), (2, 'customer data table'),
+      |    (3, 'hash group stream'), (4, 'the a the')),
+      |qt AS (
+      |  SELECT query_id, unnest(regexp_split_to_array(trim(qtext), '\s+')) AS term
+      |  FROM q),
+      |toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE length(term) > 0 GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    sum(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) *
+      |        tf * (1.2 + 1.0) /
+      |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+      |  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2, s.n_docs, s.avgdl),
+      |ranked AS (
+      |  SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |       round(score, 4) AS score, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 10""".stripMargin))
+
   // ---------------------------------------------------------------- group F
 
   private val f01 = Q(
@@ -4192,7 +4242,7 @@ object Queries {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-    e18, e19, e20, e21, e22, e23, e24,
+    e18, e19, e20, e21, e22, e23, e24, e25,
     f01, f02, f03, f04, f05, f06, f07, f08, f09,
     g01, g02, g03, g04, g05, g06, g07)
 }
