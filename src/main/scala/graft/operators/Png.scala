@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * `java.util.zip.Inflater` — part of the JDK, not a third-party codec.
   *
   * Scope: 8-bit greyscale (color type 0) and 8-bit truecolor RGB (color
-  * type 2), non-interlaced — the shapes a synthetic-data pipeline writes.
-  * Palette/alpha/16-bit/Adam7 are rejected → dead-letter (same
+  * type 2), non-interlaced AND Adam7-interlaced (each of the seven passes
+  * unfiltered as an independent reduced image, then scattered — certified
+  * against ImageIO-authored interlaced bitstreams). Palette/alpha/16-bit
+  * are rejected → dead-letter (same
   * poisoned-message discipline as every other decoder here). Unknown
   * ancillary chunks are skipped by walking the length fields, exactly as a
   * real reader must.
@@ -54,6 +56,7 @@ object Png {
     def u32(o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
     var width = 0; var height = 0; var nComp = 0
+    var interlaced = false
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (pos + 8 <= b.length && !seenIend) {
@@ -76,8 +79,9 @@ object Png {
           val compression = b(dataOff + 10) & 0xff
           val filterMethod = b(dataOff + 11) & 0xff
           val interlace = b(dataOff + 12) & 0xff
+          interlaced = interlace == 1
           if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim) return None
-          if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace != 0) return None
+          if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace > 1) return None
           nComp = colorType match {
             case 0 => 1 // greyscale
             case 2 => 3 // truecolor
@@ -94,9 +98,24 @@ object Png {
     }
     if (!seenIhdr || !seenIend) return None
 
-    // zlib inflate of the concatenated IDAT stream
+    // zlib inflate of the concatenated IDAT stream; an interlaced stream
+    // carries the SUM of the seven Adam7 passes' filtered scanlines
     val stride = width * nComp
-    val raw = new Array[Byte]((stride + 1) * height)
+    val bpp = nComp
+    val passes: Seq[(Int, Int, Int, Int)] = // (x0, y0, dx, dy) per Adam7 pass
+      if (interlaced) Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Seq((0, 0, 1, 1))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (math.max(0, (width - x0 + dx - 1) / dx), math.max(0, (height - y0 + dy - 1) / dy))
+    }
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + pw.toLong * bpp)
+    }.sum
+    if (rawLen > Int.MaxValue) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -109,36 +128,61 @@ object Png {
     inf.end()
     if (!complete) return None
 
-    // un-filter scanlines (sequential in y by construction — each row's
-    // predictor reads the fully reconstructed row above)
+    // un-filter each pass as an independent reduced image (sequential in y
+    // by construction — each row's predictor reads the fully reconstructed
+    // row above WITHIN the pass), then scatter onto the full-image grid
     val px = new Array[Int](stride * height)
-    val bpp = nComp
-    var y = 0
-    while (y < height) {
-      val ft = raw(y * (stride + 1)) & 0xff
-      val rowIn = y * (stride + 1) + 1
-      val rowOut = y * stride
-      var x = 0
-      while (x < stride) {
-        val cur = raw(rowIn + x) & 0xff
-        val left = if (x >= bpp) px(rowOut + x - bpp) else 0
-        val up = if (y > 0) px(rowOut - stride + x) else 0
-        val ul = if (y > 0 && x >= bpp) px(rowOut - stride + x - bpp) else 0
-        val v = ft match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + ((left + up) >> 1)
-          case 4 => // Paeth predictor (RFC 2083 §6.6)
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
-          case _ => return None
+    var rawOff = 0
+    for (pass <- passes) {
+      val (x0, y0, dx, dy) = pass
+      val (pw, ph) = passDims(pass)
+      if (pw > 0 && ph > 0) {
+        val pStride = pw * bpp
+        val sub = new Array[Int](pStride * ph)
+        var y = 0
+        while (y < ph) {
+          val ft = raw(rawOff + y * (pStride + 1)) & 0xff
+          val rowIn = rawOff + y * (pStride + 1) + 1
+          val rowOut = y * pStride
+          var x = 0
+          while (x < pStride) {
+            val cur = raw(rowIn + x) & 0xff
+            val left = if (x >= bpp) sub(rowOut + x - bpp) else 0
+            val up = if (y > 0) sub(rowOut - pStride + x) else 0
+            val ul = if (y > 0 && x >= bpp) sub(rowOut - pStride + x - bpp) else 0
+            val v = ft match {
+              case 0 => cur
+              case 1 => cur + left
+              case 2 => cur + up
+              case 3 => cur + ((left + up) >> 1)
+              case 4 => // Paeth predictor (RFC 2083 §6.6)
+                val p = left + up - ul
+                val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+                cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+              case _ => return None
+            }
+            sub(rowOut + x) = v & 0xff
+            x += 1
+          }
+          y += 1
         }
-        px(rowOut + x) = v & 0xff
-        x += 1
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            val tx = x0 + i * dx
+            val ty = y0 + j * dy
+            var c = 0
+            while (c < bpp) {
+              px((ty * width + tx) * bpp + c) = sub((j * pw + i) * bpp + c)
+              c += 1
+            }
+            i += 1
+          }
+          j += 1
+        }
+        rawOff += ph * (1 + pStride)
       }
-      y += 1
     }
     val planes = Array.tabulate(nComp) { c =>
       Array.tabulate(width * height)(i => px(i * nComp + c))

@@ -69,6 +69,32 @@ class PngSpec extends AnyFunSuite with SparkTestBase {
       && b.sameElements(ours.planes(2)))
   }
 
+  test("Adam7-interlaced bitstreams from ImageIO decode exactly") {
+    // ImageIO's PNG writer in progressive mode emits genuine Adam7: seven
+    // reduced-image passes, each independently filtered — an independent
+    // encoder driving the de-interlacing path end to end.
+    for ((w, h) <- Seq((31, 17), (8, 8), (5, 3), (1, 1), (16, 2))) {
+      val src = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        src.setRGB(x, y, ((x * 37 % 256) << 16) | ((y * 53 % 256) << 8) | ((x ^ y) * 29 % 256))
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val baos = new ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+      writer.dispose(); ios.close()
+      val bytes = baos.toByteArray
+      assert((bytes(8 + 4 + 4 + 12) & 0xff) == 1, s"${w}x$h: writer did not interlace")
+      val ours = Png.decode(bytes).getOrElse(fail(s"${w}x$h interlaced png rejected"))
+      assert(ours.width == w && ours.height == h && ours.nComp == 3)
+      val (r, g, b) = rgb(src)
+      assert(r.sameElements(ours.planes(0)) && g.sameElements(ours.planes(1))
+        && b.sameElements(ours.planes(2)), s"${w}x$h interlaced pixel mismatch")
+    }
+  }
+
   test("malformed payloads dead-letter: signature, CRC, truncation, unsupported") {
     val good = Png.syntheticPng(3L)
     assert(Png.decode(Array.emptyByteArray).isEmpty)
