@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * polynomials, the Rice escape/fold rules, and both CRC polynomials
   * (CRC-8 poly 0x07, CRC-16 poly 0x8005, both init 0).
   *
-  * Decoder scope: 16-bit mono, fixed-blocksize streams; subframe types
+  * Decoder scope: 16-bit mono AND stereo (independent, left/side,
+  * right/side, mid/side channel decorrelation — the side channel's extra
+  * sample bit included), fixed-blocksize streams; subframe types
   * CONSTANT, VERBATIM, FIXED orders 0-4, and LPC with arbitrary order /
   * precision / shift; Rice partition orders 0-15 with both 4- and 5-bit
-  * parameter methods and the verbatim-escape partition. Multi-channel,
+  * parameter methods and the verbatim-escape partition. >2 channels,
   * non-16-bit, and variable-blocksize streams are rejected → dead-letter
   * (the PNG/JPEG scope discipline: the supported shapes are REAL, the
   * rest fail loudly, never silently). Both CRCs are verified — a
@@ -115,8 +117,14 @@ object Flac {
 
   // ------------------------------------------------------------- decoder
 
-  /** Decoded mono 16-bit audio. */
-  final case class FlacAudio(sampleRate: Int, nSamples: Int, samples: Array[Int])
+  /** Decoded 16-bit audio; `chans` holds one full-length plane per channel
+    * (mono: 1; stereo: L, R after un-decorrelation).
+    */
+  final case class FlacAudio(sampleRate: Int, nSamples: Int, channels: Int,
+                             chans: Array[Array[Int]]) {
+    /** Channel 0 (the mono plane / left). */
+    def samples: Array[Int] = chans(0)
+  }
 
   def decode(b: Array[Byte]): Option[FlacAudio] =
     try decodeInner(b)
@@ -127,6 +135,7 @@ object Flac {
     var pos = 4
     // metadata blocks; STREAMINFO must be first
     var sampleRate = 0; var totalSamples = 0L
+    var nChannels = 1
     var first = true
     var last = false
     while (!last) {
@@ -140,9 +149,9 @@ object Flac {
         if (typ != 0 || len != 34) return None // STREAMINFO
         val o = pos + 4
         sampleRate = ((b(o + 10) & 0xff) << 12) | ((b(o + 11) & 0xff) << 4) | ((b(o + 12) & 0xff) >> 4)
-        val channels = ((b(o + 12) >> 1) & 0x07) + 1
+        nChannels = ((b(o + 12) >> 1) & 0x07) + 1
         val bps = (((b(o + 12) & 0x01) << 4) | ((b(o + 13) & 0xff) >> 4)) + 1
-        if (channels != 1 || bps != 16) return None // scope: 16-bit mono
+        if (nChannels < 1 || nChannels > 2 || bps != 16) return None // 16-bit mono/stereo
         totalSamples = ((b(o + 13) & 0x0fL) << 32) | ((b(o + 14) & 0xffL) << 24) |
           ((b(o + 15) & 0xffL) << 16) | ((b(o + 16) & 0xffL) << 8) | (b(o + 17) & 0xffL)
         if (sampleRate <= 0 || totalSamples < 0 || totalSamples > MaxSamples) return None
@@ -151,11 +160,12 @@ object Flac {
       pos += 4 + len
     }
     if (first) return None
-    val out = new Array[Int](totalSamples.toInt)
+    val n = totalSamples.toInt
+    val outs = Array.fill(nChannels)(new Array[Int](n))
     var got = 0
     var frameIdx = 0L
-    while (got < out.length) {
-      decodeFrame(b, pos, frameIdx, out, got) match {
+    while (got < n) {
+      decodeFrame(b, pos, frameIdx, outs, got, nChannels) match {
         case None => return None
         case Some((nextPos, bs)) =>
           pos = nextPos
@@ -163,15 +173,19 @@ object Flac {
           frameIdx += 1
       }
     }
-    if (got != out.length) return None
-    Some(FlacAudio(sampleRate, out.length, out))
+    if (got != n) return None
+    Some(FlacAudio(sampleRate, n, nChannels, outs))
   }
 
-  /** Decode one frame starting at byte `pos`; fills out[from...); returns
-    * (position after the frame, block size), or None on any malformation.
+  /** Decode one frame starting at byte `pos`; fills outs(ch)[from...);
+    * returns (position after the frame, block size), or None on any
+    * malformation. Stereo channel assignments (T§frame header): 1 =
+    * independent L/R, 8 = left/side, 9 = right/side, 10 = mid/side — the
+    * side channel carries one extra sample bit.
     */
   private def decodeFrame(b: Array[Byte], pos: Int, expectFrame: Long,
-                          out: Array[Int], from: Int): Option[(Int, Int)] = {
+                          outs: Array[Array[Int]], from: Int,
+                          nChannels: Int): Option[(Int, Int)] = {
     val start = pos
     if (pos + 5 >= b.length) return None
     if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xfe) != 0xf8) return None
@@ -183,7 +197,14 @@ object Flac {
     val chCode = br.bits(4)
     val ssCode = br.bits(3)
     if (br.bit() != 0) return None // reserved
-    if (chCode != 0) return None  // mono
+    // chCode → (frame channels, per-channel bps adjustment, decorrelation)
+    val frameChannels = chCode match {
+      case 0 => 1
+      case 1 => 2           // independent
+      case 8 | 9 | 10 => 2  // left/side, right/side, mid/side
+      case _ => return None
+    }
+    if (frameChannels != nChannels) return None
     if (ssCode != 4) return None  // 16-bit
     // UTF-8-coded frame number
     val fn = readUtf8Coded(br)
@@ -207,8 +228,41 @@ object Flac {
     val crcPos = br.bytePos
     if (crc8(b, start, crcPos) != (b(crcPos) & 0xff)) return None
     br.pos = (crcPos + 1) * 8
-    if (from + blockSize > out.length) return None
-    if (!decodeSubframe(br, out, from, blockSize)) return None
+    if (from + blockSize > outs(0).length) return None
+    // decode each channel's subframe; the SIDE channel carries bps+1 bits
+    val raw = Array.fill(frameChannels)(new Array[Int](blockSize))
+    var ch = 0
+    while (ch < frameChannels) {
+      val extra = chCode match {
+        case 8 if ch == 1 => 1  // left/side: side second
+        case 9 if ch == 0 => 1  // right/side: side first
+        case 10 if ch == 1 => 1 // mid/side: side second
+        case _ => 0
+      }
+      if (!decodeSubframe(br, raw(ch), 0, blockSize, 16 + extra)) return None
+      ch += 1
+    }
+    // un-decorrelate into the output planes
+    var i = 0
+    while (i < blockSize) {
+      chCode match {
+        case 0 =>
+          outs(0)(from + i) = raw(0)(i)
+        case 1 =>
+          outs(0)(from + i) = raw(0)(i); outs(1)(from + i) = raw(1)(i)
+        case 8 => // (left, side): R = L − S
+          outs(0)(from + i) = raw(0)(i)
+          outs(1)(from + i) = raw(0)(i) - raw(1)(i)
+        case 9 => // (side, right): L = R + S
+          outs(0)(from + i) = raw(1)(i) + raw(0)(i)
+          outs(1)(from + i) = raw(1)(i)
+        case 10 => // (mid, side): restore the bit mid dropped from side's parity
+          val mid2 = (raw(0)(i) << 1) | (raw(1)(i) & 1)
+          outs(0)(from + i) = (mid2 + raw(1)(i)) >> 1
+          outs(1)(from + i) = (mid2 - raw(1)(i)) >> 1
+      }
+      i += 1
+    }
     br.align()
     // CRC-16 over everything from the sync byte to the end of subframe padding
     val dataEnd = br.bytePos
@@ -237,11 +291,10 @@ object Flac {
   }
 
   private def decodeSubframe(br: BitReader, out: Array[Int], from: Int,
-                             blockSize: Int): Boolean = {
+                             blockSize: Int, bps: Int = 16): Boolean = {
     if (br.bit() != 0) return false // padding bit
     val typ = br.bits(6)
     if (br.bit() != 0) return false // wasted bits: out of scope (encoder never emits)
-    val bps = 16
     typ match {
       case 0 => // CONSTANT
         val v = br.sbits(bps)
@@ -355,6 +408,28 @@ object Flac {
   def encode(samples: Array[Int], sampleRate: Int, blockSize: Int = 256,
              mode: Int => Mode = _ => Auto): Array[Byte] = {
     require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue))
+    encodeFrames(Array(samples), samples.length, 1, sampleRate, blockSize,
+      _ => 0, mode)
+  }
+
+  /** Stereo encode; `chModeFor(frame)` picks the per-frame channel
+    * assignment — 1 = independent, 8 = left/side, 9 = right/side,
+    * 10 = mid/side — so one stream can (and the spec does) exercise every
+    * decorrelation decoder.
+    */
+  def encodeStereo(left: Array[Int], right: Array[Int], sampleRate: Int,
+                   blockSize: Int = 256, chModeFor: Int => Int = _ => 10,
+                   mode: Int => Mode = _ => Auto): Array[Byte] = {
+    require(left.length == right.length)
+    require(left.forall(s => s >= Short.MinValue && s <= Short.MaxValue))
+    require(right.forall(s => s >= Short.MinValue && s <= Short.MaxValue))
+    encodeFrames(Array(left, right), left.length, 2, sampleRate, blockSize,
+      chModeFor, mode)
+  }
+
+  private def encodeFrames(chans: Array[Array[Int]], nSamples: Int,
+                           nChannels: Int, sampleRate: Int, blockSize: Int,
+                           chModeFor: Int => Int, mode: Int => Mode): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
     // STREAMINFO (last metadata block)
@@ -362,9 +437,9 @@ object Flac {
     si.bits(blockSize, 16); si.bits(blockSize, 16) // min/max block size
     si.bits(0, 24); si.bits(0, 24)                 // min/max frame size: unknown
     si.bits(sampleRate, 20)
-    si.bits(0, 3)  // channels - 1
+    si.bits(nChannels - 1, 3)
     si.bits(15, 5) // bps - 1
-    si.bitsLong(samples.length.toLong, 36)
+    si.bitsLong(nSamples.toLong, 36)
     var i = 0
     while (i < 16) { si.bits(0, 8); i += 1 } // md5 unknown
     val siB = si.toBytes
@@ -373,22 +448,40 @@ object Flac {
 
     var frameIdx = 0L
     var off = 0
-    while (off < samples.length) {
-      val bs = math.min(blockSize, samples.length - off)
-      out.write(encodeFrame(samples, off, bs, frameIdx, mode(frameIdx.toInt)))
+    while (off < nSamples) {
+      val bs = math.min(blockSize, nSamples - off)
+      val chCode = if (nChannels == 1) 0 else {
+        val c = chModeFor(frameIdx.toInt)
+        require(c == 1 || c == 8 || c == 9 || c == 10, s"bad stereo chMode $c")
+        c
+      }
+      // derive the frame's channel signals from L/R per the assignment
+      val sig: Array[Array[Int]] =
+        if (nChannels == 1) chans
+        else chCode match {
+          case 1 => chans
+          case 8 => Array(chans(0),
+            Array.tabulate(nSamples)(i => chans(0)(i) - chans(1)(i)))
+          case 9 => Array(
+            Array.tabulate(nSamples)(i => chans(0)(i) - chans(1)(i)), chans(1))
+          case 10 => Array(
+            Array.tabulate(nSamples)(i => (chans(0)(i) + chans(1)(i)) >> 1),
+            Array.tabulate(nSamples)(i => chans(0)(i) - chans(1)(i)))
+        }
+      out.write(encodeFrame(sig, off, bs, frameIdx, chCode, mode(frameIdx.toInt)))
       off += bs
       frameIdx += 1
     }
     out.toByteArray
   }
 
-  private def encodeFrame(s: Array[Int], off: Int, bs: Int, frameIdx: Long,
-                          mode: Mode): Array[Byte] = {
+  private def encodeFrame(chans: Array[Array[Int]], off: Int, bs: Int,
+                          frameIdx: Long, chCode: Int, mode: Mode): Array[Byte] = {
     val w = new BitWriter
     w.bits(0xff, 8); w.bits(0xf8, 8) // sync + fixed blocksize
     w.bits(7, 4)  // block size: 16-bit at end
     w.bits(0, 4)  // sample rate: from STREAMINFO
-    w.bits(0, 4)  // mono
+    w.bits(chCode, 4)
     w.bits(4, 3)  // 16 bps
     w.bit(0)
     writeUtf8Coded(w, frameIdx)
@@ -398,7 +491,15 @@ object Flac {
     val body = new BitWriter
     headerNoCrc.foreach(b0 => body.bits(b0 & 0xff, 8))
     body.bits(crc8(headerNoCrc, 0, headerNoCrc.length), 8)
-    writeSubframe(body, s, off, bs, mode)
+    chans.indices.foreach { ch =>
+      val extra = chCode match {
+        case 8 if ch == 1 => 1
+        case 9 if ch == 0 => 1
+        case 10 if ch == 1 => 1
+        case _ => 0
+      }
+      writeSubframe(body, chans(ch), off, bs, mode, 16 + extra)
+    }
     body.align()
     val noCrc16 = body.toBytes
     val whole = new java.io.ByteArrayOutputStream()
@@ -421,8 +522,8 @@ object Flac {
   }
 
   private def writeSubframe(w: BitWriter, s: Array[Int], off: Int, bs: Int,
-                            mode: Mode): Unit = {
-    val bps = 16
+                            mode: Mode, bps: Int = 16): Unit = {
+    val mask = (1 << bps) - 1
     def residualsFixed(order: Int): Array[Int] = {
       val r = new Array[Int](bs - order)
       var k = order
@@ -441,14 +542,14 @@ object Flac {
     mode match {
       case _ if flat =>
         w.bit(0); w.bits(0, 6); w.bit(0)
-        w.bits(s(off) & 0xffff, bps)
+        w.bits(s(off) & mask, bps)
       case Verbatim =>
         w.bit(0); w.bits(1, 6); w.bit(0)
         var i = 0
-        while (i < bs) { w.bits(s(off + i) & 0xffff, bps); i += 1 }
+        while (i < bs) { w.bits(s(off + i) & mask, bps); i += 1 }
       case Lpc2(c1, c2, shift, precision) if bs > 2 =>
         w.bit(0); w.bits(0x20 | (2 - 1), 6); w.bit(0)
-        w.bits(s(off) & 0xffff, bps); w.bits(s(off + 1) & 0xffff, bps)
+        w.bits(s(off) & mask, bps); w.bits(s(off + 1) & 0xffff, bps)
         w.bits(precision - 1, 4)
         w.bits(shift & 0x1f, 5)
         w.bits(c1 & ((1 << precision) - 1), precision)
@@ -467,7 +568,7 @@ object Flac {
         val (order, r) = cands.minBy { case (_, rr) => rr.map(v => math.abs(v.toLong)).sum }
         w.bit(0); w.bits(0x08 | order, 6); w.bit(0)
         var i = 0
-        while (i < order) { w.bits(s(off + i) & 0xffff, bps); i += 1 }
+        while (i < order) { w.bits(s(off + i) & mask, bps); i += 1 }
         writeResiduals(w, r, bs, order)
     }
   }
@@ -515,7 +616,7 @@ object Flac {
                                 checksum: Long)
 
   def decodeFlac(docId: Long, b: Array[Byte]): Option[FlacFeatures] =
-    decode(b).map { a =>
+    decode(b).filter(_.channels == 1).map { a =>
       var sum = 0L; var ck = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
       var i = 0
       while (i < a.samples.length) {

@@ -61,7 +61,9 @@ class FlacSpec extends AnyFunSuite with SparkTestBase {
     assert(Flac.decode("OggS not flac".getBytes("UTF-8")).isEmpty)
     assert(Flac.decode(good.take(4)).isEmpty)
     assert(Flac.decode(good.take(good.length / 2)).isEmpty)
-    // stereo flip in STREAMINFO (byte 8+4+12, channels bits) → unsupported
+    // stereo flip in STREAMINFO (byte 8+4+12, channels bits): the stream's
+    // frames are mono, so the channel-consistency gate must reject the
+    // mismatch (metadata blocks carry no CRC — this is the only guard)
     val stereo = good.clone()
     stereo(8 + 12) = (stereo(8 + 12) | 0x02).toByte // channels-1: 0 → 1
     assert(Flac.decode(stereo).isEmpty)
@@ -95,6 +97,30 @@ class FlacSpec extends AnyFunSuite with SparkTestBase {
         assert(dec.samples(i) == expected, s"doc $docId sample $i")
       }
     }
+  }
+
+  test("stereo roundtrips exactly through every channel decorrelation") {
+    val n = 900
+    val rngL = new scala.util.Random(5)
+    // correlated channels (decorrelation's target case) + hard extremes
+    val left = Array.tabulate(n)(i => (3000 * math.sin(i / 17.0)).toInt + rngL.nextInt(64))
+    val right = Array.tabulate(n)(i => left(i) - 200 + (i % 9))
+    left(0) = Short.MaxValue; right(0) = Short.MinValue   // side = +65535 (17 bits)
+    left(1) = Short.MinValue; right(1) = Short.MaxValue   // side = -65535
+    for (chMode <- Seq(1, 8, 9, 10)) {
+      val enc = Flac.encodeStereo(left, right, 44100, blockSize = 192,
+        chModeFor = _ => chMode)
+      val dec = Flac.decode(enc).getOrElse(fail(s"chMode $chMode failed to decode"))
+      assert(dec.channels == 2 && dec.nSamples == n, s"chMode $chMode")
+      assert(dec.chans(0).sameElements(left), s"chMode $chMode: left mismatch")
+      assert(dec.chans(1).sameElements(right), s"chMode $chMode: right mismatch")
+    }
+    // one stream cycling all four assignments frame by frame
+    val enc = Flac.encodeStereo(left, right, 44100, blockSize = 128,
+      chModeFor = f => Seq(1, 8, 9, 10)(f % 4))
+    val dec = Flac.decode(enc).get
+    assert(dec.chans(0).sameElements(left) && dec.chans(1).sameElements(right),
+      "mixed-assignment stream mismatch")
   }
 
   test("extractFlac over a payload column dead-letters corrupt rows") {
