@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * over type+data, and the Paeth predictor. DEFLATE itself is
   * `java.util.zip.Inflater` — part of the JDK, not a third-party codec.
   *
-  * Scope: 8-bit greyscale (color type 0) and 8-bit truecolor RGB (color
-  * type 2), non-interlaced AND Adam7-interlaced (each of the seven passes
+  * Scope: 8-bit greyscale (color type 0), truecolor RGB (type 2), and
+  * palette-indexed (type 3, PLTE lookup with out-of-range indices
+  * rejected), non-interlaced AND Adam7-interlaced (each of the seven passes
   * unfiltered as an independent reduced image, then scattered — certified
   * against ImageIO-authored interlaced bitstreams). Palette/alpha/16-bit
   * are rejected → dead-letter (same
@@ -56,6 +57,8 @@ object Png {
     def u32(o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
     var width = 0; var height = 0; var nComp = 0
+    var sampPerPx = 0          // bytes per pixel in the coded stream
+    var palette: Array[Byte] = null
     var interlaced = false
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -85,10 +88,20 @@ object Png {
           nComp = colorType match {
             case 0 => 1 // greyscale
             case 2 => 3 // truecolor
-            case _ => return None // palette/alpha out of scope
+            case 3 => 3 // palette-indexed: 1 coded byte/px, 3 output planes
+            case _ => return None // alpha out of scope
           }
+          sampPerPx = if (colorType == 3) 1 else nComp
+          if (colorType == 3) palette = Array.emptyByteArray // PLTE must follow
+        case "PLTE" =>
+          if (!seenIhdr || palette == null) return None // only valid for type 3 here
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          palette = java.util.Arrays.copyOfRange(b, dataOff, dataOff + len.toInt)
+        case "tRNS" =>
+          return None // palette alpha: out of scope, dead-letter (never drop it silently)
         case "IDAT" =>
           if (!seenIhdr) return None
+          if (palette != null && palette.isEmpty) return None // PLTE must precede IDAT
           idat.write(b, dataOff, len.toInt)
         case "IEND" => seenIend = true
         case _ => // ancillary (tEXt, pHYs, ...) — skip via the length field
@@ -100,8 +113,8 @@ object Png {
 
     // zlib inflate of the concatenated IDAT stream; an interlaced stream
     // carries the SUM of the seven Adam7 passes' filtered scanlines
-    val stride = width * nComp
-    val bpp = nComp
+    val stride = width * sampPerPx
+    val bpp = sampPerPx
     val passes: Seq[(Int, Int, Int, Int)] = // (x0, y0, dx, dy) per Adam7 pass
       if (interlaced) Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
@@ -184,10 +197,27 @@ object Png {
         rawOff += ph * (1 + pStride)
       }
     }
-    val planes = Array.tabulate(nComp) { c =>
-      Array.tabulate(width * height)(i => px(i * nComp + c))
+    if (palette == null) {
+      val planes = Array.tabulate(nComp) { c =>
+        Array.tabulate(width * height)(i => px(i * sampPerPx + c))
+      }
+      Some(PngImage(width, height, nComp, planes))
+    } else {
+      // palette lookup; an index past the palette is malformed, not black
+      val nEntries = palette.length / 3
+      val planes = Array.tabulate(3)(_ => new Array[Int](width * height))
+      var i = 0
+      val n = width * height
+      while (i < n) {
+        val idx = px(i)
+        if (idx >= nEntries) return None
+        planes(0)(i) = palette(idx * 3) & 0xff
+        planes(1)(i) = palette(idx * 3 + 1) & 0xff
+        planes(2)(i) = palette(idx * 3 + 2) & 0xff
+        i += 1
+      }
+      Some(PngImage(width, height, 3, planes))
     }
-    Some(PngImage(width, height, nComp, planes))
   }
 
   // ------------------------------------------------------------- encoder

@@ -95,6 +95,29 @@ class PngSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("palette-indexed (type 3) ImageIO bitstreams decode exactly") {
+    // opaque 256-entry palette (no alpha → no tRNS, which we dead-letter)
+    val rr = Array.tabulate(256)(i => (i * 3 % 256).toByte)
+    val gg = Array.tabulate(256)(i => (255 - i).toByte)
+    val bb = Array.tabulate(256)(i => (i * 7 % 256).toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, rr, gg, bb)
+    val w = 29; val h = 13
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, (x * 11 + y * 19) % 256)
+    val baos = new ByteArrayOutputStream()
+    assert(ImageIO.write(src, "png", baos))
+    val bytes = baos.toByteArray
+    // sanity: IHDR color type byte (offset 8+8+9) really is 3 (palette)
+    assert((bytes(8 + 8 + 9) & 0xff) == 3, "ImageIO did not write a palette PNG")
+    val ours = Png.decode(bytes).getOrElse(fail("palette png rejected"))
+    assert(ours.width == w && ours.height == h && ours.nComp == 3)
+    val (r, g, b) = rgb(src)
+    assert(r.sameElements(ours.planes(0)) && g.sameElements(ours.planes(1))
+      && b.sameElements(ours.planes(2)), "palette pixel mismatch vs ImageIO")
+  }
+
   test("malformed payloads dead-letter: signature, CRC, truncation, unsupported") {
     val good = Png.syntheticPng(3L)
     assert(Png.decode(Array.emptyByteArray).isEmpty)
