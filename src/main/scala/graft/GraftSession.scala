@@ -33,6 +33,14 @@ object GraftSession {
     // parquet reader rejects by default; read as epoch-nano longs instead and
     // convert to a microsecond timestamp in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Parquet TIMESTAMP(isAdjustedToUTC=false) — the driver's post-r7 events
+    // vintage, and orders/lineitem dates in every vintage — reads as plain
+    // TIMESTAMP (epoch micros taken verbatim) instead of TIMESTAMP_NTZ.
+    // Under this session's pinned-UTC zone the values are identical to the
+    // `cast(ntz as timestamp)` the adapter used to do, but WITHOUT the
+    // per-row convertTz (a microsToInstant/LocalDateTime round trip, two
+    // java.time allocations per row) that taxed every events-scanning query.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // ObjectHashAggregate (keep_latest, collect_list) falls back to
     // sort-based aggregation after this many hash-map keys per task; the
     // 128-key default sorts almost immediately, re-creating the

@@ -3486,7 +3486,7 @@ object Queries {
       |  FROM lbl WHERE is_train),
       |scored AS (
       |  SELECT tf.doc_id, sum(tf) AS n_tokens,
-      |    ln(max(pri.npos) / (max(pri.n) - max(pri.npos))) +
+      |    ln((max(pri.npos) + 1) / (max(pri.n) - max(pri.npos) + 1)) +
       |      sum(tf * (ln((coalesce(cpos, 0) + 1) / (tot.tpos + tot.v))
       |              - ln((coalesce(cneg, 0) + 1) / (tot.tneg + tot.v)))) AS score
       |  FROM tf LEFT JOIN cls USING (term) CROSS JOIN tot CROSS JOIN pri

@@ -27,18 +27,24 @@ object Tables {
     * same column positions regardless of which vintage is on disk.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // GraftSession disables NTZ inference, so the post-r7 µs vintage reads
+    // directly as TIMESTAMP (no per-row convertTz — see GraftSession); the
+    // TimestampNTZType branch below keeps foreign sessions correct.
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
-      case _ => // TIMESTAMP[_NTZ] (µs precision): ts_ns takes ts's slot, ts last.
-        // NTZ → LTZ cast reads the naive value as session-local; the session
-        // is pinned UTC (GraftSession) so this is value-identity, and all
-        // consumers keep seeing the TIMESTAMP type previous data vintages had.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // fallback for sessions that force NTZ inference some other way:
+        // value-identity under UTC, per the old (slower) adapter
         val order = raw.columns.map { case "ts" => "ts_ns"; case c => c } :+ "ts"
         raw.withColumn("ts", expr("cast(ts as timestamp)"))
           .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+          .select(order.map(col): _*)
+      case _ => // TIMESTAMP (µs): ts_ns is pure long arithmetic, codegen'd
+        val order = raw.columns.map { case "ts" => "ts_ns"; case c => c } :+ "ts"
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
           .select(order.map(col): _*)
     }
   }

@@ -29,6 +29,14 @@ object Bm25 {
 
   /** Score `queries` (query_id, text) against `docs`; top `k` per query.
     * Output: (query_id, doc_id, round(score, 4), rank).
+    *
+    * Cache contract: the RETURNED frame is persisted (it was materialized
+    * once so the internal postings cache could be released before return);
+    * the caller owns its release — `result.unpersist()` when done, or the
+    * harness-level `clearCache()` between queries (Verify/Bench both do).
+    * Every internal persist is released before this method returns —
+    * CacheHygieneSpec asserts the cache manager holds NOTHING but the
+    * returned frame.
     */
   def search(docs: DataFrame, queries: DataFrame, idCol: String,
              textCol: String, qIdCol: String, qTextCol: String,
@@ -45,12 +53,15 @@ object Bm25 {
     val qterms = queries.select(col(qIdCol).as("query_id"),
         explode(split(trim(col(qTextCol)), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // postings restricted to query terms: the broadcast side is tiny, the
-    // matched postings are the only corpus rows that move
-    val matched = tf
-      .join(broadcast(qterms.select("term").distinct()), "term")
-      .join(dfreq, "term")
+    // postings restricted to query terms FIRST — df per term is invariant
+    // under a by-term prune, so document frequency aggregates from the
+    // pruned postings only. Aggregating df over the full vocabulary and
+    // then joining to the pruned side would be a corpus-scale shuffle
+    // (every distinct (doc, term) re-keyed by term) spent to obtain df for
+    // a few dozen query terms.
+    val pruned = tf.join(broadcast(qterms.select("term").distinct()), "term")
+    val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+    val matched = pruned.join(broadcast(dfreq), "term")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = col("tf") * (lit(k1) + 1.0) /

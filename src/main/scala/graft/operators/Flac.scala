@@ -549,7 +549,7 @@ object Flac {
         while (i < bs) { w.bits(s(off + i) & mask, bps); i += 1 }
       case Lpc2(c1, c2, shift, precision) if bs > 2 =>
         w.bit(0); w.bits(0x20 | (2 - 1), 6); w.bit(0)
-        w.bits(s(off) & mask, bps); w.bits(s(off + 1) & 0xffff, bps)
+        w.bits(s(off) & mask, bps); w.bits(s(off + 1) & mask, bps)
         w.bits(precision - 1, 4)
         w.bits(shift & 0x1f, 5)
         w.bits(c1 & ((1 << precision) - 1), precision)

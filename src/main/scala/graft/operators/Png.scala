@@ -134,7 +134,10 @@ object Png {
     var off = 0
     while (off < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, off, raw.length - off)
-      if (n == 0 && inf.needsInput()) return None // truncated stream
+      // Any zero-progress iteration is malformed: needsInput (truncated),
+      // needsDictionary (FDICT set — unsupported, and would otherwise spin
+      // forever since needsInput stays false), or premature stream end.
+      if (n == 0) return None
       off += n
     }
     val complete = off == raw.length && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0)

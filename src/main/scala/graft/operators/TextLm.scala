@@ -21,6 +21,14 @@ import org.apache.spark.storage.StorageLevel
   * AQE converts the term join to broadcast at runtime when it fits and
   * skew-splits the hot-term tail otherwise. The 1-row token total rides a
   * broadcast cross join, never a collect.
+  *
+  * Cache contract (all three gates — [[lmScore]], [[nbQualityScore]],
+  * [[bigramScore]]): the RETURNED frame is persisted — it was materialized
+  * once so the internal tf/model caches could be released before return —
+  * and the caller owns its release (`result.unpersist()`, or the
+  * harness-level `clearCache()` Verify/Bench run between queries). Every
+  * internal persist is released before return; CacheHygieneSpec asserts the
+  * cache manager holds nothing but the returned frame.
   */
 object TextLm {
 
@@ -100,7 +108,10 @@ object TextLm {
       count(lit(1)).cast("double").as("n"))
     val w = log((coalesce(col("cpos"), lit(0L)).cast("double") + 1.0) / (col("tpos") + col("v"))) -
       log((coalesce(col("cneg"), lit(0L)).cast("double") + 1.0) / (col("tneg") + col("v")))
-    val score = log(first(col("npos")) / (first(col("n")) - first(col("npos")))) +
+    // Laplace-smoothed prior: a single-class training split (npos == 0 or
+    // npos == n) would make the raw odds log(npos/(n-npos)) yield ±Inf/NaN
+    // and silently poison every score; +1 on both sides keeps it finite.
+    val score = log((first(col("npos")) + 1.0) / (first(col("n")) - first(col("npos")) + 1.0)) +
       sum(col("tf") * w)
     val out = tf.join(cls, Seq("term"), "left")
       .crossJoin(broadcast(tot))

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
@@ -50,6 +51,16 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   *    a window + filter. Groups bounded by DATA semantics (per-document
   *    shingles) surface as waivable warnings, same contract as
   *    `global-window`.
+  *  - `aggregate-before-prune` — a shuffle join (SMJ/SHJ) on keys K where
+  *    one input is a KEYED aggregate grouped exactly by K and the OTHER
+  *    input was already narrowed by a broadcast join on K: the aggregate
+  *    shuffled the full key domain to compute values the join immediately
+  *    discards for every key outside the broadcast subset. Pushing the
+  *    same broadcast semi-join below the aggregate is value-identical for
+  *    an inner join (per-key aggregates don't change under a by-key prune)
+  *    and deletes a corpus-scale Exchange — the r7 BM25 lesson
+  *    (`operators/Bm25.scala`: document frequency over the FULL vocabulary
+  *    joined to query-term postings).
   *
   * The audit reads plan STRUCTURE only (no execution, no stats): it cannot
   * know a frame's cardinality, so bounded-by-construction patterns — the
@@ -97,6 +108,38 @@ object PlanAudit {
         case _: org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet => true
         case _ => false
       })
+    def keyNames(es: Seq[Expression]): Seq[String] =
+      es.collect { case a: AttributeReference => a.name }
+    // the top of a shuffle-join input, seen through codegen and the sort
+    // SMJ inserts above a final aggregate
+    def topKeyedAgg(p: SparkPlan): Option[BaseAggregateExec] = unwrap(p) match {
+      case s: SortExec => topKeyedAgg(s.child)
+      case b: BaseAggregateExec if b.groupingExpressions.nonEmpty => Some(b)
+      case _ => None
+    }
+    def hasBroadcastPruneOn(p: SparkPlan, names: Set[String]): Boolean =
+      walk(p).exists {
+        case b: BroadcastHashJoinExec =>
+          keyNames(b.leftKeys ++ b.rightKeys).exists(names)
+        case _ => false
+      }
+    // one input an aggregate grouped exactly by the join keys, the other
+    // already broadcast-pruned on those keys → the aggregate should have
+    // been computed AFTER the (order-commuting) prune
+    def aggBeforePrune(keysA: Seq[Expression], keysB: Seq[Expression],
+                       a: SparkPlan, b: SparkPlan, node: String): Seq[Finding] = {
+      val all = (keyNames(keysA) ++ keyNames(keysB)).toSet
+      def oneWay(aggKeys: Seq[Expression], aggSide: SparkPlan,
+                 other: SparkPlan): Boolean =
+        topKeyedAgg(aggSide).exists { agg =>
+          keyNames(agg.groupingExpressions).toSet == keyNames(aggKeys).toSet &&
+            !hasBroadcastPruneOn(aggSide, all) &&
+            hasBroadcastPruneOn(other, all)
+        }
+      if (oneWay(keysA, a, b) || oneWay(keysB, b, a))
+        Seq(Finding("aggregate-before-prune", "warn", node))
+      else Nil
+    }
     // a node can exhibit more than one hazard (a keyed SortAggregate that
     // also collects) — emit every match, not the first
     walk(root).flatMap { p =>
@@ -129,7 +172,16 @@ object PlanAudit {
           Seq(Finding("unbounded-collect", "warn", b.simpleStringWithNodeId()))
         case _ => Nil
       }
-      structural ++ aggregate ++ collect
+      val prune: Seq[Finding] = p match {
+        case j: SortMergeJoinExec =>
+          aggBeforePrune(j.leftKeys, j.rightKeys, j.left, j.right,
+            j.simpleStringWithNodeId())
+        case j: ShuffledHashJoinExec =>
+          aggBeforePrune(j.leftKeys, j.rightKeys, j.left, j.right,
+            j.simpleStringWithNodeId())
+        case _ => Nil
+      }
+      structural ++ aggregate ++ collect ++ prune
     }
   }
 }

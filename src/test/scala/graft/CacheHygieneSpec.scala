@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25, TextLm}
+
+/** Cache-lifecycle contract for operators that hand back a persisted frame
+  * (Bm25.search and the three TextLm gates): the cache manager must hold
+  * NOTHING but the returned frame — every internal persist released before
+  * return — and releasing the returned frame must leave the session clean.
+  * In a long-lived session (serving, notebooks) an operator that silently
+  * persists an intermediate and never releases it leaks executor memory on
+  * every call; this spec makes that a CI failure instead of a slow OOM.
+  *
+  * Harness side of the contract: Verify clears the cache between query
+  * dumps and Bench clears before every timed run, so registered queries
+  * built on these operators never accumulate blocks across the sweep.
+  */
+class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir).limit(200)
+
+  /** Run `op`, assert its result was the ONLY cache entry, release, assert
+    * the session is clean.
+    */
+  private def checkContract(name: String)(op: => org.apache.spark.sql.DataFrame): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    val out = op
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      s"$name: contract says the returned frame is persisted")
+    out.unpersist(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      s"$name: internal persists leaked past the returned frame's release")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"$name: RDD-level blocks survive the logical cache release")
+  }
+
+  test("Bm25.search releases every internal cache") {
+    import spark.implicits._
+    val qs = Seq((1L, "the data"), (2L, "quality model")).toDF("query_id", "qtext")
+    checkContract("Bm25.search") {
+      Bm25.search(docs, qs, "doc_id", "text", "query_id", "qtext", k = 5)
+    }
+  }
+
+  test("TextLm.lmScore releases every internal cache") {
+    checkContract("lmScore")(TextLm.lmScore(docs, "doc_id", "text"))
+  }
+
+  test("TextLm.nbQualityScore releases every internal cache") {
+    checkContract("nbQualityScore") {
+      TextLm.nbQualityScore(docs, "doc_id", "text",
+        length(col("text")) > 100, col("doc_id") % 10 =!= 0)
+    }
+  }
+
+  test("TextLm.bigramScore releases every internal cache") {
+    checkContract("bigramScore") {
+      TextLm.bigramScore(docs, "doc_id", "text", col("doc_id") % 10 =!= 0)
+    }
+  }
+}

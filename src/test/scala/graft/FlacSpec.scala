@@ -123,6 +123,25 @@ class FlacSpec extends AnyFunSuite with SparkTestBase {
       "mixed-assignment stream mismatch")
   }
 
+  test("stereo Lpc2 subframes roundtrip with a negative 17-bit side warmup") {
+    // side channel bps = 17; sample 1's side value is NEGATIVE, so a writer
+    // that masks the second warmup with a hardcoded 0xffff (instead of the
+    // bps-wide mask) loses the sign bit and mis-encodes silently
+    val n = 384
+    val left = Array.tabulate(n)(i => (2500 * math.sin(i / 11.0)).toInt)
+    val right = Array.tabulate(n)(i => left(i) + 150 - (i % 7))
+    left(1) = Short.MinValue; right(1) = Short.MaxValue // side(1) = -65535
+    left(2) = Short.MaxValue; right(2) = Short.MinValue // side(2) = +65535
+    for (chMode <- Seq(8, 9, 10)) {
+      val enc = Flac.encodeStereo(left, right, 44100, blockSize = 192,
+        chModeFor = _ => chMode,
+        mode = _ => Flac.Lpc2(c1 = 3 << 8, c2 = -(1 << 9), shift = 10))
+      val dec = Flac.decode(enc).getOrElse(fail(s"chMode $chMode Lpc2 decode failed"))
+      assert(dec.chans(0).sameElements(left), s"chMode $chMode Lpc2: left mismatch")
+      assert(dec.chans(1).sameElements(right), s"chMode $chMode Lpc2: right mismatch")
+    }
+  }
+
   test("extractFlac over a payload column dead-letters corrupt rows") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

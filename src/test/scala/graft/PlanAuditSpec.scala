@@ -125,6 +125,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       PlanAudit.audit(bounded).mkString("; "))
   }
 
+  test("full-vocab aggregate joined to a broadcast-pruned subset is flagged; " +
+      "the pruned-first rewrite passes") {
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // keep the dfreq↔postings join a shuffle join, as it is at corpus
+      // scale, while the tiny query-term side still broadcasts explicitly
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, sfDir)
+      val tf = docs.select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val qterms = Seq("the", "data").toDF("term")
+      // the r7 BM25 shape: df over the FULL vocabulary, then joined to the
+      // query-term-pruned postings — a corpus-scale Exchange for a handful
+      // of keys
+      val dfreqFull = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val bad = tf.join(broadcast(qterms), "term").join(dfreqFull, "term")
+      bad.collect()
+      assert(PlanAudit.audit(bad).exists(_.rule == "aggregate-before-prune"),
+        PlanAudit.audit(bad).mkString("; "))
+
+      // the fix: semi-join the postings against the broadcast terms FIRST,
+      // aggregate df from the pruned postings
+      val pruned = tf.join(broadcast(qterms), "term")
+      val dfreqPruned = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+      val good = pruned.join(dfreqPruned, "term")
+      good.collect()
+      assert(!PlanAudit.audit(good).exists(_.rule == "aggregate-before-prune"),
+        PlanAudit.audit(good).mkString("; "))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("the flagship pipeline audits clean") {
     val df = Queries.all.find(_.name == "a00_pipeline_e2e").get.fn(spark, sfDir)
     df.collect()

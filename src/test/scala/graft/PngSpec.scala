@@ -136,6 +136,35 @@ class PngSpec extends AnyFunSuite with SparkTestBase {
     assert(Png.decode(deep).isEmpty)
   }
 
+  test("FDICT zlib header dead-letters instead of spinning the inflate loop") {
+    // A payload with VALID chunk CRCs whose IDAT stream demands a preset
+    // dictionary: Inflater.inflate() returns 0 with needsInput()==false and
+    // finished()==false forever, so a loop keyed only on those two predicates
+    // hangs the executor. The decoder must treat zero progress as malformed.
+    val out = new java.io.ByteArrayOutputStream()
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).foreach(b => out.write(b))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      val tb = typ.getBytes("US-ASCII"); out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+      out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = 4; ihdr(7) = 4 // 4x4
+    ihdr(8) = 8; ihdr(9) = 0 // 8-bit grayscale
+    chunk("IHDR", ihdr)
+    // zlib CMF=0x78, FLG=0x20 (FDICT set; (0x7820 % 31) == 0 so header valid),
+    // then the 4-byte DICTID and some deflate-looking junk
+    chunk("IDAT", Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8))
+    chunk("IEND", Array.emptyByteArray)
+    val res = Png.decode(out.toByteArray)
+    assert(res.isEmpty, "FDICT stream must dead-letter, not decode or hang")
+  }
+
   test("fuzz: random corruptions never throw") {
     val rnd = new scala.util.Random(7)
     val good = Png.syntheticPng(21L)

@@ -88,4 +88,21 @@ class TextLmSpec extends AnyFunSuite with SparkTestBase {
     // could disagree with the 4-dp column — none in this corpus
     assert(bad == 0)
   }
+
+  test("NB quality survives a single-class training split (finite scores)") {
+    // An all-positive (or all-negative) train split used to make the raw
+    // prior log(npos/(n-npos)) yield ±Inf and NaN-poison every score; the
+    // Laplace-smoothed prior keeps everything finite.
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    for (allPos <- Seq(true, false)) {
+      val scored = TextLm.nbQualityScore(docs, "doc_id", "text",
+        lit(allPos), col("doc_id") % 10 =!= 0)
+      val rows = scored.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val s = r.getAs[Double]("nb_score")
+        assert(!s.isNaN && !s.isInfinite, s"allPos=$allPos produced $s")
+      }
+    }
+  }
 }
