@@ -3779,6 +3779,55 @@ object Queries {
       |       "left" || "right" AS merged, CAST(freq AS BIGINT) AS freq
       |FROM pc ORDER BY freq DESC, "left", "right" LIMIT 1""".stripMargin))
 
+  private val e26 = Q(
+    "e26_bpe_encode",
+    // Corpus tokenization with a corpus-learned BPE vocabulary (the
+    // production tokenizer pass: learn once, broadcast the KB-sized merge
+    // list, encode every doc executor-side — operators.Bpe.encodeCorpus).
+    // Per-doc (n_words, n_tokens, fertility = tokens/word): fertility is
+    // THE tokenizer-quality metric a data pipeline tracks per source.
+    // Not SQL-expressible under learned merges (each of the 20 merges
+    // depends on the previous round's re-tokenization) → rows-only gate;
+    // the e27 companion hash-checks the identical encode path under a
+    // fixed merge list, and BpeSpec proves learn() against a sequential
+    // reference implementation.
+    (s, dir) => Bpe.encodeCorpus(s, Tables.documents(s, dir), "text",
+      "doc_id", Bpe.learn(s, Tables.documents(s, dir), "text", 20)),
+    None)
+
+  private val e27 = Q(
+    "e27_bpe_encode_known_merges",
+    // Known-answer companion for e26 (the e20/d05 pattern): the SAME
+    // encodeCorpus path — broadcast merges, mapPartitions greedy encode,
+    // fertility arithmetic — under a FIXED two-merge vocabulary
+    // (t,h)→th then (th,e)→the, chosen so the SQL mirror is exact:
+    // with left ≠ right, every "th" substring fuses (greedy L2R cannot
+    // skip one — no merge consumes 't' as a right symbol), and th+e
+    // adjacencies are exactly the "the" substrings, so per-word tokens =
+    // codepoints + 1 (</w>) − #"th" − #"the", each count a replace-length
+    // difference. Rank order matters (merge 2's left IS merge 1's output),
+    // so this also pins the in-order application e26 relies on.
+    (s, dir) => Bpe.encodeCorpus(s, Tables.documents(s, dir), "text",
+      "doc_id", Seq(Bpe.Merge(1, "t", "h", "th", 0L),
+        Bpe.Merge(2, "th", "e", "the", 0L))),
+    Some("""WITH words AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |wt AS (
+      |  SELECT doc_id,
+      |         length(w) + 1
+      |           - (length(w) - length(replace(w, 'th', ''))) // 2
+      |           - (length(w) - length(replace(w, 'the', ''))) // 3 AS toks
+      |  FROM words WHERE length(w) > 0),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_words, sum(toks) AS n_tokens
+      |  FROM wt GROUP BY 1)
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+      |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+      |       round(coalesce(CAST(n_tokens AS DOUBLE) / n_words, 0), 4) AS fertility
+      |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin))
+
   private val f04 = Q(
     "f04_wav_decode",
     // REAL audio decode through the same seam as f03's image decode: RIFF/
@@ -4242,7 +4291,7 @@ object Queries {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-    e18, e19, e20, e21, e22, e23, e24, e25,
+    e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
     f01, f02, f03, f04, f05, f06, f07, f08, f09,
     g01, g02, g03, g04, g05, g06, g07)
 }

@@ -369,7 +369,15 @@ object ScaleProbe {
           // 10 rounds: the probe measures how ROUND COST grows with corpus/
           // vocab size; round count is a constant workload knob
           "e19_bpe_10_rounds" -> (() =>
-            operators.Bpe.learnMerges(spark, docs(), "text", 10)))
+            operators.Bpe.learnMerges(spark, docs(), "text", 10)),
+          // the e26 serving path: merges learned ONCE outside the timed
+          // thunk (a model artifact, not per-run work) so the probe times
+          // the broadcast + mapPartitions encode — expected linear in docs
+          "e26_encode" -> {
+            lazy val merges = operators.Bpe.learn(spark, docs(), "text", 10)
+            () => operators.Bpe.encodeCorpus(spark, docs(), "text",
+              "doc_id", merges)
+          })
       } else {
         val names = if (mode == "etl")
           Seq("a00_pipeline_e2e", "a03_dedup_replacing", "a04_traffic_totals")

@@ -11,6 +11,9 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // epoch-micros identity for the NTZ events vintage regardless of the
+    // host session's zone (see GraftSession)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     GraftFunctions.register(spark)
     Queries.all.find(_.name == "a00_pipeline_e2e").get.fn(spark, "/root/testdata/sf0.001")

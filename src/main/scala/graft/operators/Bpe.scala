@@ -143,8 +143,11 @@ object Bpe {
           val words = text.trim.split("\\s+").filter(_.nonEmpty)
           val nTokens = words.map(w => encodeWord(w, ms).length).sum
           (id, words.length.toLong, nTokens.toLong,
+            // HALF_UP at 4 dp (floor(x·10⁴ + 0.5) — fertility is never
+            // negative), matching Spark's `round` and the DuckDB oracle;
+            // rint's half-even loses exact .5 ties (n_words a power of two)
             if (words.isEmpty) 0.0
-            else math.rint(nTokens.toDouble / words.length * 10000) / 10000)
+            else math.floor(nTokens.toDouble / words.length * 10000 + 0.5) / 10000)
         }
       }
       .toDF(idCol, "n_words", "n_tokens", "fertility")

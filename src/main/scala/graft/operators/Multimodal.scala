@@ -38,6 +38,12 @@ object Multimodal {
     * a real hash of the payload; a real implementation would decode pixels
     * here. Everything is a pure function of the payload (reproducible across
     * executors/retries, which is what matters for the plumbing).
+    *
+    * SCOPE (final — SURVEY.md §2.F "Perceptual-audio seam — CLOSED"): with
+    * BMP/PGM/WAV/frame-container/JPEG/PNG/FLAC all real, this stub marks
+    * ONLY the perceptual-audio (MP3/AAC) boundary — psychoacoustic decode
+    * needs a codec library this environment cannot provide; plugging one in
+    * is a `decodeFlac`-shaped adapter behind this same seam.
     */
   def stubDecode(r: MMRecord): MMFeatures = {
     val b = r.payload

@@ -27,6 +27,19 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * prom.start()                 // scrape prom.endpoint
   * }}}
   */
+object PrometheusEndpoint {
+  /** Gauge families [[PrometheusEndpoint.recordProgress]] emits (metric name
+    * = `graft_<family>`). DashboardLintSpec drives a real stateful query and
+    * asserts every family here actually renders, then that the grafana/
+    * dashboards reference nothing outside these + the observed-metric
+    * families — so the provisioned boards cannot drift from the endpoint.
+    */
+  val StreamFamilies: Seq[String] = Seq(
+    "stream_input_rows_per_sec", "stream_processed_rows_per_sec",
+    "stream_num_input_rows", "stream_batch_duration_ms",
+    "stream_state_rows", "stream_state_bytes")
+}
+
 final class PrometheusEndpoint(port: Int = 0) {
 
   // (observation name, field) -> latest value. Gauge semantics: the newest
@@ -49,11 +62,41 @@ final class PrometheusEndpoint(port: Int = 0) {
     }
   }
 
-  /** Register on `spark.streams` to serve every query's observed metrics. */
+  /** Per-query engine health gauges from every progress update — the
+    * serving analog of the reference performance dashboard's latency /
+    * throughput / insert-size panels (`telemetry.rs` + the anonymizer
+    * Grafana board): throughput in and out, batch latency, and the
+    * stateful operators' row/byte envelope (whose flatness IS the 100 TB
+    * state guarantee — StatefulFunnelSpec/StatefulRetentionSpec assert it,
+    * these gauges let production watch it). Rendered with the query NAME
+    * as the observation label (falls back to the run id for unnamed
+    * queries), one gauge family per field; the grafana/ dashboards in this
+    * repo chart exactly these families.
+    */
+  def recordProgress(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
+    val q = if (p.name != null && p.name.nonEmpty) p.name else p.id.toString
+    def put(field: String, v: Double): Unit =
+      if (!v.isNaN) gauges.put((q, field), v)
+    put("stream_input_rows_per_sec", p.inputRowsPerSecond)
+    put("stream_processed_rows_per_sec", p.processedRowsPerSecond)
+    put("stream_num_input_rows", p.numInputRows.toDouble)
+    put("stream_batch_duration_ms", p.batchDuration.toDouble)
+    val so = p.stateOperators
+    if (so != null && so.nonEmpty) {
+      put("stream_state_rows", so.map(_.numRowsTotal).sum.toDouble)
+      put("stream_state_bytes", so.map(_.memoryUsedBytes).sum.toDouble)
+    }
+  }
+
+  /** Register on `spark.streams` to serve every query's observed metrics
+    * plus the per-query health gauges above.
+    */
   val listener: StreamingQueryListener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       e.progress.observedMetrics.forEach((name, row) => record(name, row))
+      recordProgress(e.progress)
+    }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 

@@ -71,6 +71,42 @@ class StatefulFunnelSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("state envelope: exactly one state row per live user at two " +
+      "inflation levels, drained on eviction") {
+    // the r7 scale probe measured state rows == active users at every
+    // inflation; this pins that envelope in CI so a state-shape regression
+    // (per-event rows, an eviction that stops firing) fails the suite
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    for ((n, qn) <- Seq((20, "funnel_env_20"), (200, "funnel_env_200"))) {
+      val ms = MemoryStream[StatefulFunnel.Event]
+      val q = StatefulFunnel.levels(spark, ms.toDF(), steps, windowMinutes = 30)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        def stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        // every user contributes several EVENTS but must hold ONE state row
+        ms.addData((1 to n).flatMap(u => Seq(
+          StatefulFunnel.Event(u.toLong, ts(0), "view"),
+          StatefulFunnel.Event(u.toLong, ts(2), "click"),
+          StatefulFunnel.Event(u.toLong, ts(3), "error"))): _*)
+        q.processAllAvailable()
+        assert(stateRows == n,
+          s"$n live users must hold exactly $n state rows, got $stateRows")
+        // watermark sentinel closes every user's window → all evicted, only
+        // the sentinel's own state survives
+        ms.addData(StatefulFunnel.Event(100000L, ts(600), "error"))
+        q.processAllAvailable()
+        ms.addData(StatefulFunnel.Event(100000L, ts(601), "error"))
+        q.processAllAvailable()
+        assert(stateRows == 1,
+          s"post-eviction state must hold only the sentinel, got $stateRows")
+        assert(spark.table(qn).count() == n,
+          "each evicted user emits exactly one level row")
+      } finally q.stop()
+    }
+  }
+
   test("state is bounded: foreign types never buffer, step events cap") {
     var st = StatefulFunnel.FunnelBuf(Nil, 0L)
     // drive the state-update fn directly with a 10k-event bot

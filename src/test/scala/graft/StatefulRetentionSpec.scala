@@ -60,6 +60,42 @@ class StatefulRetentionSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("state envelope: exactly one state row per live user at two " +
+      "inflation levels, reclaimed past the horizon") {
+    // the r7 scale probe showed retention state bytes flat 10×→100× because
+    // rows track USERS, not events/weeks; this pins the row invariant in CI
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    for ((n, qn) <- Seq((20, "ret_env_20"), (200, "ret_env_200"))) {
+      val ms = MemoryStream[Visit]
+      // 2-week horizon so the sentinel can also reclaim every user
+      val q = StatefulRetention.increments(spark, ms.toDF(),
+          watermark = "1 day", horizonWeeks = 2)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        def stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        // each user: three visits across two weeks → still ONE state row
+        ms.addData((1 to n).flatMap(u => Seq(
+          Visit(u.toLong, day(2)), Visit(u.toLong, day(4)),
+          Visit(u.toLong, day(9)))): _*)
+        q.processAllAvailable()
+        assert(stateRows == n,
+          s"$n live users must hold exactly $n state rows, got $stateRows")
+        // sentinel far past cohort + horizon: weeks close, horizon passes,
+        // every user reclaimed — only the sentinel's state remains
+        ms.addData(Visit(100000L, Timestamp.valueOf("2024-03-01 09:00:00")))
+        q.processAllAvailable()
+        ms.addData(Visit(100000L, Timestamp.valueOf("2024-03-01 10:00:00")))
+        q.processAllAvailable()
+        assert(stateRows == 1,
+          s"post-horizon state must hold only the sentinel, got $stateRows")
+        // exactly one increment per (user, active week): weeks 0 and 1
+        assert(spark.table(qn).count() == 2L * n)
+      } finally q.stop()
+    }
+  }
+
   test("closed weeks emit once and leave state; horizon reclaims the user") {
     val state = new TestGroupState(null)
     // week 0 and week 1 activity, watermark already past both week ends
