@@ -137,9 +137,15 @@ object Queries {
       // computes the same totals directly — it matches iff codec,
       // anonymization, dedup and aggregation all compose correctly.
       val payloads = httpLogMs(s, dir).select(capnpMsg.as("value"), col("log_id"))
-      // at-least-once: 20% of frames delivered twice
-      val frames = sources.KafkaShaped.framesFromPayloads(
-        payloads.unionByName(payloads.filter(col("log_id") % 5 === 0)), "value", "log_id")
+      // at-least-once: 20% of frames delivered twice. The replica fan-out is
+      // an explode over the ALREADY-ENCODED bytes — one scan, one capnp
+      // encode per source row (the previous self-union planned a second
+      // full scan AND re-encoded the whole table to yield the 20%)
+      val replayed = payloads.select(col("value"), col("log_id"),
+          explode(when(col("log_id") % 5 === 0, array(lit(0), lit(1)))
+            .otherwise(array(lit(0)))).as("rep"))
+        .drop("rep")
+      val frames = sources.KafkaShaped.framesFromPayloads(replayed, "value", "log_id")
       val (good, _) = sources.KafkaShaped.decodeSplit(frames)
       val logs = streaming.HttpLogPipeline.anonymize(
         good.select(expr("timestamp_millis(r.ts_milli)").as("ts"),
@@ -3828,6 +3834,39 @@ object Queries {
       |       round(coalesce(CAST(n_tokens AS DOUBLE) / n_words, 0), 4) AS fertility
       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin))
 
+  private val e28 = Q(
+    "e28_warc_ingest",
+    // WARC/WET ingestion (sources/Warc.scala) — the Common-Crawl wire
+    // format: documents packed 4-per-container into synthetic WET
+    // containers (even container ids plain-concatenated, odd ids
+    // per-record gzip members — both parser paths live every run), one
+    // container in 7 truncated mid-record, then extracted back through the
+    // mapPartitions parse seam. A container that is malformed ANYWHERE
+    // dead-letters whole, so the oracle is exactly the docs outside the
+    // corrupted containers, with uri/type/octet-length/md5 recomputed from
+    // the corpus — a mis-framed Content-Length or a silently-partial parse
+    // cannot hash-match.
+    (s, dir) => {
+      import s.implicits._
+      val containers = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 4) // ≤4 docs per group, bounded by construction
+        .mapGroups { (cid, it) =>
+          val bytes = sources.Warc.syntheticContainer(cid, it.toSeq)
+          (cid, if (cid % 7 == 3) bytes.dropRight(9) else bytes)
+        }
+        .toDF("container_id", "payload")
+      sources.Warc.extractWet(s, containers, "container_id", "payload").toDF()
+    },
+    Some("""SELECT doc_id,
+      |       'https://example.org/doc/' || doc_id AS target_uri,
+      |       'conversion' AS warc_type,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+      |       md5(text) AS text_md5
+      |FROM documents
+      |WHERE (doc_id // 4) % 7 <> 3""".stripMargin))
+
   private val f04 = Q(
     "f04_wav_decode",
     // REAL audio decode through the same seam as f03's image decode: RIFF/
@@ -4291,7 +4330,7 @@ object Queries {
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-    e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
+    e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
     f01, f02, f03, f04, f05, f06, f07, f08, f09,
     g01, g02, g03, g04, g05, g06, g07)
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Warc
+
+/** The WET parser must roundtrip its own writer byte-exactly (text out ==
+  * text in, both container encodings), recover doc ids from record URIs,
+  * and dead-letter whole containers on ANY spec violation — a partial
+  * record list would silently drop training documents, the worst failure
+  * mode an ingestion path can have.
+  */
+class WarcSpec extends AnyFunSuite with SparkTestBase {
+
+  private val docs = Seq(
+    (0L, "the quick brown fox"),
+    (1L, ""), // empty body: Content-Length 0 must frame correctly
+    (2L, "multi\nline\nbody with trailing space "),
+    (3L, "unicode: café ☃"))
+
+  test("plain and gzip containers roundtrip text and headers exactly") {
+    for (cid <- Seq(0L, 1L)) { // even = plain, odd = gzip members
+      val recs = Warc.parse(Warc.syntheticContainer(cid, docs))
+        .getOrElse(fail(s"container $cid failed to parse"))
+      assert(recs.length == docs.length)
+      recs.zip(docs).foreach { case ((typ, uri, body), (id, text)) =>
+        assert(typ == "conversion")
+        assert(uri == s"https://example.org/doc/$id")
+        assert(new String(body, "UTF-8") == text, s"doc $id text mismatch")
+      }
+    }
+  }
+
+  test("malformed containers dead-letter whole, never a partial parse") {
+    val good = Warc.syntheticContainer(0L, docs)
+    assert(Warc.parse(Array.emptyByteArray).isEmpty)
+    assert(Warc.parse("HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8")).isEmpty)
+    assert(Warc.parse(good.dropRight(1)).isEmpty, "truncated final separator")
+    assert(Warc.parse(good.dropRight(30)).isEmpty, "truncated body")
+    assert(Warc.parse(good ++ "junk".getBytes("UTF-8")).isEmpty,
+      "trailing junk after the last record")
+    // garbage Content-Length: corrupt the digit run in the FIRST record
+    val bad = new String(good, "ISO-8859-1")
+      .replaceFirst("Content-Length: \\d+", "Content-Length: x")
+      .getBytes("ISO-8859-1")
+    assert(Warc.parse(bad).isEmpty)
+    // truncated gzip member
+    val gz = Warc.syntheticContainer(1L, docs)
+    assert(Warc.parse(gz.dropRight(5)).isEmpty)
+    // a gzip container whose LAST member is corrupt must not yield the
+    // earlier members either
+    val mixed = Warc.gzipMember(Warc.writeRecord(7L, "ok")) ++
+      Warc.gzipMember(Warc.writeRecord(8L, "also ok")).dropRight(3)
+    assert(Warc.parse(mixed).isEmpty)
+  }
+
+  test("extractWet explodes containers to per-record rows and recovers ids") {
+    import spark.implicits._
+    val containers = Seq(
+      (0L, Warc.syntheticContainer(0L, docs.take(2))),
+      (1L, Warc.syntheticContainer(1L, docs.drop(2))),
+      (2L, Array[Byte](9, 9, 9))) // dead-letter
+      .toDF("container_id", "payload")
+    val out = Warc.extractWet(spark, containers, "container_id", "payload")
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == Seq(0L, 1L, 2L, 3L))
+    out.zip(docs).foreach { case (r, (id, text)) =>
+      val bytes = text.getBytes("UTF-8")
+      assert(r.content_length == bytes.length)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(r.text_md5 == md.digest(bytes).map(b => f"$b%02x").mkString)
+      assert(r.warc_type == "conversion")
+    }
+  }
+}
