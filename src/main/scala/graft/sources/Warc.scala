@@ -144,6 +144,18 @@ object Warc {
     -1
   }
 
+  /** Production ingestion shape: a directory of `.warc.wet(.gz)` files
+    * read through Spark's `binaryFile` source — one task per file, which
+    * is exactly Common Crawl's parallelism unit (members aren't seekable,
+    * files are). Filters/pruning stay with the file index; the parse is
+    * the same dead-letter seam as [[extractWet]].
+    */
+  def readWetFiles(spark: SparkSession, path: String): Dataset[WetRecord] =
+    extractWet(spark,
+      spark.read.format("binaryFile").load(path)
+        .select(col("length").as("file_id"), col("content")),
+      "file_id", "content")
+
   /** Containers → one row per contained WET record; malformed containers
     * dead-letter whole (every record in them is suspect). `doc_id` is
     * recovered from the deterministic record id tail, so the output is

@@ -55,6 +55,24 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     assert(Warc.parse(mixed).isEmpty)
   }
 
+  test("readWetFiles ingests a directory of .warc.wet(.gz) files per-file") {
+    withTempDir("warc") { dir =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/part-0.warc.wet"),
+        Warc.syntheticContainer(0L, docs.take(2)))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/part-1.warc.wet.gz"),
+        Warc.syntheticContainer(1L, docs.drop(2)))
+      // a malformed file dead-letters without sinking the others
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/part-2.warc.wet"),
+        Array[Byte](1, 2, 3))
+      val out = Warc.readWetFiles(spark, dir).collect().sortBy(_.doc_id)
+      assert(out.map(_.doc_id).toSeq == Seq(0L, 1L, 2L, 3L))
+      assert(out.forall(_.warc_type == "conversion"))
+    }
+  }
+
   test("extractWet explodes containers to per-record rows and recovers ids") {
     import spark.implicits._
     val containers = Seq(
