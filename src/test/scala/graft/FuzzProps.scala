@@ -168,6 +168,43 @@ object FuzzProps extends Properties("graft.kernels") {
         word + operators.Bpe.Eow
     }
 
+  property("WARC roundtrips arbitrary texts, embedded CRLF/CRLFCRLF included") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 1L << 40),
+      Gen.oneOf(textGen, textGen.map(t => t + "\r\n\r\n" + t),
+        textGen.map("\r\n" + _))))) { docs0 =>
+      // distinct ids, ≤6 per container to keep the property fast
+      val docs = docs0.distinctBy(_._1).take(6)
+      docs.isEmpty || Seq(0L, 1L).forall { cid => // plain and gzip-membered
+        val parsed = sources.Warc.parse(sources.Warc.syntheticContainer(cid, docs))
+        // Content-Length framing means CRLF runs INSIDE a body cannot be
+        // mistaken for the record separator
+        parsed.exists(recs => recs.map(r => new String(r._3, "UTF-8")).toSet ==
+          docs.map(_._2).toSet && recs.length == docs.length)
+      }
+    }
+
+  property("WARC parse never throws on arbitrary bytes") =
+    forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bytes =>
+      sources.Warc.parse(bytes.toArray) match {
+        case Some(recs) => recs != null
+        case None => true
+      }
+    }
+
+  property("WARC parse never throws on bit-flipped valid containers") =
+    forAll(Gen.chooseNum(0, 1), Gen.chooseNum(0, Int.MaxValue),
+      Gen.chooseNum(0, 7)) { (enc, pos, bit) =>
+      val good = sources.Warc.syntheticContainer(enc.toLong,
+        Seq((1L, "the quick brown fox"), (2L, "jumps over")))
+      val b = good.clone()
+      val i = pos % b.length
+      b(i) = (b(i) ^ (1 << bit)).toByte
+      sources.Warc.parse(b) match {
+        case Some(recs) => recs != null // flips in body bytes still frame
+        case None => true
+      }
+    }
+
   property("MinHash-union sketch: any split+merge equals one sequential pass") =
     forAll(Gen.listOf(Gen.long), Gen.chooseNum(0, 64)) { (hashes, splitAt) =>
       val agg = new operators.Overlap.MinhashUnion(64)
