@@ -2101,8 +2101,80 @@ object Queries {
 
   private val c03 = Q(
     "c03_simhash",
+    // rows-only (simhash64 is a codegen'd xxhash64-based expression DuckDB
+    // cannot replay); c13 hash-checks planted-pair detection, and c18
+    // (new r8) hash-checks the ENTIRE simhash pipeline shape — votes,
+    // signature, banding, hamming verify — under an md5 token hash both
+    // engines share.
     (s, dir) => Dedup.simhashPairs(corpus(s, dir), "doc_id", "text"),
     None)
+
+  private val c18 = Q(
+    "c18_simhash_md5_replay",
+    // Full-replay oracle twin of c03: the same SimHash near-dup shape —
+    // per-token hash → ±tf bit votes → 60-bit signature → 4×15-bit band
+    // equi-join → hamming ≤ 3 verify — but with the token hash taken from
+    // md5 (first 15 hex chars as a 60-bit int), which BOTH engines compute
+    // identically, so every stage is hash-checked end-to-end in DuckDB.
+    // c03 stays the production path (simhash64 is one codegen'd expression
+    // per doc; this twin's explicit 60-row bit explode is the SQL-mirrorable
+    // formulation, priced for the gate SF only).
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val tf = c.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("h",
+          expr("cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint)"))
+      val votes = tf.select(col("doc_id"), col("tf"), col("h"),
+          explode(expr("sequence(0, 59)")).as("i"))
+        .groupBy("doc_id", "i")
+        .agg(sum(when(expr("(shiftright(h, i) & 1)") === 1, col("tf"))
+          .otherwise(-col("tf"))).as("v"))
+      val sig = votes.groupBy("doc_id")
+        .agg(sum(when(col("v") > 0,
+          expr("shiftleft(cast(1 as bigint), i)")).otherwise(0L)).as("s"))
+      val bands = sig.select(col("doc_id"), col("s"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("bv", expr("shiftright(s, 15 * b) & 32767"))
+      bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          col("x.s").as("sa"), col("y.s").as("sb"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    },
+    Some(s"""WITH $corpusCte,
+      |toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      |  FROM corpus),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf,
+      |         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+      |  FROM toks WHERE length(term) > 0 GROUP BY doc_id, term),
+      |votes AS (
+      |  SELECT doc_id, i,
+      |         sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS v
+      |  FROM tf CROSS JOIN (SELECT unnest(range(60)) AS i) bitix
+      |  GROUP BY doc_id, i),
+      |sig AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END) AS s
+      |  FROM votes GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, s, b, (s >> (15 * b)) & 32767 AS bv
+      |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bx),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |         x.s AS sa, y.s AS sb
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin))
 
   private val c13 = Q(
     "c13_simhash_planted_pairs",
@@ -2772,6 +2844,95 @@ object Queries {
       |SELECT vec_id, cell,
       |       count(*) OVER (PARTITION BY cell) AS cell_size
       |FROM a2""".stripMargin))
+
+  private val d12 = Q(
+    "d12_ann_lsh_md5_replay",
+    // Full-replay oracle twin of d02 (the c18 technique, vector edition):
+    // the SAME hyperplane-LSH shape — random ±1 planes, per-table sketch
+    // keys, bucket equi-join candidates, exact-cosine re-rank — with two
+    // determinism substitutions that make every stage DuckDB-replayable:
+    // plane signs come from an md5 parity both engines share, and the
+    // hyperplane dot runs over integer-quantized components (round(x·1000))
+    // so sign(Σ ±q_j) is exact integer arithmetic — float summation ORDER
+    // can never flip a bucket. 16 planes = 2 tables × 8 bits, exact-bucket
+    // probe (no multi-probe), cosine re-rank per the d01 conventions.
+    // d02 stays the production path (codegen'd hyperplane_sketches, hot-
+    // bucket guard, multi-probe); this twin prices the 64-dim × 16-plane
+    // explode for the gate SF only.
+    (s, dir) => {
+      val aug = augEmbeddings(s, dir)
+      val iv = aug.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("iv"))
+      val dots = iv.select(col("vec_id"), posexplode(col("iv")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("j"), col("x"),
+          explode(expr("sequence(0, 15)")).as("p"))
+        .withColumn("sgn", when(
+          expr("cast(conv(substring(md5(concat(p, '_', j)), 32, 1), 16, 10) as int) % 2") === 1,
+          lit(1L)).otherwise(lit(-1L)))
+        .groupBy("vec_id", "p").agg(sum(col("x") * col("sgn")).as("dot"))
+      val keys = dots
+        .withColumn("tbl", expr("p div 8"))
+        .withColumn("bit", expr("p % 8"))
+        .groupBy("vec_id", "tbl")
+        .agg(sum(when(col("dot") > 0,
+          expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("key"))
+      val cand = keys.as("c").join(
+          keys.filter(col("vec_id") >= 100000).as("q"),
+          col("c.tbl") === col("q.tbl") && col("c.key") === col("q.key")
+            && col("c.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"))
+        .distinct()
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      cand
+        .join(aug, "vec_id")
+        .join(aug.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+        .withColumn("cos_sim",
+          graft.functions.vec_cosine(col("embedding"), col("qv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vec_id").as("neighbor"),
+          round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
+    },
+    // embeddings are 64-d in every testdata vintage (the bounded-series
+    // convention, as e20); cosine re-rank follows d01's DOUBLE[] casts
+    Some("""WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 25 = 0),
+      |iv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS iv
+      |  FROM aug),
+      |dots AS (
+      |  SELECT vec_id, p,
+      |         sum(iv[j + 1] * (CASE WHEN ('0x' || substr(md5(p || '_' || j), 32, 1))::BIGINT % 2 = 1
+      |                          THEN 1 ELSE -1 END)) AS dot
+      |  FROM iv
+      |  CROSS JOIN (SELECT unnest(range(64)) AS j) dj
+      |  CROSS JOIN (SELECT unnest(range(16)) AS p) pp
+      |  GROUP BY vec_id, p),
+      |keys AS (
+      |  SELECT vec_id, p // 8 AS tbl,
+      |         sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END) AS key
+      |  FROM dots GROUP BY vec_id, p // 8),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS qid, c.vec_id
+      |  FROM keys c JOIN keys q
+      |    ON c.tbl = q.tbl AND c.key = q.key AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id >= 100000),
+      |scored AS (
+      |  SELECT cand.qid, cand.vec_id AS neighbor,
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                           CAST(qa.embedding AS DOUBLE[])) AS cs,
+      |    row_number() OVER (PARTITION BY cand.qid
+      |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                 CAST(qa.embedding AS DOUBLE[])) DESC, cand.vec_id) AS rank
+      |  FROM cand
+      |  JOIN aug a ON a.vec_id = cand.vec_id
+      |  JOIN aug qa ON qa.vec_id = cand.qid)
+      |SELECT qid, neighbor, round(cs, 4) AS cos_sim, CAST(rank AS INT) AS rank
+      |FROM scored WHERE rank <= 5""".stripMargin))
 
   // ---------------------------------------------------------------- group E
 
@@ -4327,8 +4488,8 @@ object Queries {
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42,
-    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
+    c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17, c18,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
     f01, f02, f03, f04, f05, f06, f07, f08, f09,

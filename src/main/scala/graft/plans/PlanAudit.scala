@@ -60,7 +60,14 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   *    an inner join (per-key aggregates don't change under a by-key prune)
   *    and deletes a corpus-scale Exchange — the r7 BM25 lesson
   *    (`operators/Bm25.scala`: document frequency over the FULL vocabulary
-  *    joined to query-term postings).
+  *    joined to query-term postings). Spark's own runtime filtering
+  *    (`spark.sql.optimizer.runtime.bloomFilter.enabled`,
+  *    InjectRuntimeFilter) attacks the adjacent class — probe-side SCAN
+  *    reduction from the other side's join keys — but a filter injected
+  *    at the scan cannot delete the aggregate's Exchange that sits above
+  *    it, and the aggregate itself is the creation-side here; the
+  *    design-time rewrite (aggregate AFTER the broadcast semi-join) is
+  *    the fix this rule points at.
   *
   * The audit reads plan STRUCTURE only (no execution, no stats): it cannot
   * know a frame's cardinality, so bounded-by-construction patterns — the
