@@ -43,7 +43,11 @@ object Bench {
       if (run(q)) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val warmed = headline.filter(run)
-    val reps   = 3
+    // 5 passes (r8, was 3): the r7 driver session showed a single contended
+    // wall-clock window can poison 2 of 3 samples (sum-of-medians 43.5 s vs
+    // sum-of-mins 24.8 on identical code); two more rotated passes cost
+    // ~1 min and make the per-query min far more robust to box noise.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (rep <- 0 until reps) {
       val shift   = if (warmed.isEmpty) 0 else rep * warmed.length / reps

@@ -26,10 +26,14 @@ class DashboardLintSpec extends AnyFunSuite with SparkTestBase {
       .sortBy(_.getName)
       .map(f => f.getName -> mapper.readTree(f))
 
-  private def exprsOf(root: JsonNode): Seq[String] =
-    root.path("panels").elements().asScala.flatMap(p =>
-      p.path("targets").elements().asScala.map(_.path("expr").asText(""))
-    ).filter(_.nonEmpty).toSeq
+  private def exprsOf(root: JsonNode): Seq[String] = {
+    val panelExprs = root.path("panels").elements().asScala.flatMap(p =>
+      p.path("targets").elements().asScala.map(_.path("expr").asText(""))).toSeq
+    // templating variables (label_values(...) queries) reference metrics too
+    val templExprs = root.path("templating").path("list").elements().asScala
+      .map(_.path("query").asText("")).toSeq
+    (panelExprs ++ templExprs).filter(_.nonEmpty)
+  }
 
   test("dashboards parse, and every panel target carries a PromQL expr") {
     val ds = dashboards
