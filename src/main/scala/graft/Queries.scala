@@ -3999,8 +3999,9 @@ object Queries {
     "e28_warc_ingest",
     // WARC/WET ingestion (sources/Warc.scala) — the Common-Crawl wire
     // format: documents packed 4-per-container into synthetic WET
-    // containers (even container ids plain-concatenated, odd ids
-    // per-record gzip members — both parser paths live every run), one
+    // containers (container id mod 3 picks plain-concatenated /
+    // per-record gzip members / zstd frames — all three parser paths
+    // live every run; the encoding is invisible in the output), one
     // container in 7 truncated mid-record, then extracted back through the
     // mapPartitions parse seam. A container that is malformed ANYWHERE
     // dead-letters whole, so the oracle is exactly the docs outside the

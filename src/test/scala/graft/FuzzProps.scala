@@ -174,7 +174,7 @@ object FuzzProps extends Properties("graft.kernels") {
         textGen.map("\r\n" + _))))) { docs0 =>
       // distinct ids, ≤6 per container to keep the property fast
       val docs = docs0.distinctBy(_._1).take(6)
-      docs.isEmpty || Seq(0L, 1L).forall { cid => // plain and gzip-membered
+      docs.isEmpty || Seq(0L, 1L, 2L).forall { cid => // plain / gzip / zstd
         val parsed = sources.Warc.parse(sources.Warc.syntheticContainer(cid, docs))
         // Content-Length framing means CRLF runs INSIDE a body cannot be
         // mistaken for the record separator
@@ -192,7 +192,7 @@ object FuzzProps extends Properties("graft.kernels") {
     }
 
   property("WARC parse never throws on bit-flipped valid containers") =
-    forAll(Gen.chooseNum(0, 1), Gen.chooseNum(0, Int.MaxValue),
+    forAll(Gen.chooseNum(0, 2), Gen.chooseNum(0, Int.MaxValue),
       Gen.chooseNum(0, 7)) { (enc, pos, bit) =>
       val good = sources.Warc.syntheticContainer(enc.toLong,
         Seq((1L, "the quick brown fox"), (2L, "jumps over")))

@@ -19,8 +19,8 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     (2L, "multi\nline\nbody with trailing space "),
     (3L, "unicode: café ☃"))
 
-  test("plain and gzip containers roundtrip text and headers exactly") {
-    for (cid <- Seq(0L, 1L)) { // even = plain, odd = gzip members
+  test("plain, gzip and zstd containers roundtrip text and headers exactly") {
+    for (cid <- Seq(0L, 1L, 2L)) { // plain / gzip members / zstd frames
       val recs = Warc.parse(Warc.syntheticContainer(cid, docs))
         .getOrElse(fail(s"container $cid failed to parse"))
       assert(recs.length == docs.length)
@@ -48,6 +48,9 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     // truncated gzip member
     val gz = Warc.syntheticContainer(1L, docs)
     assert(Warc.parse(gz.dropRight(5)).isEmpty)
+    // truncated zstd frame
+    val zs = Warc.syntheticContainer(2L, docs)
+    assert(Warc.parse(zs.dropRight(5)).isEmpty)
     // a gzip container whose LAST member is corrupt must not yield the
     // earlier members either
     val mixed = Warc.gzipMember(Warc.writeRecord(7L, "ok")) ++
@@ -55,7 +58,7 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     assert(Warc.parse(mixed).isEmpty)
   }
 
-  test("readWetFiles ingests a directory of .warc.wet(.gz) files per-file") {
+  test("readWetFiles ingests a directory of .warc.wet(.gz|.zst) files per-file") {
     withTempDir("warc") { dir =>
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/part-0.warc.wet"),
@@ -65,10 +68,13 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
         Warc.syntheticContainer(1L, docs.drop(2)))
       // a malformed file dead-letters without sinking the others
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$dir/part-2.warc.wet"),
+        java.nio.file.Paths.get(s"$dir/part-2.warc.wet.zst"),
+        Warc.syntheticContainer(2L, Seq((9L, "zstd framed record"))))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/part-3.warc.wet"),
         Array[Byte](1, 2, 3))
       val out = Warc.readWetFiles(spark, dir).collect().sortBy(_.doc_id)
-      assert(out.map(_.doc_id).toSeq == Seq(0L, 1L, 2L, 3L))
+      assert(out.map(_.doc_id).toSeq == Seq(0L, 1L, 2L, 3L, 9L))
       assert(out.forall(_.warc_type == "conversion"))
     }
   }
