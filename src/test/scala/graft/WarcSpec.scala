@@ -79,6 +79,37 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("extractWet is streaming-compatible: MemoryStream containers equal batch") {
+    // the ingestion seam is a stateless mapPartitions, so the SAME function
+    // must run unchanged under Structured Streaming — a crawl feed is a
+    // stream of containers, not a directory snapshot
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val q = Warc.extractWet(spark, ms.toDF().toDF("container_id", "payload"),
+        "container_id", "payload")
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((0L, Warc.syntheticContainer(0L, docs.take(2))),
+        (2L, Array[Byte](9, 9, 9))) // dead-letter mid-stream
+      q.processAllAvailable()
+      ms.addData((1L, Warc.syntheticContainer(1L, docs.drop(2))))
+      q.processAllAvailable()
+      val streamed = spark.table("warc_stream")
+        .collect().map(r => (r.getLong(0), r.getString(4))).sortBy(_._1)
+      val batch = Warc.extractWet(spark,
+          Seq((0L, Warc.syntheticContainer(0L, docs.take(2))),
+            (1L, Warc.syntheticContainer(1L, docs.drop(2))),
+            (2L, Array[Byte](9, 9, 9))).toDF("container_id", "payload"),
+          "container_id", "payload")
+        .collect().map(r => (r.doc_id, r.text_md5)).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq, "stream must equal batch extraction")
+      assert(streamed.length == docs.length)
+    } finally q.stop()
+  }
+
   test("extractWet explodes containers to per-record rows and recovers ids") {
     import spark.implicits._
     val containers = Seq(
