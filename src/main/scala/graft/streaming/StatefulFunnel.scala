@@ -93,10 +93,20 @@ object StatefulFunnel {
 
   /** events(user_id, ts, event_type) → final per-user funnel levels,
     * emitted once per user when their window closes under the watermark.
+    *
+    * `cap` is the REAL per-user state bound, and its default matters: the
+    * r8 100× stream probe measured 437 MB of funnel state for 2,849 users
+    * under the old 1<<16 default — per-user bytes scaled linearly with
+    * traffic because a heavy user (1.7k step events at 100×) never touched
+    * a 65k cap. At 1024 the probe's peak state is bounded regardless of
+    * inflation while every user below ~1k step events per window — i.e.
+    * everyone but the bot traffic the cap exists to absorb — folds
+    * exactly; past it, earliest-arrived events win (the documented
+    * approximation edge).
     */
   def levels(spark: SparkSession, events: Dataset[Row], steps: Seq[String],
              windowMinutes: Int, watermark: String = "10 minutes",
-             cap: Int = 1 << 16): Dataset[Level] = {
+             cap: Int = 1024): Dataset[Level] = {
     import spark.implicits._
     require(steps.nonEmpty && steps.distinct.length == steps.length)
     val windowMs = windowMinutes * 60L * 1000

@@ -60,4 +60,16 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
       TextLm.bigramScore(docs, "doc_id", "text", col("doc_id") % 10 =!= 0)
     }
   }
+
+  test("Dedup.minhashPairs releases every internal cache") {
+    checkContract("minhashPairs") {
+      graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")
+    }
+  }
+
+  test("Dedup.weightedMinhashPairs releases every internal cache") {
+    checkContract("weightedMinhashPairs") {
+      graft.operators.Dedup.weightedMinhashPairs(docs, "doc_id", "text")
+    }
+  }
 }
