@@ -37,7 +37,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulFunnel {
 
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
-  case class FunnelBuf(evs: List[(Long, String)], lastMs: Long)
+
+  /** Per-user state: step events PACKED one per long — `(ts << 8) |
+    * (alphaRank << 4) | stepIdx` — instead of a `List[(Long, String)]`.
+    * The r8 100× stream probe measured ~70 B of java-serialized tuple/list
+    * overhead per buffered event; a primitive long array stores the same
+    * event in 8 B (UnsafeArrayData), a ~7× state shrink at identical
+    * semantics. `alphaRank` is the step's rank in ALPHABETICAL order, so
+    * ascending numeric order of the packed longs equals the `(ts, type)`
+    * lexicographic order the batch fold ([[foldLevel]]) sorts by — same-ts
+    * tie-breaks stay bit-identical to the string sort (parity asserted in
+    * StatefulFunnelSpec against batch windowFunnel). Fits: |steps| ≤ 16
+    * (funnels are short; `levels` requires it) and |ts| < 2⁵⁵ ms ≈ year
+    * 3100; shifting preserves order for any such ts, negative included.
+    */
+  case class FunnelBuf(evs: Array[Long], lastMs: Long)
   case class Level(user_id: Long, level: Int)
 
   /** The batch fold, verbatim semantics: earliest step-1 event anchors the
@@ -55,33 +69,58 @@ object StatefulFunnel {
     lv
   }
 
+  /** [[foldLevel]] over the packed representation — same result by
+    * construction (packed ascending == (ts, type) ascending; `stepIdx`
+    * replaces the `y == steps(lv)` string comparison).
+    */
+  def foldLevelPacked(packed: Array[Long], nSteps: Int, windowMs: Long): Int = {
+    val sorted = packed.clone(); java.util.Arrays.sort(sorted)
+    var lv = 0; var anchor = 0L; var last = 0L
+    sorted.foreach { p =>
+      val t = p >> 8
+      val idx = (p & 15L).toInt
+      if (lv == 0 && idx == 0) { lv = 1; anchor = t; last = t }
+      else if (lv > 0 && lv < nSteps && idx == lv &&
+        t > last && t <= anchor + windowMs) { lv += 1; last = t }
+    }
+    lv
+  }
+
   def funnelFn(steps: Seq[String], windowMs: Long, cap: Int)(
       user: Long, events: Iterator[Event], state: GroupState[FunnelBuf])
       : Iterator[Level] = {
+    // alphaRank: position of steps(i) in the alphabetical order of steps
+    val alphaRank = {
+      val sorted = steps.sorted
+      steps.map(sorted.indexOf).toArray
+    }
     if (state.hasTimedOut) {
       val out = state.getOption
-        .map(b => Level(user, foldLevel(b.evs, steps, windowMs))).iterator
+        .map(b => Level(user, foldLevelPacked(b.evs, steps.length, windowMs)))
+        .iterator
       state.remove()
       out
     } else {
-      val prev = state.getOption.getOrElse(FunnelBuf(Nil, 0L))
-      var evs = prev.evs
-      var n = evs.length // ≤ cap, so this O(n) is bounded
+      val prev = state.getOption.getOrElse(FunnelBuf(Array.emptyLongArray, 0L))
+      val evs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      evs ++= prev.evs
       var lastMs = prev.lastMs
       events.foreach { e =>
         val t = e.ts.getTime
         if (t > lastMs) lastMs = t
-        if (steps.contains(e.event_type) && n < cap) {
-          evs = (t, e.event_type) :: evs
-          n += 1
+        val idx = steps.indexOf(e.event_type)
+        if (idx >= 0 && evs.length < cap) {
+          evs += (t << 8) | (alphaRank(idx).toLong << 4) | idx.toLong
         }
       }
-      state.update(FunnelBuf(evs, lastMs))
+      val packed = evs.toArray
+      state.update(FunnelBuf(packed, lastMs))
       // evict once no event can change the level: the window is closed
       // relative to the user's earliest possible anchor (or, pre-entry,
       // relative to the newest thing we've seen from them)
-      val anchor = evs.filter(_._2 == steps.head)
-        .map(_._1).minOption.getOrElse(lastMs)
+      var anchor = Long.MaxValue
+      packed.foreach(p => if ((p & 15L) == 0L) anchor = math.min(anchor, p >> 8))
+      if (anchor == Long.MaxValue) anchor = lastMs
       // a very-late batch can put anchor+window at or behind the current
       // watermark, which setTimeoutTimestamp rejects — clamp forward; the
       // user then times out on the next watermark advance
@@ -109,6 +148,7 @@ object StatefulFunnel {
              cap: Int = 1024): Dataset[Level] = {
     import spark.implicits._
     require(steps.nonEmpty && steps.distinct.length == steps.length)
+    require(steps.length <= 16, "packed state carries the step index in 4 bits")
     val windowMs = windowMinutes * 60L * 1000
     events
       .select(col("user_id").cast("long").as("user_id"), col("ts"),

@@ -108,7 +108,7 @@ class StatefulFunnelSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("state is bounded: foreign types never buffer, step events cap") {
-    var st = StatefulFunnel.FunnelBuf(Nil, 0L)
+    val st = StatefulFunnel.FunnelBuf(Array.emptyLongArray, 0L)
     // drive the state-update fn directly with a 10k-event bot
     val bot = (0 until 10000).map(i =>
       StatefulFunnel.Event(9L, ts(i % 50), if (i % 2 == 0) "error" else "view"))
@@ -117,7 +117,27 @@ class StatefulFunnelSpec extends AnyFunSuite with SparkTestBase {
       9L, bot.iterator, state)
     val buf = state.value
     assert(buf.evs.length == 64, "step events must cap at `cap`")
-    assert(buf.evs.forall(_._2 == "view"), "foreign types must never buffer")
+    // packed low nibble is the step index; "view" is steps(0)
+    assert(buf.evs.forall(p => (p & 15L) == 0L), "foreign types must never buffer")
+  }
+
+  test("packed fold equals the string fold on adversarial same-ts ties") {
+    // two DIFFERENT steps sharing a timestamp exercise the alphabetical
+    // tie-break the packed ordering must reproduce bit-for-bit
+    val w = 30L * 60 * 1000
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val evs = Seq.fill(rnd.nextInt(8) + 1)(
+        (ts(rnd.nextInt(4)).getTime, steps(rnd.nextInt(3))))
+      val sortedSteps = steps.sorted
+      val packed = evs.map { case (t, y) =>
+        val idx = steps.indexOf(y)
+        (t << 8) | (sortedSteps.indexOf(y).toLong << 4) | idx.toLong
+      }.toArray
+      assert(StatefulFunnel.foldLevelPacked(packed, steps.length, w) ==
+        StatefulFunnel.foldLevel(evs, steps, w),
+        s"packed fold diverged on $evs")
+    }
   }
 
   /** Minimal GroupState driver for unit-testing the update function. */
