@@ -2176,6 +2176,85 @@ object Queries {
       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin))
 
+  private val c19 = Q(
+    "c19_paragraph_dedup",
+    // CCNet-style keep-first paragraph dedup over the planted corpus plus
+    // three synthetic paragraph plants: a banner every document shares
+    // (survives only in the globally first document), a per-document unique
+    // closer (always survives), and an even-docs-only footer. The +100000
+    // exact copies contribute nothing new — every paragraph of a copy first
+    // occurred in its source doc, so copies keep only their unique closer.
+    (s, dir) => Dedup.paragraphDedup(
+      corpus(s, dir).withColumn("text", concat(
+        col("text"),
+        lit("\n\nshared cookie banner paragraph common to every document"),
+        lit("\n\nunique closing paragraph "), col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          lit("\n\neven documents also share this footer paragraph"))
+          .otherwise(lit("")))),
+      "doc_id", "text"),
+    Some(s"""WITH $corpusCte,
+      |aug AS (
+      |  SELECT doc_id,
+      |         text || chr(10) || chr(10) ||
+      |         'shared cookie banner paragraph common to every document' ||
+      |         chr(10) || chr(10) || 'unique closing paragraph ' || doc_id ||
+      |         CASE WHEN doc_id % 2 = 0
+      |              THEN chr(10) || chr(10) ||
+      |                   'even documents also share this footer paragraph'
+      |              ELSE '' END AS text
+      |  FROM corpus),
+      |p AS (
+      |  SELECT doc_id, pos - 1 AS pos, ps[pos] AS para
+      |  FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS pos
+      |        FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+      |              FROM aug))),
+      |fst AS (SELECT para, min(doc_id * 16777216 + pos) AS fk FROM p GROUP BY para)
+      |SELECT p.doc_id,
+      |       string_agg(p.para, chr(10) || chr(10) ORDER BY p.pos) AS clean_text,
+      |       count(*) AS n_paras_kept
+      |FROM p JOIN fst ON fst.para = p.para
+      |  AND p.doc_id * 16777216 + p.pos = fst.fk
+      |GROUP BY p.doc_id""".stripMargin))
+
+  private val c20 = Q(
+    "c20_substring_dedup",
+    // Exact substring dedup (Lee et al. 2022): the +100000 planted copies
+    // are full duplicates, so every 8-token window in a copy repeats its
+    // source → copies collapse to empty (near-copies to their 3 marker
+    // tokens' neighborhood); the appended 12-token run repeats corpus-wide
+    // and survives only in the globally first document. The oracle replays
+    // the whole rule relationally — window grams, keep-first, position
+    // cover, ordered reassembly — grouped on the gram STRING where the
+    // engine groups on its xxhash64 (a collision would redden the hash).
+    (s, dir) => Dedup.substringDedup(
+      corpus(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" the quick brown fox jumps over the lazy dog ends shared run"))),
+      "doc_id", "text"),
+    Some(s"""WITH $corpusCte,
+      |aug AS (SELECT doc_id,
+      |  text || ' the quick brown fox jumps over the lazy dog ends shared run' AS text
+      |  FROM corpus),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
+      |g AS (SELECT doc_id, i AS pos, array_to_string(ts[i + 1 : i + 8], ' ') AS gram
+      |      FROM (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 7, 0))) AS i
+      |            FROM toks)),
+      |fst AS (SELECT gram, min(doc_id * 16777216 + pos) AS fk FROM g GROUP BY gram),
+      |dup AS (SELECT doc_id, pos FROM g JOIN fst USING (gram)
+      |        WHERE doc_id * 16777216 + pos <> fk),
+      |rm AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS rp FROM dup),
+      |tk AS (SELECT doc_id, i AS pos, ts[i + 1] AS tok
+      |       FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks)),
+      |kept AS (SELECT t.doc_id, t.pos, t.tok
+      |         FROM tk t LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.rp = t.pos
+      |         WHERE rm.doc_id IS NULL)
+      |SELECT t0.doc_id,
+      |       coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+      |       CAST(any_value(len(t0.ts)) - count(k.tok) AS INT) AS n_removed_tokens
+      |FROM toks t0 LEFT JOIN kept k ON k.doc_id = t0.doc_id
+      |GROUP BY t0.doc_id""".stripMargin))
+
   private val c13 = Q(
     "c13_simhash_planted_pairs",
     // The known-answer core of c03 (the d05 twin-rank pattern): identical
@@ -4490,6 +4569,7 @@ object Queries {
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17, c18,
+    c19, c20,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,

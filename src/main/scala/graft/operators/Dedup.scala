@@ -513,6 +513,101 @@ object Dedup {
     materializedPairs(out, lines)
   }
 
+  /** CCNet-style paragraph dedup: every distinct paragraph survives exactly
+    * ONCE corpus-wide — at its first occurrence in (document, position)
+    * order — and every later occurrence is dropped. This is the CCNet
+    * pre-processing step (split into paragraphs, hash, keep first), and it
+    * is deliberately different from [[lineDedup]]: a document-frequency
+    * threshold removes boilerplate EVERYWHERE including its first copy,
+    * while keep-first preserves one canonical copy of repeated content.
+    *
+    * Scale shape: paragraphs are keyed by xxhash64 (8-byte shuffle keys —
+    * the e22/c11 lesson; the paragraph text rides only where reassembly
+    * needs it) and the global keep decision is `min(packed (doc, pos))` —
+    * a plain long `min`, which stays in HashAggregate with map-side combine
+    * (a `min(struct(...))` would demote to SortAggregate, the a03
+    * pathology). Packing contract: pos < 2^24 paragraphs per document,
+    * doc ids < 2^39. The first-key table is |distinct paragraphs| rows of
+    * 16 bytes, never corpus-sized; its partitioning (by hash) is reused by
+    * the decision join, so the full text crosses exactly one exchange.
+    * Documents whose every paragraph first appeared elsewhere drop out.
+    *
+    * 64-bit collisions (~n²/2⁶⁵) can only merge two distinct paragraphs
+    * (dropping a kept one); the string-keyed DuckDB oracle hash-passing
+    * certifies none at test SFs.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+      .withColumn("ph", xxhash64(col("para")))
+      .withColumn("okey", shiftleft(col("doc_id"), 24) + col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = paras.groupBy("ph").agg(min(col("okey")).as("first_key"))
+    val out = paras.join(first, Seq("ph"))
+      .filter(col("okey") === col("first_key"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")), sep).as("clean_text"),
+        count(lit(1)).as("n_paras_kept"))
+    materializedPairs(out, paras)
+  }
+
+  /** Exact substring dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data" operator, re-expressed as joins): any word sequence of at least
+    * `l` tokens that occurs more than once corpus-wide is kept at its FIRST
+    * occurrence in (document, position) order and excised everywhere else.
+    * Implemented by fingerprinting every l-token window (the rolling-gram
+    * equivalent of the paper's suffix-array scan): a window whose gram was
+    * seen earlier marks its l token positions for removal; overlapping
+    * marked windows merge naturally at the position level, so a shared run
+    * of M ≥ l tokens is removed in full. Runs shorter than l never match —
+    * exactly the paper's length threshold.
+    *
+    * Scale shape: grams are built INSIDE each row (higher-order functions
+    * over the token array — no explode, no per-document window/sort) and
+    * only the 8-byte xxhash64 gram keys are exploded into the global
+    * aggregate, which is a plain long `min` per gram (HashAggregate,
+    * map-side combine). Duplicate window STARTS — typically a tiny fraction
+    * of the corpus — come back as one `collect_set` per affected document,
+    * and the final join is corpus ⋈ affected-docs (AQE broadcasts the small
+    * side); the token-level excision then happens row-locally with an
+    * indexed `filter` lambda. Nothing token-level ever shuffles.
+    * Per-document cost of the excision is O(tokens × marked-windows); a
+    * document that is ENTIRELY duplicated text has marked-windows ≈ tokens,
+    * so the worst case is quadratic in one pathological document's length —
+    * bounded by the 2^24 position contract, and such documents are exactly
+    * what c01 exact dedup removes upstream.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     l: Int = 8): DataFrame = {
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val grams = docs.select(col("doc_id"),
+      posexplode(when(size(col("toks")) >= l,
+        expr(s"transform(sequence(0, size(toks) - $l), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $l))))"))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as(Seq("pos", "gh")))
+      .withColumn("okey", shiftleft(col("doc_id"), 24) + col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = grams.groupBy("gh").agg(min(col("okey")).as("first_key"))
+    val dupStarts = grams.join(first, Seq("gh"))
+      .filter(col("okey") =!= col("first_key"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("dup_starts"))
+    val out = docs.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("dup_starts").isNull, col("toks"))
+          .otherwise(expr(
+            s"filter(toks, (t, i) -> NOT exists(dup_starts, p -> i >= p AND i < p + $l))")))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("int").as("n_removed_tokens"))
+    materializedPairs(out, grams)
+  }
+
   /** Embedding cosine near-dup pairs above a threshold. Nested-loop join —
     * intended for small or pre-blocked inputs; use LSH buckets at scale.
     */

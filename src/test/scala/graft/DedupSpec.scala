@@ -248,6 +248,77 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       2L -> "beta body\nclosing two"))
   }
 
+  test("paragraph dedup keeps only the globally first occurrence of a paragraph") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha\n\nshared one\n\nbeta"),
+      (2L, "shared one\n\ngamma\n\nshared two"),
+      (3L, "shared two\n\nshared one\n\ndelta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("alpha\n\nshared one\n\nbeta", 3L)),
+      "doc 1 holds the first occurrence of everything it contains")
+    assert(out(2L) == (("gamma\n\nshared two", 2L)),
+      "'shared one' first occurred in doc 1 → dropped here, order preserved")
+    assert(out(3L) == (("delta", 1L)),
+      "both shared paragraphs first occurred earlier → only the unique one left")
+  }
+
+  test("paragraph dedup: within-doc repeat keeps first; all-repeated doc drops out") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x\n\nx\n\ny"),
+      (2L, "x\n\ny") // every paragraph first seen in doc 1 → no survivors
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "x\n\ny"))
+  }
+
+  test("substring dedup excises repeated runs >= l at non-first occurrences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d e z") // shares the 5-token run 'a b c d e'
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", l = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("a b c d e f", 0)), "first occurrence untouched")
+    assert(out(2L) == (("x y z", 5)),
+      "overlapping dup windows at pos 2,3,4 cover exactly tokens 2..6")
+  }
+
+  test("substring dedup: runs shorter than l and docs shorter than l survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r s"),
+      (2L, "p q z w"), // shared run 'p q' has length 2 < l=3 → no window matches
+      (3L, "k m")      // fewer than l tokens → no windows at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", l = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(2L) == (("p q z w", 0)))
+    assert(out(3L) == (("k m", 0)))
+  }
+
+  test("substring dedup: exact copy collapses to empty but stays in the output") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", l = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("a b c d", 0)))
+    assert(out(2L) == (("", 4)), "full duplicate → every token excised, row kept")
+  }
+
+  test("substring dedup: a within-doc repeated run is excised at its second occurrence") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c z a b c")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", l = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("a b c z", 3)))
+  }
+
   test("exact dedup counts planted exact copies") {
     val byCopies = Dedup.exact(corpus, "doc_id", "text")
       .groupBy("n_copies").count().collect()
