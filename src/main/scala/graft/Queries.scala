@@ -4319,6 +4319,55 @@ object Queries {
       |  CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
       |FROM px GROUP BY doc_id""".stripMargin))
 
+  private val f10 = Q(
+    "f10_gif_decode",
+    // REAL GIF decode (operators/Gif.scala) — palette-indexed LZW, the
+    // classic animated-image wire: little-endian descriptors, global color
+    // table, extension sub-block walks, 4-pass interlace (alternating per
+    // frame so both row orders are live), and GIF's LZW with LSB-first
+    // codes, width growth across two bumps, clear/EOI. No CRC in the
+    // format ⇒ all gates structural. Per-FRAME rows (the multi-frame
+    // analogue of f08): every palette index and palette entry is
+    // closed-form in (doc_id, frame, pixel), and the checksum sums every
+    // resolved channel byte — a mis-grown dictionary or swapped interlace
+    // pass cannot hash-match. ImageIO differentials both directions in
+    // GifSpec pin the LZW width-lag convention against the JDK's codec.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      import s.implicits._
+      val withPayload = docs.select(col("doc_id")).as[Long]
+        .map(id => (id, operators.Gif.syntheticGif(id)))
+        .toDF("doc_id", "payload")
+      operators.Gif.extractGif(s, withPayload, "doc_id", "payload")
+        .toDF()
+        .withColumn("mean_r", round(col("mean_r"), 4))
+        .withColumn("mean_g", round(col("mean_g"), 4))
+        .withColumn("mean_b", round(col("mean_b"), 4))
+    },
+    // frames ≤ 3, pixels/frame ≤ 24·18 = 432 → bounded series + filters
+    Some("""WITH px AS (
+      |  SELECT d.doc_id, f.f, p.i,
+      |         (d.doc_id * 13 + f.f * 7 + p.i * 5) % 64 AS idx
+      |  FROM documents d, generate_series(0, 2) f(f), generate_series(0, 431) p(i)
+      |  WHERE f.f < 1 + d.doc_id % 3
+      |    AND p.i < (16 + (d.doc_id + f.f) % 9) * (12 + (d.doc_id + f.f) % 7)),
+      |ch AS (
+      |  SELECT doc_id, f,
+      |         CAST((doc_id * 3 + idx * 17) % 256 AS DOUBLE) AS r,
+      |         CAST((doc_id * 5 + idx * 23) % 256 AS DOUBLE) AS g,
+      |         CAST((doc_id * 7 + idx * 29) % 256 AS DOUBLE) AS b
+      |  FROM px)
+      |SELECT doc_id,
+      |  CAST(f AS INT) AS frame_idx,
+      |  CAST(16 + (doc_id + f) % 9 AS INT) AS width,
+      |  CAST(12 + (doc_id + f) % 7 AS INT) AS height,
+      |  CAST((16 + (doc_id + f) % 9) * (12 + (doc_id + f) % 7) AS INT) AS n_pixels,
+      |  round(avg(r), 4) AS mean_r,
+      |  round(avg(g), 4) AS mean_g,
+      |  round(avg(b), 4) AS mean_b,
+      |  CAST(sum(r + g + b) AS BIGINT) AS checksum
+      |FROM ch GROUP BY doc_id, f""".stripMargin))
+
   // ---------------------------------------------------------------- group G
 
   private val g01 = Q(
@@ -4573,6 +4622,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-    f01, f02, f03, f04, f05, f06, f07, f08, f09,
+    f01, f02, f03, f04, f05, f06, f07, f08, f09, f10,
     g01, g02, g03, g04, g05, g06, g07)
 }
