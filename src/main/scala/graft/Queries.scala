@@ -1981,6 +1981,79 @@ object Queries {
       |       round(CAST(active_users AS DOUBLE) / cohort_size, 4) AS retention
       |FROM cells JOIN sizes USING (cohort)""".stripMargin))
 
+  private val b43 = Q(
+    "b43_pagerank",
+    // Integer-exact PageRank (damping 0.85, 3 iterations) over the
+    // customer↔supplier order graph — the iterative-join shape GraphX/Pregel
+    // users run, expressed as plain relational ops so Catalyst handles it:
+    // each iteration is one shuffle of the edge list keyed by src joined to
+    // the current rank vector, contributions aggregated on dst. Ranks live
+    // in integer 1e-12 units with floor division everywhere, so every
+    // iteration is exact BIGINT arithmetic — aggregation order cannot
+    // perturb a single bit, which is what lets an ITERATED fixpoint be
+    // hash-checked against a SQL unroll (the d11 k-means technique). At
+    // scale: edges are the only large relation; partition them by src once
+    // and every iteration's join co-locates (the rank vector is |nodes|,
+    // re-shuffled per iteration — the unavoidable PageRank exchange); the
+    // symmetric construction means no dangling-mass correction is needed.
+    (s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      val edges = base.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionByName(base.select(col("sn").as("src"), col("cn").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val n = nodes.count() // one tiny job for the teleport constant
+      val scale = 1000000000000L
+      val teleport = (15L * scale / 100) / n
+      var ranks = nodes.withColumn("r", lit(scale / n))
+      for (_ <- 1 to 3) {
+        ranks = edges.join(ranks, col("src") === col("node"))
+          .join(deg, "src")
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum("c").as("csum"))
+          .select(col("node"), (lit(teleport) + expr("(85 * csum) div 100")).as("r"))
+      }
+      ranks.select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+        expr("node div 2").as("key"), col("r").as("rank_e12"))
+    },
+    Some("""WITH base AS (
+      |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT cn AS src, sn AS dst FROM base
+      |  UNION ALL
+      |  SELECT sn AS src, cn AS dst FROM base),
+      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+      |i1 AS (
+      |  SELECT e.dst AS node,
+      |         CAST(150000000000 // (SELECT n FROM nn)
+      |              + (85 * sum(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |  GROUP BY e.dst),
+      |i2 AS (
+      |  SELECT e.dst AS node,
+      |         CAST(150000000000 // (SELECT n FROM nn)
+      |              + (85 * sum(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |  GROUP BY e.dst),
+      |i3 AS (
+      |  SELECT e.dst AS node,
+      |         CAST(150000000000 // (SELECT n FROM nn)
+      |              + (85 * sum(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+      |  FROM edges e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |  GROUP BY e.dst)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      |       node // 2 AS key, r AS rank_e12
+      |FROM i3""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -3012,6 +3085,100 @@ object Queries {
       |  JOIN aug qa ON qa.vec_id = cand.qid)
       |SELECT qid, neighbor, round(cs, 4) AS cos_sim, CAST(rank AS INT) AS rank
       |FROM scored WHERE rank <= 5""".stripMargin))
+
+  private val d13 = Q(
+    "d13_sparse_cosine",
+    // Sparse cosine top-k over word-3-gram TF-IDF — the inverted-index dual
+    // of d01's dense path: candidate pairs come from a postings self-join on
+    // the gram (never all-pairs), with a document-frequency cap as the
+    // ubiquitous-term guard (a gram in >max(10, N/10) docs carries no signal
+    // and is what makes term joins quadratic at scale). Weights are INTEGER
+    // (tf × bit-width-of(N div df) — a power-of-two-quantized idf), so dot
+    // products and norms are exact BIGINT sums whose value is independent of
+    // aggregation order; the only float ops are one sqrt and one division
+    // over identical integers, bit-deterministic in both engines. At 100 TB:
+    // postings shuffle-partitioned by gram (pair fanout ≤ df_cap² per gram),
+    // pair aggregation and the top-k window both partitioned by doc_id.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= 3)
+      val grams = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("gram"))
+      val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+      val maxDf = math.max(10L, n / 10)
+      val dfq = tf.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+      val posting = tf.join(dfq, "gram")
+        .withColumn("wq",
+          col("tf") * length(bin(floor(lit(n.toDouble) / col("df")).cast("long"))))
+        .select("doc_id", "gram", "wq")
+      val norms = posting.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
+      val pairs = posting.as("a")
+        .join(posting.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+      val sym = pairs.select(col("ida").as("doc_id"), col("idb").as("neighbor_id"), col("dot"))
+        .unionByName(pairs.select(col("idb").as("doc_id"), col("ida").as("neighbor_id"), col("dot")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      sym
+        .join(norms.withColumnRenamed("doc_id", "na_id").withColumnRenamed("n2", "na2"),
+          col("doc_id") === col("na_id"))
+        .join(norms.withColumnRenamed("doc_id", "nb_id").withColumnRenamed("n2", "nb2"),
+          col("neighbor_id") === col("nb_id"))
+        .withColumn("score",
+          col("dot").cast("double") / sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("cosine"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                 for i in range(1, len(t) - 1)]) AS gram
+      |  FROM toks),
+      |tf AS (SELECT doc_id, gram, count(*) AS tf FROM grams GROUP BY 1, 2),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |dfq AS (
+      |  SELECT gram, count(*) AS df FROM tf GROUP BY 1
+      |  HAVING count(*) <= greatest(10, (SELECT n FROM nn) // 10)),
+      |posting AS (
+      |  SELECT t.doc_id, t.gram,
+      |         t.tf * length(bin(CAST(floor(CAST((SELECT n FROM nn) AS DOUBLE) / d.df)
+      |                                AS BIGINT))) AS wq
+      |  FROM tf t JOIN dfq d USING (gram)),
+      |norms AS (SELECT doc_id, sum(wq * wq) AS n2 FROM posting GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, sum(a.wq * b.wq) AS dot
+      |  FROM posting a JOIN posting b
+      |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT ida AS doc_id, idb AS neighbor_id, dot FROM pairs
+      |  UNION ALL
+      |  SELECT idb AS doc_id, ida AS neighbor_id, dot FROM pairs),
+      |scored AS (
+      |  SELECT s.doc_id, s.neighbor_id,
+      |         CAST(s.dot AS DOUBLE)
+      |           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS score
+      |  FROM sym s JOIN norms na ON s.doc_id = na.doc_id
+      |             JOIN norms nb ON s.neighbor_id = nb.doc_id),
+      |ranked AS (
+      |  SELECT doc_id, neighbor_id, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |       round(score, 6) AS cosine
+      |FROM ranked WHERE rank <= 3""".stripMargin))
 
   // ---------------------------------------------------------------- group E
 
@@ -4108,6 +4275,47 @@ object Queries {
       |FROM documents
       |WHERE (doc_id // 4) % 7 <> 3""".stripMargin))
 
+  private val e29 = Q(
+    "e29_hash_split",
+    // Deterministic train/val/test assignment — the split step every
+    // training-data pipeline runs before materializing shards. Membership is
+    // a pure function of the stable doc id (first hex nibble of
+    // md5(doc_id): 12/16 train, 2/16 val, 2/16 test), so re-running over a
+    // grown corpus never moves an old document between splits (the property
+    // random() splits lack), and the manifest is embarrassingly parallel —
+    // one map + one partial-aggregated groupBy, no row ever leaves its scan
+    // partition before the combine. Shares are exact integer ratios per
+    // source, divided once as doubles.
+    (s, dir) => {
+      val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val w = Window.partitionBy("source")
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(nib.isin("c", "d"), "val")
+            .when(nib.isin("e", "f"), "test")
+            .otherwise("train"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .withColumn("doc_share",
+          round(col("n_docs").cast("double") / sum("n_docs").over(w), 4))
+    },
+    Some("""WITH tagged AS (
+      |  SELECT source, n_chars,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+      |                THEN 'val'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f')
+      |                THEN 'test'
+      |              ELSE 'train' END AS split
+      |  FROM documents),
+      |cells AS (
+      |  SELECT source, split, count(*) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |  FROM tagged GROUP BY 1, 2)
+      |SELECT source, split, n_docs, total_chars,
+      |       round(CAST(n_docs AS DOUBLE)
+      |             / sum(n_docs) OVER (PARTITION BY source), 4) AS doc_share
+      |FROM cells""".stripMargin))
+
   private val f04 = Q(
     "f04_wav_decode",
     // REAL audio decode through the same seam as f03's image decode: RIFF/
@@ -4529,6 +4737,45 @@ object Queries {
       |       round(CAST(active_users AS DOUBLE) / cohort_size, 4) AS retention
       |FROM cells JOIN sizes USING (cohort)""".stripMargin))
 
+  private val g08 = Q(
+    "g08_stream_sessionize",
+    // the streaming sessionizer's EXACT fold (StatefulSessionize.sessionizeFn,
+    // driven per-user through TestGroupState, trailing session closed via the
+    // same hasTimedOut branch the event-time timeout takes), oracle-gated on
+    // batch data against the gap-session SQL a09 also certifies. StreamingSpec
+    // proves stream==batch through MemoryStream incl. watermark-timeout
+    // closure and late-event backward extension; this query pins the fold
+    // itself. Production path is the bounded-state stream (state O(users)).
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("user_id").cast("long").as("u"), unix_millis(col("ts")).as("ms"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (u, it) =>
+          streaming.StatefulSessionize.sessionsOfBatch(
+            u, it.map(_._2).toSeq, 30L * 60 * 1000).iterator
+        }
+        .toDF("user_id", "start_ms", "end_ms", "n_events", "dur_sec")
+        .withColumn("n_events", col("n_events").cast("long"))
+    },
+    Some("""WITH marked AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+      |              WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
+      |              ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))),
+      |sess AS (
+      |  SELECT user_id, ms,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+      |       count(*) AS n_events,
+      |       CAST((max(ms) - min(ms)) // 1000 AS BIGINT) AS dur_sec
+      |FROM sess GROUP BY user_id, sid""".stripMargin))
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -4616,12 +4863,12 @@ object Queries {
     a16, a17, a18, a19, a20,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
-    b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42,
+    b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42, b43,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17, c18,
     c19, c20,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
-    e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
+    e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10,
-    g01, g02, g03, g04, g05, g06, g07)
+    g01, g02, g03, g04, g05, g06, g07, g08)
 }

@@ -58,6 +58,33 @@ object StatefulSessionize {
     }
   }
 
+  /** Batch twin of the stream for the correctness gate (Queries g08): drives
+    * [[sessionizeFn]] ITSELF — not a re-implementation — over all of one
+    * user's events in a single invocation via `TestGroupState`, then closes
+    * the trailing open session through the same `hasTimedOut` branch the
+    * event-time timeout takes in production. Whatever the stream would emit
+    * once the watermark passes every event, this returns; StreamingSpec
+    * additionally proves the MemoryStream path (incremental batches,
+    * watermark timeouts) agrees.
+    */
+  def sessionsOfBatch(user: Long, tsMs: Seq[Long], gapMs: Long): Seq[Session] = {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[SessionState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(0L), hasTimedOut = false)
+    val closed = sessionizeFn(gapMs)(
+      user, tsMs.iterator.map(t => Event(user, new Timestamp(t))), st).toSeq
+    val residual =
+      if (st.exists) {
+        val timedOut = TestGroupState.create[SessionState](
+          Optional.of(st.get), GroupStateTimeout.EventTimeTimeout,
+          0L, Optional.of(Long.MaxValue), hasTimedOut = true)
+        sessionizeFn(gapMs)(user, Iterator.empty, timedOut).toSeq
+      } else Seq.empty
+    closed ++ residual
+  }
+
   /** events(user_id, ts) → closed sessions (append-mode stream). */
   def sessions(spark: SparkSession, events: Dataset[Row],
                gapMinutes: Int = 30, watermark: String = "10 minutes"): Dataset[Session] = {

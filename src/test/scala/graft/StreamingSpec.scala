@@ -548,6 +548,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionsOfBatch: gap split, boundary, trailing close, stream parity") {
+    import graft.streaming.StatefulSessionize._
+    val gapMs = 30L * 60 * 1000
+    // empty input → no sessions
+    assert(sessionsOfBatch(1L, Seq.empty, gapMs).isEmpty)
+    // single event → one 0-duration session via the timeout-close branch
+    assert(sessionsOfBatch(1L, Seq(1000L), gapMs) ==
+      Seq(Session(1L, 1000L, 1000L, 1, 0)))
+    // exactly-at-gap does NOT split (strict > in the fold and in the oracle)
+    assert(sessionsOfBatch(1L, Seq(0L, gapMs), gapMs).map(_.n_events) == Seq(2))
+    // one past the gap splits
+    assert(sessionsOfBatch(1L, Seq(0L, gapMs + 1), gapMs).map(_.n_events) == Seq(1, 1))
+    // unsorted input is sorted by the fold itself
+    val s3 = sessionsOfBatch(1L, Seq(5000L, 0L, gapMs * 3), gapMs)
+    assert(s3 == Seq(Session(1L, 0L, 5000L, 2, 5), Session(1L, gapMs * 3, gapMs * 3, 1, 0)))
+    // parity with the MemoryStream path on the same events: feed everything,
+    // then advance the watermark far past last+gap so timeouts flush
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.StatefulSessionize.sessions(
+      spark, ms.toDF().toDF("user_id", "ts"), gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sob_parity").outputMode("append").start()
+    try {
+      // offset everything above the initial watermark (0): an event AT the
+      // watermark is dropped as late by the stateful operator's late filter
+      val base = 3600L * 1000
+      val evs = Seq(7L -> base, 7L -> (base + 5000L), 7L -> (base + gapMs * 3), 8L -> (base + 1000L))
+      ms.addData(evs.map { case (u, t) => (u, new Timestamp(t)) })
+      q.processAllAvailable()
+      ms.addData(Seq((99L, new Timestamp(gapMs * 100)))) // watermark push
+      q.processAllAvailable()
+      ms.addData(Seq((99L, new Timestamp(gapMs * 100 + 1)))) // timeout fires
+      q.processAllAvailable()
+      val streamed = spark.table("sob_parity").as[Session].collect()
+        .filter(_.user_id < 99).toSet
+      val batch = evs.groupBy(_._1).flatMap { case (u, es) =>
+        sessionsOfBatch(u, es.map(_._2), gapMs)
+      }.toSet
+      assert(streamed == batch, s"stream/batch divergence\n$streamed\n$batch")
+    } finally q.stop()
+  }
+
   test("rate limiter enforces the proxy interval without real sleeping") {
     var clock = 0L
     var slept = 0L
