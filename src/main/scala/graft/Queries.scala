@@ -1992,35 +1992,11 @@ object Queries {
     // iteration is exact BIGINT arithmetic — aggregation order cannot
     // perturb a single bit, which is what lets an ITERATED fixpoint be
     // hash-checked against a SQL unroll (the d11 k-means technique). At
-    // scale: edges are the only large relation; partition them by src once
-    // and every iteration's join co-locates (the rank vector is |nodes|,
-    // re-shuffled per iteration — the unavoidable PageRank exchange); the
-    // symmetric construction means no dangling-mass correction is needed.
-    (s, dir) => {
-      val base = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
-        .distinct()
-      val edges = base.select(col("cn").as("src"), col("sn").as("dst"))
-        .unionByName(base.select(col("sn").as("src"), col("cn").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      val n = nodes.count() // one tiny job for the teleport constant
-      val scale = 1000000000000L
-      val teleport = (15L * scale / 100) / n
-      var ranks = nodes.withColumn("r", lit(scale / n))
-      for (_ <- 1 to 3) {
-        ranks = edges.join(ranks, col("src") === col("node"))
-          .join(deg, "src")
-          .select(col("dst"), expr("r div outdeg").as("c"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum("c").as("csum"))
-          .select(col("node"), (lit(teleport) + expr("(85 * csum) div 100")).as("r"))
-      }
-      ranks.select(
-        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
-        expr("node div 2").as("key"), col("r").as("rank_e12"))
-    },
+    // scale: edges are the only large relation — persisted ONCE, with each
+    // round's rank vector persist-materialize-truncated (operators/Graph
+    // .scala documents the iteration discipline and the hand-back contract).
+    (s, dir) => operators.Graph.pageRank(
+      s, Tables.lineitem(s, dir), Tables.orders(s, dir)),
     Some("""WITH base AS (
       |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -3099,44 +3075,13 @@ object Queries {
     // over identical integers, bit-deterministic in both engines. At 100 TB:
     // postings shuffle-partitioned by gram (pair fanout ≤ df_cap² per gram),
     // pair aggregation and the top-k window both partitioned by doc_id.
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val n = docs.count()
-      val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-        .filter(size(col("t")) >= 3)
-      val grams = toks.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("gram"))
-      val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
-      val maxDf = math.max(10L, n / 10)
-      val dfq = tf.groupBy("gram").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf)
-      val posting = tf.join(dfq, "gram")
-        .withColumn("wq",
-          col("tf") * length(bin(floor(lit(n.toDouble) / col("df")).cast("long"))))
-        .select("doc_id", "gram", "wq")
-      val norms = posting.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
-      val pairs = posting.as("a")
-        .join(posting.as("b"),
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-        .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
-      val sym = pairs.select(col("ida").as("doc_id"), col("idb").as("neighbor_id"), col("dot"))
-        .unionByName(pairs.select(col("idb").as("doc_id"), col("ida").as("neighbor_id"), col("dot")))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("neighbor_id"))
-      sym
-        .join(norms.withColumnRenamed("doc_id", "na_id").withColumnRenamed("n2", "na2"),
-          col("doc_id") === col("na_id"))
-        .join(norms.withColumnRenamed("doc_id", "nb_id").withColumnRenamed("n2", "nb2"),
-          col("neighbor_id") === col("nb_id"))
-        .withColumn("score",
-          col("dot").cast("double") / sqrt(col("na2").cast("double") * col("nb2").cast("double")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank"), col("neighbor_id"),
-          round(col("score"), 6).as("cosine"))
-    },
+    // Grams are keyed by xxhash64 at the explode (the c11/e22 8-byte
+    // shuffle-key discipline); the oracle groups on the RAW gram strings,
+    // so a key collision would redden the hash-compare instead of passing
+    // silently. Similarity.sparseCosineTopK documents the tf/posting cache
+    // discipline and the hand-back contract.
+    (s, dir) => Similarity.sparseCosineTopK(
+      s, Tables.documents(s, dir), "doc_id", "text"),
     Some("""WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),

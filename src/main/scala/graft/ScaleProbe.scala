@@ -40,6 +40,10 @@ import graft.operators.{Dedup, Similarity}
   *    g06/g07 stateful streaming operators (flatMapGroupsWithState) and
   *    record rows/sec plus peak state-store rows/bytes — evidence that
   *    state tracks ACTIVE USERS (≤10× under inflation), not history (mult×).
+  *  - `graph` + query names: inflate lineitem AND orders with disjoint key
+  *    offsets per replica (structurally identical components — nodes and
+  *    edges both ×mult), time those registered queries (b43's iteration
+  *    shuffle).
   *  - any query names: inflate events, time those registered queries.
   *
   * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|sketch|text|queryName...]
@@ -100,6 +104,22 @@ object ScaleProbe {
               else d.withColumn("embedding", expr(
                 s"transform(embedding, (x, i) -> CAST(IF(pmod(hash(i, $r), 2) = 0, -x, x) AS FLOAT))")))
             .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      } else if (mode == "graph") {
+        // disjoint key offsets per replica → structurally identical
+        // components; the probe measures b43's per-iteration edge shuffle
+        // growing with the graph (nodes AND edges both ×mult)
+        spark.read.parquet(s"$base/orders.parquet")
+          .crossJoin(spark.range(mult).toDF("rep"))
+          .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 10000000L)
+          .withColumn("o_custkey", col("o_custkey") + col("rep") * 10000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        spark.read.parquet(s"$base/lineitem.parquet")
+          .crossJoin(spark.range(mult).toDF("rep"))
+          .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 10000000L)
+          .withColumn("l_suppkey", col("l_suppkey") + col("rep") * 10000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       } else {
         // events.ts arrives as epoch-nano long or µs timestamp depending on
         // the testdata vintage and is written back as-is — Tables.events
@@ -382,6 +402,7 @@ object ScaleProbe {
         val names = if (mode == "etl")
           Seq("a00_pipeline_e2e", "a03_dedup_replacing", "a04_traffic_totals")
         else if (mode == "textq") args.drop(2).toSeq // documents-reading queries
+        else if (mode == "graph") args.drop(2).toSeq // lineitem/orders-reading
         else args.drop(1).toSeq
         Queries.all.filter(q => names.contains(q.name))
           .map(q => q.name -> (() => q.fn(spark, out)))
@@ -392,6 +413,8 @@ object ScaleProbe {
         spark.read.parquet(s"$out/documents.parquet").count()
       else if (mode == "index")
         spark.read.parquet(s"$out/embeddings.parquet").count()
+      else if (mode == "graph")
+        spark.read.parquet(s"$out/lineitem.parquet").count()
       else spark.read.parquet(s"$out/events.parquet").count()
 
     // extra args after a NAMED mode narrow the probe list (fast single-probe

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics as plain relational ops (the GraphX/Pregel
+  * workload, Spark-first): each PageRank iteration is ONE shuffle of the
+  * edge list keyed by src joined to the current rank vector, contributions
+  * aggregated on dst — Catalyst plans it, AQE sizes it.
+  *
+  * Numeric discipline: ranks live in integer 1e-12 units with floor
+  * division everywhere (Page et al. 1999's damping applied as
+  * `(85·Σ) div 100`), so every iteration is exact BIGINT arithmetic whose
+  * value is independent of aggregation order — which is what lets an
+  * ITERATED fixpoint be hash-checked against a SQL unroll (the d11
+  * grid-quantized-k-means technique, graph edition).
+  *
+  * Iteration discipline: the edge list is persisted ONCE and every round's
+  * rank vector is persist-materialize-truncated (flat `LogicalRDD` rebuild,
+  * the e19/c09 pattern) — chaining rounds directly re-derives the whole
+  * edge-construction subtree per reference, growing the plan geometrically
+  * (a 192-node physical plan at 3 iterations, measured before this
+  * restructure; 16.4 s → see SURVEY §6 for the after). RDD lineage is kept,
+  * so a lost cached block recomputes instead of stranding the job.
+  *
+  * Returns a PERSISTED frame (the Bm25.search hand-back contract): every
+  * internal cache is released before return; the caller (or Verify/Bench's
+  * clear-between-runs) releases the result.
+  */
+object Graph {
+
+  /** PageRank over the customer↔supplier order graph. Node encoding:
+    * customer → custkey·2, supplier → suppkey·2+1 (disjoint id spaces).
+    * Symmetric edges (both directions of every distinct trading pair) mean
+    * every node has out-degree ≥ 1 — no dangling-mass correction term.
+    */
+  def pageRank(spark: SparkSession, lineitem: DataFrame, orders: DataFrame,
+               iterations: Int = 3): DataFrame = {
+    val base = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    val edges = base.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(base.select(col("sn").as("src"), col("cn").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = edges.select("src").distinct().count() // materializes the edge cache
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val scale = 1000000000000L
+    val teleport = (15L * scale / 100) / n
+
+    def step(ranks: DataFrame): DataFrame =
+      edges.join(ranks, col("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("csum"))
+        .select(col("node"), (lit(teleport) + expr("(85 * csum) div 100")).as("r"))
+
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(scale / n))
+    var prevCache: Option[DataFrame] = None
+    for (_ <- 1 until iterations) {
+      val p = step(ranks).persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize so the previous round can release
+      prevCache.foreach(_.unpersist(blocking = false))
+      prevCache = Some(p)
+      ranks = spark.createDataFrame(p.rdd, p.schema) // truncate plan lineage
+    }
+    val out = step(ranks).select(
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+      expr("node div 2").as("key"), col("r").as("rank_e12"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before the inputs it reads are released
+    prevCache.foreach(_.unpersist(blocking = false))
+    edges.unpersist(blocking = false)
+    out
+  }
+}

@@ -429,6 +429,73 @@ object Similarity {
     * recall, for `bits`× more (tiny, broadcast) probe rows and the same
     * corpus-side plan.
     */
+  /** Sparse cosine top-k over word-3-gram TF-IDF — the inverted-index dual
+    * of the dense ANN paths: candidate pairs come from a postings self-join
+    * on the gram (never all-pairs), with a document-frequency cap as the
+    * ubiquitous-term guard (a gram in > max(10, N/10) docs carries no
+    * signal and is what makes term joins quadratic at scale; the cap bounds
+    * per-gram pair fanout at df_cap²).
+    *
+    * Determinism: weights are INTEGER (tf × bit-width-of(N div df) — a
+    * power-of-two-quantized idf), so dot products and norms are exact
+    * BIGINT sums independent of aggregation order; the only float ops are
+    * one sqrt and one division over identical integers — bit-deterministic
+    * across engines, which is what lets the full formula hash-check in
+    * DuckDB (Queries d13). Gram keys are xxhash64 longs at the explode (the
+    * c11/e22 8-byte shuffle-key discipline); the oracle groups on raw gram
+    * strings, so a key collision reddens the compare instead of passing.
+    *
+    * Deliberately NOT persisted (the c15 lesson, re-measured here): the
+    * static plan shows the tf/posting subtree referenced from norms and
+    * both self-join sides, but AQE's ReusedExchange dedupes the identical
+    * exchanges at runtime, and persist-materialize-release of tf AND
+    * posting was tried and REVERTED — the 100×-probe cache write of the
+    * posting table cost more than the residual recompute it saved
+    * (49.2 s lazy vs 53.7 s persisted at 500k docs). Lazy composition also
+    * keeps the operator cache-neutral: nothing to hand back or release.
+    */
+  def sparseCosineTopK(spark: org.apache.spark.sql.SparkSession,
+                       docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3)
+    val grams = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+      .as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gram"))
+    val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val maxDf = math.max(10L, n / 10)
+    val dfq = tf.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val posting = tf.join(dfq, "gram")
+      .withColumn("wq",
+        col("tf") * length(bin(floor(lit(n.toDouble) / col("df")).cast("long"))))
+      .select("doc_id", "gram", "wq")
+    val norms = posting.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
+    val pairs = posting.as("a")
+      .join(posting.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+    val sym = pairs.select(col("ida").as("doc_id"), col("idb").as("neighbor_id"), col("dot"))
+      .unionByName(pairs.select(col("idb").as("doc_id"), col("ida").as("neighbor_id"), col("dot")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    sym
+      .join(norms.withColumnRenamed("doc_id", "na_id").withColumnRenamed("n2", "na2"),
+        col("doc_id") === col("na_id"))
+      .join(norms.withColumnRenamed("doc_id", "nb_id").withColumnRenamed("n2", "nb2"),
+        col("neighbor_id") === col("nb_id"))
+      .withColumn("score",
+        col("dot").cast("double") / sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("cosine"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 4, bits: Int = 8, multiProbe: Boolean = false,
               maxBucket: Int = 100000): DataFrame = {
