@@ -4721,6 +4721,91 @@ object Queries {
       |       CAST((max(ms) - min(ms)) // 1000 AS BIGINT) AS dur_sec
       |FROM sess GROUP BY user_id, sid""".stripMargin))
 
+  private val g09 = Q(
+    "g09_stream_admission",
+    // the end-to-end streaming ingest verdict (streaming/Admission.scala):
+    // rule quality gate → LSH near-dup screen vs the indexed corpus, one
+    // row per arrival. Arrival mix covers all three paths: %10==0 re-crawls
+    // (quality passes, screen flags), %10==5 machine junk (rules reject
+    // before any shingling), %10∈{1,3,7} fresh content (vowel-rotated —
+    // admitted). Every stage is stateless, so the batch result IS the
+    // streaming result (per-batch-union parity in StreamingSpec); the
+    // oracle mirrors rules exactly (integer-ratio alpha floor) and the
+    // screen with exact cross gram-Jaccard (g03's argument).
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val recrawl = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" streamscreen probe suffix")).as("text"))
+      val junk = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          trim(repeat(lit("@@@ "), 20)).as("text"))
+      val fresh = docs.filter(col("doc_id") % 10 === 1 ||
+          col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          translate(col("text"), "aeiou", "uoiea").as("text"))
+      streaming.Admission.admit(
+        recrawl.unionByName(junk).unionByName(fresh), docs, "doc_id", "text")
+    },
+    Some("""WITH incoming AS (
+      |  SELECT doc_id + 200000 AS doc_id,
+      |         text || ' streamscreen probe suffix' AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000, trim(repeat('@@@ ', 20))
+      |  FROM documents WHERE doc_id % 10 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 400000, translate(text, 'aeiou', 'uoiea')
+      |  FROM documents WHERE doc_id % 10 IN (1, 3, 7)),
+      |rules AS (
+      |  SELECT doc_id, text,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                    x -> x <> '')) AS n_words,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                    x -> regexp_full_match(x, '[a-z]+'))) AS alpha_words
+      |  FROM incoming),
+      |gated AS (
+      |  SELECT doc_id, text, CAST(n_words AS INT) AS n_words,
+      |         (n_words >= 5 AND alpha_words * 10 >= n_words * 7) AS quality_pass
+      |  FROM rules),
+      |itoks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM gated WHERE quality_pass
+      |    AND len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                        x -> x <> '')) > 0),
+      |igrams AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE t END) AS g
+      |  FROM itoks),
+      |ctoks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |  WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                        x -> x <> '')) > 0),
+      |cgrams AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE t END) AS g
+      |  FROM ctoks),
+      |iex AS (SELECT doc_id, unnest(g) AS gram FROM igrams),
+      |cex AS (SELECT doc_id AS corpus_id, unnest(g) AS gram FROM cgrams),
+      |inter AS (
+      |  SELECT doc_id, corpus_id, count(*) AS i
+      |  FROM iex JOIN cex USING (gram) GROUP BY 1, 2),
+      |isz AS (SELECT doc_id, len(g) AS n FROM igrams),
+      |csz AS (SELECT doc_id AS corpus_id, len(g) AS n FROM cgrams),
+      |flagged AS (
+      |  SELECT DISTINCT doc_id
+      |  FROM inter JOIN isz USING (doc_id) JOIN csz USING (corpus_id)
+      |  WHERE CAST(i AS DOUBLE) / (isz.n + csz.n - i) >= 0.5)
+      |SELECT g.doc_id, g.n_words, g.quality_pass,
+      |       (g.quality_pass AND f.doc_id IS NOT NULL) AS near_dup,
+      |       (g.quality_pass AND f.doc_id IS NULL) AS admit
+      |FROM gated g LEFT JOIN flagged f USING (doc_id)""".stripMargin))
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -4815,5 +4900,5 @@ object Queries {
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10,
-    g01, g02, g03, g04, g05, g06, g07, g08)
+    g01, g02, g03, g04, g05, g06, g07, g08, g09)
 }

@@ -80,6 +80,14 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("Admission.admit releases every internal cache") {
+    checkContract("Admission.admit") {
+      val incoming = docs.select((col("doc_id") + 500000).as("doc_id"),
+        translate(col("text"), "aeiou", "uoiea").as("text"))
+      graft.streaming.Admission.admit(incoming, docs, "doc_id", "text")
+    }
+  }
+
   test("Dedup.minhashPairs releases every internal cache") {
     checkContract("minhashPairs") {
       graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")

@@ -591,6 +591,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("admission verdicts are batching-invariant (per-batch union == whole-input run)") {
+    // the g09 kernel is stateless per doc, so its production deployment is
+    // foreachBatch(admit(batch, corpus)) — this pins the property that makes
+    // that legal: verdicts don't depend on micro-batch boundaries
+    val docs = Tables.documents(spark, sfDir)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" streamscreen probe suffix")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          trim(repeat(lit("@@@ "), 20)).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          translate(col("text"), "aeiou", "uoiea").as("text")))
+    val whole = graft.streaming.Admission.admit(incoming, docs, "doc_id", "text")
+    val wholeSet = whole.collect().map(_.toSeq).toSet
+    whole.unpersist(blocking = false)
+    // three arbitrary chunks, each through the same kernel
+    val chunked = (0 until 3).flatMap { c =>
+      val out = graft.streaming.Admission.admit(
+        incoming.filter(col("doc_id") % 3 === c), docs, "doc_id", "text")
+      val rows = out.collect().map(_.toSeq)
+      out.unpersist(blocking = false)
+      rows
+    }.toSet
+    assert(chunked == wholeSet, "admission verdicts depend on batching")
+    assert(wholeSet.nonEmpty)
+  }
+
   test("rate limiter enforces the proxy interval without real sleeping") {
     var clock = 0L
     var slept = 0L
