@@ -3125,6 +3125,84 @@ object Queries {
       |       round(score, 6) AS cosine
       |FROM ranked WHERE rank <= 3""".stripMargin))
 
+  private val d14 = Q(
+    "d14_maxsim",
+    // Late-interaction (ColBERT-style MaxSim) retrieval — the multi-vector
+    // complement to d01's single-vector path: a "document" is a BAG of
+    // vectors (8 consecutive vec_ids here), and score(q, d) =
+    // Σ_{query tokens} max_{doc vectors} cos — two exact aggregations over
+    // the token-pair scores, which is precisely the groupBy shape Spark
+    // plans well (max combines map-side, sum is |docs|-keyed). Determinism:
+    // components integer-quantized (round(x·1000), the d12 convention),
+    // dots and norms exact BIGINT via zip_with/aggregate HOFs, each pair
+    // score floored to integer millionths AFTER the one sqrt+divide — so
+    // max/sum are order-independent integer ops and the full pipeline
+    // hash-checks. Self-retrieval is a built-in known answer: a query doc's
+    // own tokens score exactly 1e6 each ⇒ maxsim(self) = 8e6, rank 1
+    // (asserted in QueriesRound8bSpec). Scale: this is the exact brute
+    // force (query side broadcast, BNLJ — never a shuffle of the corpus);
+    // the serving path at 100 TB composes per-token probeIndex IVF probes
+    // into a shortlist and runs this scorer on it.
+    (s, dir) => {
+      val iv = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("iv"))
+        .withColumn("n2", expr("aggregate(transform(iv, x -> x * x), 0L, (a, x) -> a + x)"))
+        .filter(col("n2") > 0)
+      val dv = iv.select(expr("vec_id div 8").as("doc_id"), col("vec_id"), col("iv"), col("n2"))
+      val qv = dv.filter(col("doc_id").isin(3, 17, 29))
+        .select(col("doc_id").as("qid"), col("vec_id").as("qtok"),
+          col("iv").as("qiv"), col("n2").as("qn2"))
+      val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("doc_id"))
+      dv.crossJoin(broadcast(qv))
+        .withColumn("dot",
+          expr("aggregate(zip_with(iv, qiv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .withColumn("score",
+          floor(lit(1e6) * col("dot") /
+            sqrt(col("n2").cast("double") * col("qn2").cast("double"))).cast("long"))
+        .groupBy("qid", "qtok", "doc_id").agg(max("score").as("mx"))
+        .groupBy("qid", "doc_id").agg(sum("mx").as("maxsim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("doc_id"), col("maxsim"))
+    },
+    Some("""WITH iv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS iv
+      |  FROM embeddings),
+      |nn AS (
+      |  SELECT vec_id, iv,
+      |         CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2
+      |  FROM iv),
+      |dv AS (
+      |  SELECT vec_id // 8 AS doc_id, vec_id, iv, n2 FROM nn WHERE n2 > 0),
+      |qv AS (
+      |  SELECT doc_id AS qid, vec_id AS qtok, iv AS qiv, n2 AS qn2
+      |  FROM dv WHERE doc_id IN (3, 17, 29)),
+      |pairs AS (
+      |  SELECT q.qid, q.qtok, d.doc_id,
+      |         CAST(list_sum([q.qiv[k + 1] * d.iv[k + 1] for k in range(64)])
+      |              AS BIGINT) AS dot,
+      |         d.n2, q.qn2
+      |  FROM qv q CROSS JOIN dv d),
+      |scores AS (
+      |  SELECT qid, qtok, doc_id,
+      |         CAST(floor(1e6 * dot
+      |                    / sqrt(CAST(n2 AS DOUBLE) * CAST(qn2 AS DOUBLE)))
+      |              AS BIGINT) AS score
+      |  FROM pairs),
+      |best AS (
+      |  SELECT qid, qtok, doc_id, max(score) AS mx FROM scores GROUP BY 1, 2, 3),
+      |ms AS (
+      |  SELECT qid, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim FROM best GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT qid, doc_id, maxsim,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY maxsim DESC, doc_id) AS rank
+      |  FROM ms)
+      |SELECT qid, CAST(rank AS INT) AS rank, doc_id, maxsim
+      |FROM ranked WHERE rank <= 3""".stripMargin))
+
   // ---------------------------------------------------------------- group E
 
   private val e01 = Q(
@@ -4896,7 +4974,7 @@ object Queries {
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42, b43,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17, c18,
     c19, c20,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10,

@@ -54,6 +54,21 @@ class QueriesRound8bSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("d14_maxsim: self-retrieval at rank 1 with the exact ceiling score") {
+    val rows = q("d14_maxsim").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(3L, 17L, 29L))
+    byQ.foreach { case (qid, rs) =>
+      val top = rs.find(_.getAs[Int]("rank") == 1).get
+      // a query doc's own tokens each score exactly 1e6 against themselves,
+      // so MaxSim(self) = 8 tokens × 1e6 — an analytic ceiling no other doc
+      // can exceed (per-pair scores are ≤ 1e6 by Cauchy-Schwarz)
+      assert(top.getAs[Long]("doc_id") == qid, s"query $qid: self not at rank 1")
+      assert(top.getAs[Long]("maxsim") == 8L * 1000000L)
+      rs.foreach(r => assert(r.getAs[Long]("maxsim") <= 8L * 1000000L))
+    }
+  }
+
   test("b43_pagerank: mass conserved within floor loss, suppliers outrank customers") {
     val rows = q("b43_pagerank").collect()
     val scale = 1000000000000L
