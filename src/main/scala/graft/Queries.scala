@@ -4599,6 +4599,95 @@ object Queries {
       |  CAST(sum(r + g + b) AS BIGINT) AS checksum
       |FROM ch GROUP BY doc_id, f""".stripMargin))
 
+  private val f11 = Q(
+    "f11_image_dhash",
+    // Perceptual image dedup — the IMAGE edition of the near-dup family:
+    // dHash (9×8 nearest-sampled gradient signs, 64 bits) computed by REAL
+    // decode over the PGM payloads (Multimodal.dhashPgm behind the same
+    // mapPartitions seam), then the c02 banding discipline on the hash
+    // (4×16-bit bands, equi-join, never all-pairs; hamming ≤ 1 ⇒ ≥3 bands
+    // collide ⇒ recall 1). Corpus plants exact twins (%20==0 — hamming 0),
+    // single-pixel +16 perturbations (%20==10 — the gradient-sign bits can
+    // move by at most 2), and truncated payloads (%20==15 — dead-letter,
+    // must not reach the pair set). The oracle computes every sampled
+    // pixel, gradient bit, band key, and hamming distance ANALYTICALLY
+    // from the closed-form plane — a mis-sampled pixel cannot hash-match.
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val orig = operators.Multimodal.syntheticPgm(id)
+          val twin = if (id % 20 == 0) Seq((id + 100000, orig)) else Seq.empty
+          val pert = if (id % 20 == 10) {
+            val p = orig.clone()
+            val plane = p.length - ((8 + id % 9) * (8 + id % 7)).toInt
+            p(plane) = (((p(plane) & 0xff) + 16) % 256).toByte
+            Seq((id + 200000, p))
+          } else Seq.empty
+          val dead = if (id % 20 == 15) Seq((id + 300000, orig.take(5))) else Seq.empty
+          Seq((id, orig)) ++ twin ++ pert ++ dead
+        }.toDF("row_id", "payload")
+      val hashes = operators.Multimodal.extractDhash(s, rows, "row_id", "payload")
+      val bands = hashes
+        .select(col("row_id"), col("dhash"), explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("key", expr("shiftright(dhash, k * 16) & 65535"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.key") === col("b.key") &&
+            col("a.row_id") < col("b.row_id"))
+        .select(col("a.row_id").as("id_a"), col("b.row_id").as("id_b"),
+          col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    },
+    // the dHash replay: w=8+d%9, h=8+d%7, pixel(p)=(d*31+p*7)%256 (+16 on
+    // plane byte 0 for the perturbed rows), sample p=(oy*h//8)*w+(ox*w//9),
+    // bit(oy*8+ox)=g(ox)<g(ox+1); hugeint bit sum → two's-complement BIGINT
+    Some("""WITH rws AS (
+      |  SELECT doc_id AS row_id, doc_id AS d, FALSE AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, doc_id, TRUE FROM documents WHERE doc_id % 20 = 10),
+      |grid AS (
+      |  SELECT row_id, d, pert, oy.i AS oy, ox.i AS ox,
+      |         ((oy.i * (8 + d % 7)) // 8) * (8 + d % 9)
+      |           + (ox.i * (8 + d % 9)) // 9 AS p
+      |  FROM rws, generate_series(0, 7) oy(i), generate_series(0, 8) ox(i)),
+      |gv AS (
+      |  SELECT row_id, oy, ox,
+      |         CASE WHEN pert AND p = 0 THEN ((d * 31) % 256 + 16) % 256
+      |              ELSE (d * 31 + p * 7) % 256 END AS g
+      |  FROM grid),
+      |bits AS (
+      |  SELECT row_id, oy, ox, g,
+      |         lead(g) OVER (PARTITION BY row_id, oy ORDER BY ox) AS nxt
+      |  FROM gv),
+      |hsum AS (
+      |  SELECT row_id,
+      |         sum(CASE WHEN g < nxt
+      |               THEN CAST(power(2, oy * 8 + ox) AS HUGEINT)
+      |               ELSE 0::HUGEINT END) AS s
+      |  FROM bits WHERE ox < 8 GROUP BY row_id),
+      |hashes AS (
+      |  SELECT row_id,
+      |         CAST(CASE WHEN s >= 9223372036854775808
+      |                THEN s - 18446744073709551616
+      |                ELSE s END AS BIGINT) AS dhash
+      |  FROM hsum),
+      |bands AS (
+      |  SELECT row_id, dhash, k.i AS k, (dhash >> (k.i * 16)) & 65535 AS key
+      |  FROM hashes, generate_series(0, 3) k(i)),
+      |cand AS (
+      |  SELECT DISTINCT a.row_id AS id_a, b.row_id AS id_b,
+      |         a.dhash AS ha, b.dhash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.k = b.k AND a.key = b.key AND a.row_id < b.row_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin))
+
   // ---------------------------------------------------------------- group G
 
   private val g01 = Q(
@@ -4977,6 +5066,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-    f01, f02, f03, f04, f05, f06, f07, f08, f09, f10,
+    f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11,
     g01, g02, g03, g04, g05, g06, g07, g08, g09)
 }

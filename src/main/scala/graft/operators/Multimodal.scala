@@ -152,6 +152,53 @@ object Multimodal {
       .mapPartitions(_.flatMap(r => decodePgm(r.doc_id, r.payload)))
   }
 
+  /** Perceptual difference hash (dHash) of a PGM payload — the image-dedup
+    * primitive (near-identical images differ in a few bits; identical
+    * images collide exactly): the plane is nearest-neighbor sampled onto a
+    * 9×8 grid (the [[resizePgm]] grid arithmetic) and bit (oy·8+ox) is set
+    * iff the sampled gray increases left→right — 64 gradient signs, robust
+    * to uniform brightness shifts. Malformed payloads return None
+    * (dead-letter), same contract as every decoder behind this seam.
+    */
+  def dhashPgm(docId: Long, b: Array[Byte]): Option[Long] =
+    decodePgm(docId, b).map { f =>
+      // re-locate the pixel plane (decodePgm validated the header)
+      var i = 2
+      var seen = 0
+      while (seen < 3) {
+        while (i < b.length && !(b(i) >= '0' && b(i) <= '9')) i += 1
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        seen += 1
+      }
+      i += 1
+      def px(ox: Int, oy: Int): Int = {
+        val sx = ox * f.width / 9
+        val sy = oy * f.height / 8
+        b(i + sy * f.width + sx) & 0xff
+      }
+      var hash = 0L
+      var oy = 0
+      while (oy < 8) {
+        var ox = 0
+        while (ox < 8) {
+          if (px(ox, oy) < px(ox + 1, oy)) hash |= 1L << (oy * 8 + ox)
+          ox += 1
+        }
+        oy += 1
+      }
+      hash
+    }
+
+  /** (row_id, dhash) over a payload column; malformed rows dead-letter. */
+  def extractDhash(spark: SparkSession, df: DataFrame,
+                   idCol: String, payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+      .mapPartitions(_.flatMap(r => dhashPgm(r.doc_id, r.payload).map(h => (r.doc_id, h))))
+      .toDF("row_id", "dhash")
+  }
+
   // -------------------------------------------------------------- real WAV
 
   /** Decoded audio features (REAL decode of the other pure-bytes media

@@ -151,6 +151,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeBmp(1L, (header ++ rows).take(53)).isEmpty)
   }
 
+  test("dhash: identity, brightness invariance, perturbation bound, dead-letter") {
+    val img = Multimodal.syntheticPgm(42L)
+    val h = Multimodal.dhashPgm(42L, img).get
+    // identical payload → identical hash (the exact-dup collision)
+    assert(Multimodal.dhashPgm(999L, img).get == h)
+    // uniform brightness shift leaves every gradient SIGN unchanged —
+    // shift the whole plane by a constant (mod-free: clamp-safe +1)
+    val bright = img.clone()
+    val w = (8 + 42 % 9); val hh = (8 + 42 % 7)
+    val plane = bright.length - w * hh
+    (plane until bright.length).foreach { i =>
+      bright(i) = (((bright(i) & 0xff) + 1) % 256).toByte
+    }
+    // +1 mod 256 wraps 255→0, which CAN flip a gradient at wrap points —
+    // use a plane with no 255s to make the invariance exact
+    val safe = img.clone()
+    (plane until safe.length).foreach { i =>
+      safe(i) = ((safe(i) & 0xff) % 200).toByte
+    }
+    val hSafe = Multimodal.dhashPgm(42L, safe).get
+    val shifted = safe.clone()
+    (plane until shifted.length).foreach { i =>
+      shifted(i) = (((shifted(i) & 0xff) + 40)).toByte
+    }
+    assert(Multimodal.dhashPgm(42L, shifted).get == hSafe,
+      "dHash must be invariant to uniform brightness shift")
+    // single-pixel perturbation moves at most 2 gradient bits
+    val pert = img.clone()
+    pert(plane) = (((pert(plane) & 0xff) + 16) % 256).toByte
+    val hp = Multimodal.dhashPgm(42L, pert).get
+    assert(java.lang.Long.bitCount(h ^ hp) <= 2)
+    // malformed payloads dead-letter
+    assert(Multimodal.dhashPgm(42L, img.take(5)).isEmpty)
+    assert(Multimodal.dhashPgm(42L, "P6\n1 1\n255\nx".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("stub decode is a pure function of the payload") {
     val a = Multimodal.stubDecode(Multimodal.MMRecord(1L, "hello world".getBytes("UTF-8")))
     val b = Multimodal.stubDecode(Multimodal.MMRecord(1L, "hello world".getBytes("UTF-8")))
