@@ -4688,6 +4688,87 @@ object Queries {
       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin))
 
+  private val f12 = Q(
+    "f12_audio_fingerprint",
+    // Perceptual AUDIO dedup — f11's discipline over the WAV decoder: a
+    // 32-bit envelope fingerprint (33 equal windows over the REAL-decoded
+    // waveform, integer mean amplitude per window, gradient signs between
+    // adjacent windows — Multimodal.fingerprintWav behind the same
+    // mapPartitions seam), then 4×8-bit banding so hamming ≤ 1 pairs are
+    // found by equi-join (≥3 bands collide). Planted exact twins (%20==0),
+    // single-sample +32 perturbations (%20==10 — moves only window 0's
+    // mean ⇒ at most bit 0 flips), and truncated containers (%20==15 —
+    // dead-letter). Oracle replays every sample, window mean (floor
+    // division), gradient bit, band key, and hamming analytically.
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val orig = operators.Multimodal.syntheticWav(id)
+          val twin = if (id % 20 == 0) Seq((id + 100000, orig)) else Seq.empty
+          val pert = if (id % 20 == 10) {
+            val p = orig.clone()
+            p(44) = (((p(44) & 0xff) + 32) % 256).toByte // sample 0
+            Seq((id + 200000, p))
+          } else Seq.empty
+          val dead = if (id % 20 == 15) Seq((id + 300000, orig.take(10))) else Seq.empty
+          Seq((id, orig)) ++ twin ++ pert ++ dead
+        }
+      val hashes = rows.mapPartitions(_.flatMap { case (id, p) =>
+          operators.Multimodal.fingerprintWav(id, p).map(h => (id, h))
+        }).toDF("row_id", "fp")
+      val bands = hashes
+        .select(col("row_id"), col("fp"), explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("key", expr("shiftright(fp, k * 8) & 255"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.key") === col("b.key") &&
+            col("a.row_id") < col("b.row_id"))
+        .select(col("a.row_id").as("id_a"), col("b.row_id").as("id_b"),
+          col("a.fp").as("ha"), col("b.fp").as("hb"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+        .filter(col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    },
+    // n = 64 + d%129 samples, sample(i) = (d*13 + i*11) % 256 (+32 on
+    // sample 0 for perturbed rows), window k(i) = i*33 // n, mean = floor
+    Some("""WITH rws AS (
+      |  SELECT doc_id AS row_id, doc_id AS d, FALSE AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, doc_id, TRUE FROM documents WHERE doc_id % 20 = 10),
+      |smp AS (
+      |  SELECT row_id,
+      |         CASE WHEN pert AND s.i = 0 THEN ((d * 13) % 256 + 32) % 256
+      |              ELSE (d * 13 + s.i * 11) % 256 END AS v,
+      |         (s.i * 33) // (64 + d % 129) AS k
+      |  FROM rws, generate_series(0, 192) s(i)
+      |  WHERE s.i < 64 + d % 129),
+      |wm AS (
+      |  SELECT row_id, k, CAST(sum(v) // count(*) AS BIGINT) AS m
+      |  FROM smp GROUP BY row_id, k),
+      |bits AS (
+      |  SELECT row_id, k, m,
+      |         lead(m) OVER (PARTITION BY row_id ORDER BY k) AS nxt
+      |  FROM wm),
+      |hashes AS (
+      |  SELECT row_id,
+      |         CAST(sum(CASE WHEN m < nxt THEN CAST(power(2, k) AS BIGINT)
+      |                       ELSE 0 END) AS BIGINT) AS fp
+      |  FROM bits WHERE k < 32 GROUP BY row_id),
+      |bands AS (
+      |  SELECT row_id, fp, t.i AS k, (fp >> (t.i * 8)) & 255 AS key
+      |  FROM hashes, generate_series(0, 3) t(i)),
+      |cand AS (
+      |  SELECT DISTINCT a.row_id AS id_a, b.row_id AS id_b,
+      |         a.fp AS ha, b.fp AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.k = b.k AND a.key = b.key AND a.row_id < b.row_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin))
+
   // ---------------------------------------------------------------- group G
 
   private val g01 = Q(
@@ -5066,6 +5147,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-    f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11,
+    f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12,
     g01, g02, g03, g04, g05, g06, g07, g08, g09)
 }

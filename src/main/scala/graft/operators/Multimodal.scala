@@ -216,6 +216,23 @@ object Multimodal {
     * non-PCM, non-8-bit, missing data) — dead-letter, never throw.
     */
   def decodeWav(docId: Long, b: Array[Byte]): Option[WavFeatures] = {
+    wavDataRange(b).map { case (rate, dataOff, dataLen) =>
+      var sum = 0L; var peak = 0; var p = 0
+      while (p < dataLen) {
+        val v = b(dataOff + p) & 0xff
+        sum += v; if (v > peak) peak = v
+        p += 1
+      }
+      WavFeatures(docId, rate, dataLen, dataLen * 1000.0 / rate,
+        sum.toDouble / dataLen, peak)
+    }
+  }
+
+  /** Validated (rate, dataOff, dataLen) of an 8-bit mono PCM RIFF/WAV —
+    * the chunk walk [[decodeWav]] and [[fingerprintWav]] share; None on any
+    * malformed container.
+    */
+  private def wavDataRange(b: Array[Byte]): Option[(Int, Int, Int)] = {
     def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
     def tag(i: Int, t: String): Boolean =
@@ -235,16 +252,36 @@ object Multimodal {
       i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks are word-aligned
     }
     if (fmt != 1 || ch != 1 || bits != 8 || rate <= 0 ||
-      dataOff < 0 || dataLen <= 0) return None
-    var sum = 0L; var peak = 0; var p = 0
-    while (p < dataLen) {
-      val v = b(dataOff + p) & 0xff
-      sum += v; if (v > peak) peak = v
-      p += 1
-    }
-    Some(WavFeatures(docId, rate, dataLen, dataLen * 1000.0 / rate,
-      sum.toDouble / dataLen, peak))
+      dataOff < 0 || dataLen <= 0) None
+    else Some((rate, dataOff, dataLen))
   }
+
+  /** Perceptual audio fingerprint — the WAV edition of [[dhashPgm]]: the
+    * waveform is bucketed into 33 equal windows (sample p → window
+    * p·33/len), each window reduced to its integer mean amplitude, and bit
+    * k (k < 32) is set iff the mean rises window k → k+1 — 32 envelope
+    * gradient signs. Needs ≥ 33 samples (every window non-empty); shorter
+    * or malformed payloads dead-letter.
+    */
+  def fingerprintWav(docId: Long, b: Array[Byte]): Option[Long] =
+    wavDataRange(b).filter(_._3 >= 33).map { case (_, off, n) =>
+      val sums = new Array[Long](33)
+      val cnts = new Array[Long](33)
+      var p = 0
+      while (p < n) {
+        val k = (p.toLong * 33 / n).toInt
+        sums(k) += b(off + p) & 0xff
+        cnts(k) += 1
+        p += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 32) {
+        if (sums(k) / cnts(k) < sums(k + 1) / cnts(k + 1)) hash |= 1L << k
+        k += 1
+      }
+      hash
+    }
 
   /** Deterministic synthetic WAV payload (8-bit unsigned mono PCM): sample
     * count, rate and every sample are closed-form in the id so the oracle
