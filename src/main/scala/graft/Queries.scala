@@ -4606,12 +4606,18 @@ object Queries {
     // decode over the PGM payloads (Multimodal.dhashPgm behind the same
     // mapPartitions seam), then the c02 banding discipline on the hash
     // (4×16-bit bands, equi-join, never all-pairs; hamming ≤ 1 ⇒ ≥3 bands
-    // collide ⇒ recall 1). Corpus plants exact twins (%20==0 — hamming 0),
-    // single-pixel +16 perturbations (%20==10 — the gradient-sign bits can
-    // move by at most 2), and truncated payloads (%20==15 — dead-letter,
-    // must not reach the pair set). The oracle computes every sampled
-    // pixel, gradient bit, band key, and hamming distance ANALYTICALLY
-    // from the closed-form plane — a mis-sampled pixel cannot hash-match.
+    // collide ⇒ recall 1). Corpus plants exact twins (%20==0 — same hash,
+    // collapsed), single-pixel +16 perturbations (%20==10 — the
+    // gradient-sign bits can move by at most 2), and truncated payloads
+    // (%20==15 — dead-letter, must not reach the pair set). SCALE
+    // DISCIPLINE: exact duplicates collapse FIRST (one keeper + copy count
+    // per hash — the c01 move), and the banded pair search runs over
+    // DISTINCT hashes only — identical-hash cliques are the degenerate
+    // case that makes naive hash-pair joins quadratic (measured: 11k pairs
+    // from 550 rows pre-collapse on this corpus, O(clique²) growth), while
+    // distinct-hash pairs grow with data DIVERSITY, not volume. The oracle
+    // computes every sampled pixel, gradient bit, keeper, band key, and
+    // hamming distance ANALYTICALLY from the closed-form plane.
     (s, dir) => {
       import s.implicits._
       val rows = Tables.documents(s, dir).select(col("doc_id")).as[Long]
@@ -4628,19 +4634,23 @@ object Queries {
           Seq((id, orig)) ++ twin ++ pert ++ dead
         }.toDF("row_id", "payload")
       val hashes = operators.Multimodal.extractDhash(s, rows, "row_id", "payload")
-      val bands = hashes
-        .select(col("row_id"), col("dhash"), explode(expr("sequence(0, 3)")).as("k"))
+      val groups = hashes.groupBy("dhash")
+        .agg(min("row_id").as("keeper"), count(lit(1)).as("n_copies"))
+      val bands = groups
+        .select(col("keeper"), col("dhash"), col("n_copies"),
+          explode(expr("sequence(0, 3)")).as("k"))
         .withColumn("key", expr("shiftright(dhash, k * 16) & 65535"))
       bands.as("a")
         .join(bands.as("b"),
           col("a.k") === col("b.k") && col("a.key") === col("b.key") &&
-            col("a.row_id") < col("b.row_id"))
-        .select(col("a.row_id").as("id_a"), col("b.row_id").as("id_b"),
-          col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+            col("a.keeper") < col("b.keeper"))
+        .select(col("a.keeper").as("id_a"), col("b.keeper").as("id_b"),
+          col("a.dhash").as("ha"), col("b.dhash").as("hb"),
+          col("a.n_copies").as("copies_a"), col("b.n_copies").as("copies_b"))
         .distinct()
         .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
         .filter(col("hamming") <= 2)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming", "copies_a", "copies_b")
     },
     // the dHash replay: w=8+d%9, h=8+d%7, pixel(p)=(d*31+p*7)%256 (+16 on
     // plane byte 0 for the perturbed rows), sample p=(oy*h//8)*w+(ox*w//9),
@@ -4677,15 +4687,21 @@ object Queries {
       |                THEN s - 18446744073709551616
       |                ELSE s END AS BIGINT) AS dhash
       |  FROM hsum),
+      |grp AS (
+      |  SELECT dhash, min(row_id) AS keeper, count(*) AS n_copies
+      |  FROM hashes GROUP BY dhash),
       |bands AS (
-      |  SELECT row_id, dhash, k.i AS k, (dhash >> (k.i * 16)) & 65535 AS key
-      |  FROM hashes, generate_series(0, 3) k(i)),
+      |  SELECT keeper, dhash, n_copies, k.i AS k,
+      |         (dhash >> (k.i * 16)) & 65535 AS key
+      |  FROM grp, generate_series(0, 3) k(i)),
       |cand AS (
-      |  SELECT DISTINCT a.row_id AS id_a, b.row_id AS id_b,
-      |         a.dhash AS ha, b.dhash AS hb
+      |  SELECT DISTINCT a.keeper AS id_a, b.keeper AS id_b,
+      |         a.dhash AS ha, b.dhash AS hb,
+      |         a.n_copies AS copies_a, b.n_copies AS copies_b
       |  FROM bands a JOIN bands b
-      |    ON a.k = b.k AND a.key = b.key AND a.row_id < b.row_id)
-      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |    ON a.k = b.k AND a.key = b.key AND a.keeper < b.keeper)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+      |       copies_a, copies_b
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin))
 
   private val f12 = Q(
@@ -4698,8 +4714,10 @@ object Queries {
     // found by equi-join (≥3 bands collide). Planted exact twins (%20==0),
     // single-sample +32 perturbations (%20==10 — moves only window 0's
     // mean ⇒ at most bit 0 flips), and truncated containers (%20==15 —
-    // dead-letter). Oracle replays every sample, window mean (floor
-    // division), gradient bit, band key, and hamming analytically.
+    // dead-letter). Same scale discipline as f11: exact-dup collapse to
+    // (keeper, n_copies) per fingerprint FIRST, banded pair search over
+    // DISTINCT fingerprints only. Oracle replays every sample, window mean
+    // (floor division), gradient bit, keeper, band key, and hamming.
     (s, dir) => {
       import s.implicits._
       val rows = Tables.documents(s, dir).select(col("doc_id")).as[Long]
@@ -4717,19 +4735,23 @@ object Queries {
       val hashes = rows.mapPartitions(_.flatMap { case (id, p) =>
           operators.Multimodal.fingerprintWav(id, p).map(h => (id, h))
         }).toDF("row_id", "fp")
-      val bands = hashes
-        .select(col("row_id"), col("fp"), explode(expr("sequence(0, 3)")).as("k"))
+      val groups = hashes.groupBy("fp")
+        .agg(min("row_id").as("keeper"), count(lit(1)).as("n_copies"))
+      val bands = groups
+        .select(col("keeper"), col("fp"), col("n_copies"),
+          explode(expr("sequence(0, 3)")).as("k"))
         .withColumn("key", expr("shiftright(fp, k * 8) & 255"))
       bands.as("a")
         .join(bands.as("b"),
           col("a.k") === col("b.k") && col("a.key") === col("b.key") &&
-            col("a.row_id") < col("b.row_id"))
-        .select(col("a.row_id").as("id_a"), col("b.row_id").as("id_b"),
-          col("a.fp").as("ha"), col("b.fp").as("hb"))
+            col("a.keeper") < col("b.keeper"))
+        .select(col("a.keeper").as("id_a"), col("b.keeper").as("id_b"),
+          col("a.fp").as("ha"), col("b.fp").as("hb"),
+          col("a.n_copies").as("copies_a"), col("b.n_copies").as("copies_b"))
         .distinct()
         .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
         .filter(col("hamming") <= 2)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming", "copies_a", "copies_b")
     },
     // n = 64 + d%129 samples, sample(i) = (d*13 + i*11) % 256 (+32 on
     // sample 0 for perturbed rows), window k(i) = i*33 // n, mean = floor
@@ -4758,15 +4780,20 @@ object Queries {
       |         CAST(sum(CASE WHEN m < nxt THEN CAST(power(2, k) AS BIGINT)
       |                       ELSE 0 END) AS BIGINT) AS fp
       |  FROM bits WHERE k < 32 GROUP BY row_id),
+      |grp AS (
+      |  SELECT fp, min(row_id) AS keeper, count(*) AS n_copies
+      |  FROM hashes GROUP BY fp),
       |bands AS (
-      |  SELECT row_id, fp, t.i AS k, (fp >> (t.i * 8)) & 255 AS key
-      |  FROM hashes, generate_series(0, 3) t(i)),
+      |  SELECT keeper, fp, n_copies, t.i AS k, (fp >> (t.i * 8)) & 255 AS key
+      |  FROM grp, generate_series(0, 3) t(i)),
       |cand AS (
-      |  SELECT DISTINCT a.row_id AS id_a, b.row_id AS id_b,
-      |         a.fp AS ha, b.fp AS hb
+      |  SELECT DISTINCT a.keeper AS id_a, b.keeper AS id_b,
+      |         a.fp AS ha, b.fp AS hb,
+      |         a.n_copies AS copies_a, b.n_copies AS copies_b
       |  FROM bands a JOIN bands b
-      |    ON a.k = b.k AND a.key = b.key AND a.row_id < b.row_id)
-      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |    ON a.k = b.k AND a.key = b.key AND a.keeper < b.keeper)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+      |       copies_a, copies_b
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin))
 
   // ---------------------------------------------------------------- group G

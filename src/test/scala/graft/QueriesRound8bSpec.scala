@@ -85,6 +85,25 @@ class QueriesRound8bSpec extends AnyFunSuite with SparkTestBase {
     assert(avgS > avgC * 2, s"supplier avg $avgS vs customer avg $avgC")
   }
 
+  test("f11/f12: dead-letters never pair, collapse leaves only distinct-hash pairs") {
+    Seq("f11_image_dhash", "f12_audio_fingerprint").foreach { name =>
+      val rows = q(name).collect()
+      assert(rows.nonEmpty, name)
+      rows.foreach { r =>
+        // truncated payloads (%20==15, +300000) must never reach the pair set
+        assert(r.getAs[Long]("id_a") < 300000 && r.getAs[Long]("id_b") < 300000,
+          s"$name: dead-letter row paired")
+        // post-collapse pairs are between DISTINCT hashes → hamming ≥ 1
+        val h = r.getAs[Int]("hamming")
+        assert(h >= 1 && h <= 2, s"$name: hamming $h out of range")
+        assert(r.getAs[Long]("copies_a") >= 1 && r.getAs[Long]("copies_b") >= 1)
+      }
+      // the planted exact twins collapse INTO groups: some group carries ≥2
+      assert(rows.exists(r => r.getAs[Long]("copies_a") >= 2 || r.getAs[Long]("copies_b") >= 2),
+        s"$name: no collapsed exact-dup group visible")
+    }
+  }
+
   test("e29_hash_split: partitions the corpus, shares sum to 1 per source") {
     val rows = q("e29_hash_split").collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
