@@ -3144,27 +3144,11 @@ object Queries {
     // the serving path at 100 TB composes per-token probeIndex IVF probes
     // into a shortlist and runs this scorer on it.
     (s, dir) => {
-      val iv = Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("iv"))
-        .withColumn("n2", expr("aggregate(transform(iv, x -> x * x), 0L, (a, x) -> a + x)"))
-        .filter(col("n2") > 0)
-      val dv = iv.select(expr("vec_id div 8").as("doc_id"), col("vec_id"), col("iv"), col("n2"))
-      val qv = dv.filter(col("doc_id").isin(3, 17, 29))
-        .select(col("doc_id").as("qid"), col("vec_id").as("qtok"),
-          col("iv").as("qiv"), col("n2").as("qn2"))
-      val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("doc_id"))
-      dv.crossJoin(broadcast(qv))
-        .withColumn("dot",
-          expr("aggregate(zip_with(iv, qiv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-        .withColumn("score",
-          floor(lit(1e6) * col("dot") /
-            sqrt(col("n2").cast("double") * col("qn2").cast("double"))).cast("long"))
-        .groupBy("qid", "qtok", "doc_id").agg(max("score").as("mx"))
-        .groupBy("qid", "doc_id").agg(sum("mx").as("maxsim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("doc_id"), col("maxsim"))
+      val corpus = Tables.embeddings(s, dir)
+        .select(expr("vec_id div 8").as("doc_id"), col("vec_id"), col("embedding"))
+      val queries = corpus.filter(col("doc_id").isin(3, 17, 29))
+        .select(col("doc_id").as("qid"), col("vec_id").as("qtok"), col("embedding"))
+      Similarity.maxSim(corpus, queries)
     },
     Some("""WITH iv AS (
       |  SELECT vec_id,

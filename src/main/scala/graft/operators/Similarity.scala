@@ -429,6 +429,45 @@ object Similarity {
     * recall, for `bits`× more (tiny, broadcast) probe rows and the same
     * corpus-side plan.
     */
+  /** Exact late-interaction (ColBERT MaxSim) scorer — the multi-vector
+    * complement to [[bruteForceTopK]] (Queries d14 documents the scheme):
+    * score(q, d) = Σ_{query tokens} max_{doc vectors} cos. Determinism:
+    * components integer-quantized (round(x·1000), the d12 convention),
+    * dots/norms exact BIGINT via zip_with/aggregate HOFs, each pair score
+    * floored to integer millionths AFTER the single sqrt+divide — so both
+    * aggregations are order-independent integer ops. Query side broadcast
+    * (BNLJ); the corpus is never shuffled before the |docs|-keyed sum. The
+    * 100 TB serving path composes per-token [[probeIndex]] probes into a
+    * doc shortlist and runs this scorer on it (SimilaritySpec proves the
+    * composition preserves planted self-retrieval).
+    *
+    * @param corpus  (doc_id, embedding) — one row per document VECTOR
+    * @param queries (qid, qtok, embedding) — one row per query token
+    */
+  def maxSim(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
+    def quant(df: DataFrame): DataFrame =
+      df.withColumn("iv",
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))"))
+        .withColumn("n2",
+          expr("aggregate(transform(iv, x -> x * x), 0L, (a, x) -> a + x)"))
+        .filter(col("n2") > 0)
+    val dv = quant(corpus).select(col("doc_id"), col("iv"), col("n2"))
+    val qv = quant(queries).select(col("qid"), col("qtok"),
+      col("iv").as("qiv"), col("n2").as("qn2"))
+    val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("doc_id"))
+    dv.crossJoin(broadcast(qv))
+      .withColumn("dot",
+        expr("aggregate(zip_with(iv, qiv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("score",
+        floor(lit(1e6) * col("dot") /
+          sqrt(col("n2").cast("double") * col("qn2").cast("double"))).cast("long"))
+      .groupBy("qid", "qtok", "doc_id").agg(max("score").as("mx"))
+      .groupBy("qid", "doc_id").agg(sum("mx").as("maxsim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("maxsim"))
+  }
+
   /** Sparse cosine top-k over word-3-gram TF-IDF — the inverted-index dual
     * of the dense ANN paths: candidate pairs come from a postings self-join
     * on the gram (never all-pairs), with a document-frequency cap as the

@@ -76,6 +76,33 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       s"no codes-only scan found in:\n${readSchemas.mkString("\n")}")
   }
 
+  test("MaxSim over the disk-IVF shortlist preserves planted self-retrieval") {
+    // the d14 serving composition: each query TOKEN probes the partitioned
+    // index (partition-pruned read), probe hits map to a doc shortlist, and
+    // the exact integer MaxSim scorer runs only on shortlisted docs — the
+    // corpus-scale posture where scoring everything is not an option
+    val corpus = emb.select(expr("vec_id div 8").as("doc_id"),
+      col("vec_id"), col("embedding"))
+    val queries = corpus.filter(col("doc_id") === 3)
+      .select(col("doc_id").as("qid"), col("vec_id").as("qtok"), col("embedding"))
+    val centroids = Similarity.ivfCentroids(emb, nCells = 8, refineIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxsim").toString + "/idx"
+    Similarity.writeIndex(emb, centroids, dir)
+    val tokenProbes = queries
+      .select(col("qtok").as("qid"), col("embedding").as("qv"))
+    val hits = Similarity.probeIndex(spark, dir, tokenProbes, centroids,
+      k = 32, nProbe = 4)
+    val shortlist = hits.select(expr("neighbor div 8").as("doc_id")).distinct()
+    val served = Similarity.maxSim(
+      corpus.join(shortlist, "doc_id"), queries).collect()
+    val top = served.filter(_.getAs[Int]("rank") == 1)
+    assert(top.length == 1 && top.head.getAs[Long]("doc_id") == 3L,
+      s"self doc lost through the IVF shortlist: ${served.mkString(",")}")
+    assert(top.head.getAs[Long]("maxsim") == 8L * 1000000L)
+    // the shortlist is a genuine prune, not the whole corpus
+    assert(shortlist.count() < corpus.select("doc_id").distinct().count())
+  }
+
   test("index layout spans all cells and loses no vectors") {
     val centroids = Similarity.ivfCentroids(emb, nCells = 16, refineIters = 1)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf2").toString + "/idx"
