@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog, KeepLatest, NfcNormalize}
+import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog, HeavyHitters, KeepLatest, NfcNormalize}
 
 /** SQL-surface registration of the engine's native expressions, so
   * `spark.sql("SELECT anonymize_ip(addr) ...")` works. Idempotent; usable on
@@ -21,7 +21,10 @@ object GraftFunctions {
     "capnp_decode_http_log"  -> ((es: Seq[Expression]) => CapnpDecodeHttpLog(es.head)),
     "nfc_normalize"          -> ((es: Seq[Expression]) => NfcNormalize(es.head)),
     // the analyzer wraps a bare AggregateFunction in AggregateExpression
-    "keep_latest"            -> ((es: Seq[Expression]) => KeepLatest(es(0), es(1))))
+    "keep_latest"            -> ((es: Seq[Expression]) => KeepLatest(es(0), es(1))),
+    // k must be a literal (folded before the sketch is constructed)
+    "heavy_hitters"          -> ((es: Seq[Expression]) =>
+      HeavyHitters(es(0), es(1).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>

@@ -2030,6 +2030,48 @@ object Queries {
       |       node // 2 AS key, r AS rank_e12
       |FROM i3""".stripMargin))
 
+  private val b44 = Q(
+    "b44_heavy_hitters",
+    // SpaceSaving heavy hitters (sql.graft.HeavyHitters, the approx_top_k
+    // OSS Spark lacks): k-bounded frequency estimation through ONE
+    // ObjectHashAggregate — k entries cross the wire per partition where
+    // the exact groupBy shuffles every distinct value. Estimates inside the
+    // [true, true+err] band legitimately vary with partition layout (no
+    // bounded-memory sketch is merge-order-deterministic), so this is
+    // rows-only (always exactly k rows on this cardinality) — the c03/d02
+    // pattern; b45 is the hash-checked known-answer companion and
+    // HeavyHittersSpec pins the estimation contract against exact counts.
+    (s, dir) => {
+      val hh = Tables.events(s, dir)
+        .agg(graft.functions.heavy_hitters(col("user_id"), 32).as("hh"))
+      hh.select(explode(col("hh")).as("e"))
+        .select(col("e.value").as("user_id"), col("e.est"), col("e.err"))
+    },
+    None)
+
+  private val b45 = Q(
+    "b45_heavy_hitters_top",
+    // known-answer companion (the d05/e20 pattern): half of all events are
+    // planted onto one value (-1), so its estimate's LOWER bound (≥ true =
+    // n/2) exceeds any other value's UPPER bound (true + n/k with per-user
+    // true ≪ n/4) — the rank-1 IDENTITY is invariant to merge order even
+    // though the estimate is not, and the sketch is provably full (k=8 <
+    // distinct users). The oracle computes the same top value exactly.
+    (s, dir) => {
+      val v = when(col("event_id") % 2 === 0, lit(-1L)).otherwise(col("user_id"))
+      Tables.events(s, dir)
+        .agg(graft.functions.heavy_hitters(v, 8).as("hh"))
+        .select(
+          element_at(col("hh"), 1).getField("value").as("top_value"),
+          size(col("hh")).cast("int").as("n_tracked"))
+    },
+    Some("""WITH vals AS (
+      |  SELECT CASE WHEN event_id % 2 = 0 THEN -1 ELSE user_id END AS v
+      |  FROM events),
+      |top AS (
+      |  SELECT v FROM vals GROUP BY v ORDER BY count(*) DESC, v LIMIT 1)
+      |SELECT v AS top_value, CAST(8 AS INT) AS n_tracked FROM top""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -5152,7 +5194,7 @@ object Queries {
     a16, a17, a18, a19, a20,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
-    b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42, b43,
+    b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42, b43, b44, b45,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17, c18,
     c19, c20,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,

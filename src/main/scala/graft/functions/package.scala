@@ -38,6 +38,16 @@ package object functions {
   def keep_latest(version: Column, payload: Column): Column =
     column(KeepLatest(expression(version), expression(payload)).toAggregateExpression())
 
+  /** Aggregate: SpaceSaving heavy hitters over a long column — k-bounded
+    * frequency estimation (the `approx_top_k` OSS Spark lacks). Returns
+    * `array<struct<value, est, err>>` sorted by est desc; every value with
+    * true frequency > n/k is guaranteed present, and true ≤ est ≤ true+err.
+    * Plans as ObjectHashAggregate with map-side combine — k entries cross
+    * the wire per partition instead of every distinct value.
+    */
+  def heavy_hitters(value: Column, k: Int): Column =
+    column(HeavyHitters(expression(value), k).toAggregateExpression())
+
   /** Distinct hashes of word k-gram shingles of normalized text. */
   def word_shingles(c: Column, k: Int = 3): Column = column(WordShingles(expression(c), k))
 

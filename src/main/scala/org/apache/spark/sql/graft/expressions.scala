@@ -479,3 +479,160 @@ case class HyperplaneSketches(child: Expression, tables: Int, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSketches =
     copy(child = newChild)
 }
+
+/** Mutable buffer for [[HeavyHitters]]: value → [count, err], plus the
+  * total rows observed (`n`, carried for the ε = n/k error contract).
+  */
+final class HeavyHittersBuf(
+    var n: Long,
+    val m: java.util.HashMap[Long, Array[Long]])
+
+/** `heavy_hitters(value, k) -> array<struct<value, est, err>>` — SpaceSaving
+  * (Metwally et al. 2005) frequency estimation with a k-entry bound: the
+  * `approx_top_k` OSS Spark lacks. Guarantees (and what the spec pins):
+  * every value with true frequency > n/k is present; for every tracked
+  * value, true ≤ est ≤ true + err with err ≤ n/k (per-sketch; merged
+  * sketches sum their errors — Agarwal et al. 2012's mergeable-summaries
+  * argument: counts and overcounts both add, trimming keeps the k largest).
+  *
+  * Exists for the same plan reason as [[KeepLatest]]: a bounded O(k) state
+  * through TypedImperativeAggregate plans as ObjectHashAggregate with
+  * map-side combine — the exact `groupBy(value).count.orderBy.limit`
+  * alternative shuffles EVERY distinct value; this shuffles k entries per
+  * partition, period. Eviction scans the k entries linearly — k is a
+  * constant (64ish); a heap only pays above k ≈ thousands.
+  *
+  * NOT bit-deterministic across merge orders (no bounded-memory heavy
+  * hitter is): estimates inside the [true, true+err] band depend on
+  * partition layout. Registered as rows-only (b44) with a separation-
+  * guaranteed known-answer companion (b45) — the c03/d02 pattern.
+  */
+case class HeavyHitters(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HeavyHittersBuf] with ExpectsInputTypes {
+
+  require(k > 0 && k <= (1 << 20), "heavy_hitters k out of range")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("value", LongType, nullable = false),
+      StructField("est", LongType, nullable = false),
+      StructField("err", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "heavy_hitters"
+
+  override def createAggregationBuffer(): HeavyHittersBuf =
+    new HeavyHittersBuf(0L, new java.util.HashMap[Long, Array[Long]](k * 2))
+
+  override def update(buf: HeavyHittersBuf, input: InternalRow): HeavyHittersBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.n += 1
+      val value = v.asInstanceOf[Long]
+      val cur = buf.m.get(value)
+      if (cur != null) cur(0) += 1
+      else if (buf.m.size < k) buf.m.put(value, Array(1L, 0L))
+      else {
+        // evict the min-count entry; the newcomer inherits its count as err
+        var minV = 0L
+        var minC = Long.MaxValue
+        val it = buf.m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue()(0) < minC ||
+            (e.getValue()(0) == minC && e.getKey < minV)) {
+            minC = e.getValue()(0); minV = e.getKey
+          }
+        }
+        buf.m.remove(minV)
+        buf.m.put(value, Array(minC + 1, minC))
+      }
+    }
+    buf
+  }
+
+  override def merge(a: HeavyHittersBuf, b: HeavyHittersBuf): HeavyHittersBuf = {
+    a.n += b.n
+    val it = b.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = a.m.get(e.getKey)
+      if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
+      else a.m.put(e.getKey, e.getValue().clone())
+    }
+    if (a.m.size > k) {
+      // keep the k largest counts (ties broken by value for stability)
+      val entries = new Array[(Long, Array[Long])](a.m.size)
+      val it2 = a.m.entrySet().iterator()
+      var i = 0
+      while (it2.hasNext) { val e = it2.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+      java.util.Arrays.sort(entries, new java.util.Comparator[(Long, Array[Long])] {
+        def compare(x: (Long, Array[Long]), y: (Long, Array[Long])): Int = {
+          val c = java.lang.Long.compare(y._2(0), x._2(0))
+          if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+        }
+      })
+      a.m.clear()
+      i = 0
+      while (i < k) { a.m.put(entries(i)._1, entries(i)._2); i += 1 }
+    }
+    a
+  }
+
+  override def eval(buf: HeavyHittersBuf): Any = {
+    val entries = new Array[(Long, Array[Long])](buf.m.size)
+    val it = buf.m.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    java.util.Arrays.sort(entries, new java.util.Comparator[(Long, Array[Long])] {
+      def compare(x: (Long, Array[Long]), y: (Long, Array[Long])): Int = {
+        val c = java.lang.Long.compare(y._2(0), x._2(0))
+        if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+      }
+    })
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      entries.map { case (v, ce) =>
+        InternalRow(v, ce(0), ce(1))
+      }.toSeq)
+  }
+
+  override def serialize(buf: HeavyHittersBuf): Array[Byte] = {
+    val out = new Array[Byte](8 + 4 + buf.m.size * 24)
+    val bb = java.nio.ByteBuffer.wrap(out)
+    bb.putLong(buf.n)
+    bb.putInt(buf.m.size)
+    val it = buf.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey); bb.putLong(e.getValue()(0)); bb.putLong(e.getValue()(1))
+    }
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): HeavyHittersBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    buf.n = bb.getLong
+    val sz = bb.getInt
+    var i = 0
+    while (i < sz) {
+      buf.m.put(bb.getLong, Array(bb.getLong, bb.getLong))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeavyHitters =
+    copy(child = newChildren(0))
+}
