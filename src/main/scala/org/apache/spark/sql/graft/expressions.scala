@@ -491,9 +491,12 @@ final class HeavyHittersBuf(
   * (Metwally et al. 2005) frequency estimation with a k-entry bound: the
   * `approx_top_k` OSS Spark lacks. Guarantees (and what the spec pins):
   * every value with true frequency > n/k is present; for every tracked
-  * value, true ≤ est ≤ true + err with err ≤ n/k (per-sketch; merged
-  * sketches sum their errors — Agarwal et al. 2012's mergeable-summaries
-  * argument: counts and overcounts both add, trimming keeps the k largest).
+  * value, true ≤ est ≤ true + err with err ≤ n/k (per-sketch AND merged:
+  * the merge follows Agarwal et al. 2012's mergeable-summaries
+  * construction — a value absent from one side gains that side's min count
+  * on both est and err, since that is the mass it could have held there
+  * before eviction; counts and overcounts add, trimming keeps the k
+  * largest — which is what preserves est ≥ true across merges).
   *
   * Exists for the same plan reason as [[KeepLatest]]: a bounded O(k) state
   * through TypedImperativeAggregate plans as ObjectHashAggregate with
@@ -557,14 +560,45 @@ case class HeavyHitters(
     buf
   }
 
+  /** A full sketch's smallest count — the mass an UNTRACKED value could
+    * have accumulated in that sketch's stream. A sketch with spare budget
+    * tracked everything it saw, so absent there means count 0.
+    */
+  private def minCount(buf: HeavyHittersBuf): Long =
+    if (buf.m.size < k) 0L
+    else {
+      var m = Long.MaxValue
+      val it = buf.m.values().iterator()
+      while (it.hasNext) { val c = it.next()(0); if (c < m) m = c }
+      m
+    }
+
   override def merge(a: HeavyHittersBuf, b: HeavyHittersBuf): HeavyHittersBuf = {
+    // Agarwal et al. 2012 (mergeable summaries): a value absent from one
+    // side may have held up to that side's min count before eviction — add
+    // it to BOTH est and err, so est ≥ true survives the merge (the naive
+    // count sum UNDERCOUNTS values evicted in some partition: found by the
+    // FuzzProps property, k=1, 11×"0"+1×"1" in 3 chunks → est 8 < true 11)
+    val ma = minCount(a)
+    val mb = minCount(b)
+    if (mb > 0) {
+      val bKeys = b.m
+      val itAe = a.m.entrySet().iterator()
+      while (itAe.hasNext) {
+        val e = itAe.next()
+        if (!bKeys.containsKey(e.getKey)) {
+          e.getValue()(0) += mb; e.getValue()(1) += mb
+        }
+      }
+    }
     a.n += b.n
     val it = b.m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val cur = a.m.get(e.getKey)
       if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
-      else a.m.put(e.getKey, e.getValue().clone())
+      else a.m.put(e.getKey,
+        Array(e.getValue()(0) + ma, e.getValue()(1) + ma))
     }
     if (a.m.size > k) {
       // keep the k largest counts (ties broken by value for stability)

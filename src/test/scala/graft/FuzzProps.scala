@@ -213,4 +213,39 @@ object FuzzProps extends Properties("graft.kernels") {
       val whole = agg.reduce(agg.zero, hashes)
       agg.finish(merged) == agg.finish(whole)
     }
+
+  property("heavy hitters contract holds under random streams and merge splits") = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    forAll(
+      Gen.chooseNum(2, 32),
+      Gen.listOfN(400, Gen.chooseNum(0L, 25L)),
+      Gen.chooseNum(1, 7)) { (k, xs, nChunks) =>
+      val agg = org.apache.spark.sql.graft.HeavyHitters(
+        BoundReference(0, LongType, nullable = true), k)
+      val bufs = xs.grouped(math.max(1, xs.size / nChunks)).map { chunk =>
+        val b = agg.createAggregationBuffer()
+        chunk.foreach(v => agg.update(b, InternalRow(v)))
+        b
+      }.toList
+      val merged = bufs
+        // serialize/deserialize one side of every merge — the shuffle path
+        .reduce((a, b) => agg.merge(a, agg.deserialize(agg.serialize(b))))
+      val n = xs.size.toLong
+      val truth = xs.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+      import scala.jdk.CollectionConverters._
+      val ents = merged.m.entrySet().asScala
+        .map(e => (e.getKey, e.getValue()(0), e.getValue()(1))).toSeq
+      val bounded = ents.forall { case (v, est, err) =>
+        val t = truth.getOrElse(v, 0L)
+        est >= t && est <= t + err && err * k <= n
+      }
+      val present = truth.forall { case (v, c) =>
+        c * k <= 2 * n || ents.exists(_._1 == v)
+      }
+      val sized = merged.m.size <= k && merged.n == n
+      bounded && present && sized
+    }
+  }
 }
