@@ -199,6 +199,63 @@ object Multimodal {
       .toDF("row_id", "dhash")
   }
 
+  /** Band explode of a (row_id, hash) table: one row per (band k, band key),
+    * plus the disk routing bucket `pb = k·nBuckets + (key mod nBuckets)`.
+    */
+  private def bandHashes(hashes: DataFrame, hashCol: String, bandBits: Int,
+                         nBands: Int, nBuckets: Int): DataFrame =
+    hashes.select(col("row_id"), col(hashCol).as("h"),
+      explode(expr(s"sequence(0, ${nBands - 1})")).as("k"))
+      .withColumn("key",
+        expr(s"shiftright(h, k * $bandBits) & ${(1L << bandBits) - 1}"))
+      .withColumn("pb",
+        (col("k") * nBuckets + pmod(col("key"), lit(nBuckets.toLong))).cast("int"))
+
+  /** Disk band index over perceptual hashes ([[dhashPgm]] /
+    * [[fingerprintWav]] outputs) — the incremental MEDIA-admission posture,
+    * hash edition of `NearDupScreen.writeIndex`: the archive's
+    * (row_id, hash) table lands partitioned by pb, so a new media batch
+    * probes only the partitions its own band keys hash into and admission
+    * cost tracks the BATCH, not the archive.
+    */
+  def writeHashIndex(hashes: DataFrame, path: String, hashCol: String = "dhash",
+                     bandBits: Int = 16, nBands: Int = 4,
+                     nBuckets: Int = 64): Unit =
+    bandHashes(hashes, hashCol, bandBits, nBands, nBuckets)
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(path)
+
+  /** Probe a [[writeHashIndex]] layout with a (small) batch of hashes: the
+    * collected pb set is routing metadata (≤ |batch|·nBands ints), the
+    * `isin` lands in the scan's `PartitionFilters`, and within-bucket work
+    * is the f11/f12 discipline — exact hamming on band-key-equal candidates.
+    * Output: (row_id, corpus_id, hamming ≤ maxHamming), materialized with
+    * the internal banded cache released (the probeIndex contract).
+    */
+  def probeHashIndex(spark: SparkSession, path: String, batch: DataFrame,
+                     hashCol: String = "dhash", maxHamming: Int = 2,
+                     bandBits: Int = 16, nBands: Int = 4,
+                     nBuckets: Int = 64): DataFrame = {
+    val banded = bandHashes(batch, hashCol, bandBits, nBands, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pbs = banded.select("pb").distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(path)
+      .filter(col("pb").isin(pbs.map(Integer.valueOf): _*))
+    val out = banded.as("q").join(idx.as("c"),
+        col("q.k") === col("c.k") && col("q.key") === col("c.key") &&
+          col("q.row_id") =!= col("c.row_id"))
+      .select(col("q.row_id").as("row_id"), col("c.row_id").as("corpus_id"),
+        col("q.h").as("qh"), col("c.h").as("ch"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(qh ^ ch) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("row_id", "corpus_id", "hamming")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    banded.unpersist(blocking = false)
+    out
+  }
+
   // -------------------------------------------------------------- real WAV
 
   /** Decoded audio features (REAL decode of the other pure-bytes media
