@@ -591,6 +591,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("heavy hitters as streaming aggregate honors the contract across batches") {
+    // streaming frequency estimation with O(k) state-store rows — the
+    // streaming twin of b44: the SpaceSaving buffer (not every distinct
+    // value) is what the state store checkpoints; estimates legitimately
+    // vary with batch boundaries, so the assertion is the CONTRACT
+    // (HeavyHittersSpec's bounds), not a specific estimate
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val k = 8
+    val q = ms.toDF().toDF("v")
+      .agg(graft.functions.heavy_hitters(col("v"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.value"), col("e.est"), col("e.err"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      // 50% value 777, 25% value 888, uniform tail — split across 3 batches
+      def mk(lo: Long, hi: Long): Seq[Long] = (lo until hi).flatMap { i =>
+        Seq(777L, 777L, 888L, 1000L + i % 97)
+      }
+      val all = mk(0, 300) ++ mk(300, 600) ++ mk(600, 900)
+      Seq(mk(0, 300), mk(300, 600), mk(600, 900)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      val n = all.size.toLong
+      val truth = all.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+      val ents = spark.table("hh_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(ents.length == k)
+      ents.foreach { case (v, est, err) =>
+        val t = truth.getOrElse(v, 0L)
+        assert(est >= t && est <= t + err, s"$v: est $est outside [$t, ${t + err}]")
+        assert(err * k <= n, s"$v: err $err above n/k")
+      }
+      // the planted heavy pair must be present and rank first
+      val top2 = ents.sortBy(-_._2).take(2).map(_._1).toSet
+      assert(top2 == Set(777L, 888L), s"planted hitters lost: $top2")
+    } finally q.stop()
+  }
+
   test("admission verdicts are batching-invariant (per-batch union == whole-input run)") {
     // the g09 kernel is stateless per doc, so its production deployment is
     // foreachBatch(admit(batch, corpus)) — this pins the property that makes
