@@ -4625,6 +4625,50 @@ object Queries {
       |  CAST(sum(r + g + b) AS BIGINT) AS checksum
       |FROM ch GROUP BY doc_id, f""".stripMargin))
 
+  /** f11/f13's planted media corpus (originals + exact twins %20==0 +
+    * single-pixel perturbations %20==10 + truncated dead-letters %20==15)
+    * hashed and COLLAPSED: one (keeper, dhash, n_copies) row per distinct
+    * perceptual hash.
+    */
+  private def imageHashGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val orig = operators.Multimodal.syntheticPgm(id)
+        val twin = if (id % 20 == 0) Seq((id + 100000, orig)) else Seq.empty
+        val pert = if (id % 20 == 10) {
+          val p = orig.clone()
+          val plane = p.length - ((8 + id % 9) * (8 + id % 7)).toInt
+          p(plane) = (((p(plane) & 0xff) + 16) % 256).toByte
+          Seq((id + 200000, p))
+        } else Seq.empty
+        val dead = if (id % 20 == 15) Seq((id + 300000, orig.take(5))) else Seq.empty
+        Seq((id, orig)) ++ twin ++ pert ++ dead
+      }.toDF("row_id", "payload")
+    operators.Multimodal.extractDhash(s, rows, "row_id", "payload")
+      .groupBy("dhash")
+      .agg(min("row_id").as("keeper"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Banded hamming-≤2 pairs over the DISTINCT hashes (the f11 body). */
+  private def imageDhashPairs(groups: DataFrame): DataFrame = {
+    val bands = groups
+      .select(col("keeper"), col("dhash"), col("n_copies"),
+        explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("key", expr("shiftright(dhash, k * 16) & 65535"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.key") === col("b.key") &&
+          col("a.keeper") < col("b.keeper"))
+      .select(col("a.keeper").as("id_a"), col("b.keeper").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"),
+        col("a.n_copies").as("copies_a"), col("b.n_copies").as("copies_b"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("hamming") <= 2)
+      .select("id_a", "id_b", "hamming", "copies_a", "copies_b")
+  }
+
   private val f11 = Q(
     "f11_image_dhash",
     // Perceptual image dedup — the IMAGE edition of the near-dup family:
@@ -4644,40 +4688,7 @@ object Queries {
     // distinct-hash pairs grow with data DIVERSITY, not volume. The oracle
     // computes every sampled pixel, gradient bit, keeper, band key, and
     // hamming distance ANALYTICALLY from the closed-form plane.
-    (s, dir) => {
-      import s.implicits._
-      val rows = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .flatMap { id =>
-          val orig = operators.Multimodal.syntheticPgm(id)
-          val twin = if (id % 20 == 0) Seq((id + 100000, orig)) else Seq.empty
-          val pert = if (id % 20 == 10) {
-            val p = orig.clone()
-            val plane = p.length - ((8 + id % 9) * (8 + id % 7)).toInt
-            p(plane) = (((p(plane) & 0xff) + 16) % 256).toByte
-            Seq((id + 200000, p))
-          } else Seq.empty
-          val dead = if (id % 20 == 15) Seq((id + 300000, orig.take(5))) else Seq.empty
-          Seq((id, orig)) ++ twin ++ pert ++ dead
-        }.toDF("row_id", "payload")
-      val hashes = operators.Multimodal.extractDhash(s, rows, "row_id", "payload")
-      val groups = hashes.groupBy("dhash")
-        .agg(min("row_id").as("keeper"), count(lit(1)).as("n_copies"))
-      val bands = groups
-        .select(col("keeper"), col("dhash"), col("n_copies"),
-          explode(expr("sequence(0, 3)")).as("k"))
-        .withColumn("key", expr("shiftright(dhash, k * 16) & 65535"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.k") === col("b.k") && col("a.key") === col("b.key") &&
-            col("a.keeper") < col("b.keeper"))
-        .select(col("a.keeper").as("id_a"), col("b.keeper").as("id_b"),
-          col("a.dhash").as("ha"), col("b.dhash").as("hb"),
-          col("a.n_copies").as("copies_a"), col("b.n_copies").as("copies_b"))
-        .distinct()
-        .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
-        .filter(col("hamming") <= 2)
-        .select("id_a", "id_b", "hamming", "copies_a", "copies_b")
-    },
+    (s, dir) => imageDhashPairs(imageHashGroups(s, dir)),
     // the dHash replay: w=8+d%9, h=8+d%7, pixel(p)=(d*31+p*7)%256 (+16 on
     // plane byte 0 for the perturbed rows), sample p=(oy*h//8)*w+(ox*w//9),
     // bit(oy*8+ox)=g(ox)<g(ox+1); hugeint bit sum → two's-complement BIGINT
@@ -4821,6 +4832,91 @@ object Queries {
       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
       |       copies_a, copies_b
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin))
+
+  private val f13 = Q(
+    "f13_media_clusters",
+    // Media near-dup CLUSTERS — f11's pair graph closed into connected
+    // components (c09's alternating-star contraction, O(log²) rounds), the
+    // policy-grade output a media-dedup run wants: pick one canonical image
+    // per cluster, know the cluster's total copy mass. One row per distinct
+    // hash that has at least one ≤2-bit neighbor: (keeper_id, rep =
+    // component-min keeper, cluster_keepers = distinct hashes in the
+    // component, cluster_copies = Σ n_copies — raw images the cluster
+    // absorbs). The oracle replays the full chain: analytic dHash → collapse
+    // → banded pairs → recursive min-label closure → cluster aggregates.
+    (s, dir) => {
+      val groups = imageHashGroups(s, dir)
+      val pairs = imageDhashPairs(groups)
+      val cc = operators.Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      val withCopies = cc.join(
+        groups.select(col("keeper").as("doc_id"), col("n_copies")), "doc_id")
+      val agg = withCopies.groupBy("rep")
+        .agg(count(lit(1)).as("cluster_keepers"),
+          sum("n_copies").as("cluster_copies"))
+      withCopies.join(agg, "rep")
+        .select(col("doc_id").as("keeper_id"), col("rep"),
+          col("cluster_keepers"), col("cluster_copies"))
+    },
+    Some("""WITH RECURSIVE rws AS (
+      |  SELECT doc_id AS row_id, doc_id AS d, FALSE AS pert FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, doc_id, TRUE FROM documents WHERE doc_id % 20 = 10),
+      |grid AS (
+      |  SELECT row_id, d, pert, oy.i AS oy, ox.i AS ox,
+      |         ((oy.i * (8 + d % 7)) // 8) * (8 + d % 9)
+      |           + (ox.i * (8 + d % 9)) // 9 AS p
+      |  FROM rws, generate_series(0, 7) oy(i), generate_series(0, 8) ox(i)),
+      |gv AS (
+      |  SELECT row_id, oy, ox,
+      |         CASE WHEN pert AND p = 0 THEN ((d * 31) % 256 + 16) % 256
+      |              ELSE (d * 31 + p * 7) % 256 END AS g
+      |  FROM grid),
+      |bits AS (
+      |  SELECT row_id, oy, ox, g,
+      |         lead(g) OVER (PARTITION BY row_id, oy ORDER BY ox) AS nxt
+      |  FROM gv),
+      |hsum AS (
+      |  SELECT row_id,
+      |         sum(CASE WHEN g < nxt
+      |               THEN CAST(power(2, oy * 8 + ox) AS HUGEINT)
+      |               ELSE 0::HUGEINT END) AS s
+      |  FROM bits WHERE ox < 8 GROUP BY row_id),
+      |hashes AS (
+      |  SELECT row_id,
+      |         CAST(CASE WHEN s >= 9223372036854775808
+      |                THEN s - 18446744073709551616
+      |                ELSE s END AS BIGINT) AS dhash
+      |  FROM hsum),
+      |grp AS (
+      |  SELECT dhash, min(row_id) AS keeper, count(*) AS n_copies
+      |  FROM hashes GROUP BY dhash),
+      |bands AS (
+      |  SELECT keeper, dhash, k.i AS k, (dhash >> (k.i * 16)) & 65535 AS key
+      |  FROM grp, generate_series(0, 3) k(i)),
+      |pj AS (
+      |  SELECT DISTINCT a.keeper AS id_a, b.keeper AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.k = b.k AND a.key = b.key AND a.keeper < b.keeper
+      |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+      |nodes AS (SELECT id_a AS id FROM pj UNION SELECT id_b FROM pj),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pj
+      |          UNION ALL SELECT id_b, id_a FROM pj),
+      |reach(id, r) AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |cc AS (SELECT id AS keeper_id, min(r) AS rep FROM reach GROUP BY id),
+      |wc AS (
+      |  SELECT cc.keeper_id, cc.rep, g.n_copies
+      |  FROM cc JOIN grp g ON g.keeper = cc.keeper_id),
+      |agg AS (
+      |  SELECT rep, count(*) AS cluster_keepers,
+      |         CAST(sum(n_copies) AS BIGINT) AS cluster_copies
+      |  FROM wc GROUP BY rep)
+      |SELECT keeper_id, wc.rep, cluster_keepers, cluster_copies
+      |FROM wc JOIN agg USING (rep)""".stripMargin))
 
   // ---------------------------------------------------------------- group G
 
@@ -5200,6 +5296,6 @@ object Queries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-    f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12,
+    f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13,
     g01, g02, g03, g04, g05, g06, g07, g08, g09)
 }
