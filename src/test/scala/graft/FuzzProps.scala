@@ -214,6 +214,26 @@ object FuzzProps extends Properties("graft.kernels") {
       agg.finish(merged) == agg.finish(whole)
     }
 
+  property("perceptual hashes never throw on arbitrary bytes") =
+    forAll(Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))) { bytes =>
+      // dead-letter (None), never crash — the decode-seam contract
+      operators.Multimodal.dhashPgm(1L, bytes)
+      operators.Multimodal.fingerprintWav(1L, bytes)
+      true
+    }
+
+  property("perceptual hashes never throw on bit-flipped valid payloads") =
+    forAll(Gen.chooseNum(0L, 499L), Gen.chooseNum(0, 4096), Gen.chooseNum(0, 7)) {
+      (id, pos, bit) =>
+        val img = operators.Multimodal.syntheticPgm(id)
+        img(pos % img.length) = (img(pos % img.length) ^ (1 << bit)).toByte
+        operators.Multimodal.dhashPgm(id, img)
+        val wav = operators.Multimodal.syntheticWav(id)
+        wav(pos % wav.length) = (wav(pos % wav.length) ^ (1 << bit)).toByte
+        operators.Multimodal.fingerprintWav(id, wav)
+        true
+    }
+
   property("heavy hitters contract holds under random streams and merge splits") = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
