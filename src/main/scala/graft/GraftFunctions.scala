@@ -22,9 +22,21 @@ object GraftFunctions {
     "nfc_normalize"          -> ((es: Seq[Expression]) => NfcNormalize(es.head)),
     // the analyzer wraps a bare AggregateFunction in AggregateExpression
     "keep_latest"            -> ((es: Seq[Expression]) => KeepLatest(es(0), es(1))),
-    // k must be a literal (folded before the sketch is constructed)
-    "heavy_hitters"          -> ((es: Seq[Expression]) =>
-      HeavyHitters(es(0), es(1).eval().asInstanceOf[Number].intValue())))
+    // k must be a literal (folded before the sketch is constructed) — a
+    // column reference or non-numeric k would otherwise surface as an NPE
+    // or ClassCastException from inside the builder
+    "heavy_hitters"          -> ((es: Seq[Expression]) => {
+      val kOk = es.length == 2 && es(1).foldable &&
+        (es(1).eval() match {
+          case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+               _: java.lang.Byte => true
+          case _ => false
+        })
+      if (!kOk) throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_3071",
+        Map("msg" -> "heavy_hitters(value, k): k must be an integer literal"))
+      HeavyHitters(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    }))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>

@@ -2072,6 +2072,63 @@ object Queries {
       |  SELECT v FROM vals GROUP BY v ORDER BY count(*) DESC, v LIMIT 1)
       |SELECT v AS top_value, CAST(8 AS INT) AS n_tracked FROM top""".stripMargin))
 
+  private val b46 = Q(
+    "b46_heavy_hitters_grouped",
+    // The reference README's dashboard shape — "top talkers PER resource/
+    // status" — b44's global sketch composed with a real GROUP BY: one
+    // ObjectHashAggregate whose per-group state is the O(k) SpaceSaving
+    // buffer (k entries per group per partition cross the wire; the exact
+    // per-group groupBy(user).count.rank alternative shuffles every
+    // (group, user) pair). Estimates inside [true, true+err] vary with
+    // partition layout → rows-only (always |groups|·k rows at this
+    // cardinality: every event_type has ≥k distinct users); b47 is the
+    // hash-checked per-group known-answer companion, and HeavyHittersSpec
+    // pins the grouped contract at 1 and 16 partitions per group.
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.heavy_hitters(col("user_id"), 16).as("hh"))
+      .select(col("event_type"), explode(col("hh")).as("e"))
+      .select(col("event_type"), col("e.value").as("user_id"),
+        col("e.est"), col("e.err")),
+    None)
+
+  private val b47 = Q(
+    "b47_heavy_hitters_grouped_top",
+    // b45's separation discipline applied PER GROUP: within each
+    // event_type, half the events are planted onto a group-specific value
+    // (-(length·1000 + ascii(first char)) — distinct per group, exactly
+    // mirrorable in SQL), so in every group the planted value's lower
+    // bound (≥ n_g/2) exceeds any real user's upper bound (true ≈ n_g/|users|
+    // plus the MERGED presence/err bound 2·n_g/k = n_g/4 at k=8) — the
+    // per-group rank-1 IDENTITY is merge-order-invariant even though the
+    // estimates are not.
+    (s, dir) => {
+      val planted = when(col("event_id") % 2 === 0,
+        -(length(col("event_type")).cast("long") * 1000 +
+          ascii(col("event_type")).cast("long")))
+        .otherwise(col("user_id"))
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.heavy_hitters(planted, 8).as("hh"))
+        .select(col("event_type"),
+          element_at(col("hh"), 1).getField("value").as("top_value"),
+          size(col("hh")).cast("int").as("n_tracked"))
+    },
+    Some("""WITH vals AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_id % 2 = 0
+      |              THEN -(CAST(length(event_type) AS BIGINT) * 1000
+      |                     + ascii(event_type))
+      |              ELSE user_id END AS v
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, v,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY count(*) DESC, v) AS rn
+      |  FROM vals GROUP BY event_type, v)
+      |SELECT event_type, v AS top_value, CAST(8 AS INT) AS n_tracked
+      |FROM ranked WHERE rn = 1""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -2295,17 +2352,25 @@ object Queries {
       |                   'even documents also share this footer paragraph'
       |              ELSE '' END AS text
       |  FROM corpus),
-      |p AS (
+      |p0 AS (
       |  SELECT doc_id, pos - 1 AS pos, ps[pos] AS para
       |  FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS pos
       |        FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
       |              FROM aug))),
-      |fst AS (SELECT para, min(doc_id * 16777216 + pos) AS fk FROM p GROUP BY para)
+      |p AS (
+      |  -- loud pack-bound mirror (Dedup.packedOrderKey): pos via error(),
+      |  -- doc_id additionally via DuckDB's overflow-checked INT64 multiply
+      |  SELECT doc_id, pos, para,
+      |         CASE WHEN pos >= 16777216 OR pos < 0
+      |                OR doc_id >= 549755813888 OR doc_id < 0
+      |              THEN CAST(error('c19 packed order key out of bounds') AS BIGINT)
+      |              ELSE doc_id * 16777216 + pos END AS pk
+      |  FROM p0),
+      |fst AS (SELECT para, min(pk) AS fk FROM p GROUP BY para)
       |SELECT p.doc_id,
       |       string_agg(p.para, chr(10) || chr(10) ORDER BY p.pos) AS clean_text,
       |       count(*) AS n_paras_kept
-      |FROM p JOIN fst ON fst.para = p.para
-      |  AND p.doc_id * 16777216 + p.pos = fst.fk
+      |FROM p JOIN fst ON fst.para = p.para AND p.pk = fst.fk
       |GROUP BY p.doc_id""".stripMargin))
 
   private val c20 = Q(
@@ -2328,12 +2393,21 @@ object Queries {
       |  text || ' the quick brown fox jumps over the lazy dog ends shared run' AS text
       |  FROM corpus),
       |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
-      |g AS (SELECT doc_id, i AS pos, array_to_string(ts[i + 1 : i + 8], ' ') AS gram
+      |g0 AS (SELECT doc_id, i AS pos, array_to_string(ts[i + 1 : i + 8], ' ') AS gram
       |      FROM (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 7, 0))) AS i
       |            FROM toks)),
-      |fst AS (SELECT gram, min(doc_id * 16777216 + pos) AS fk FROM g GROUP BY gram),
+      |g AS (
+      |  -- loud pack-bound mirror (Dedup.packedOrderKey): pos via error(),
+      |  -- doc_id additionally via DuckDB's overflow-checked INT64 multiply
+      |  SELECT doc_id, pos, gram,
+      |         CASE WHEN pos >= 16777216 OR pos < 0
+      |                OR doc_id >= 549755813888 OR doc_id < 0
+      |              THEN CAST(error('c20 packed order key out of bounds') AS BIGINT)
+      |              ELSE doc_id * 16777216 + pos END AS pk
+      |  FROM g0),
+      |fst AS (SELECT gram, min(pk) AS fk FROM g GROUP BY gram),
       |dup AS (SELECT doc_id, pos FROM g JOIN fst USING (gram)
-      |        WHERE doc_id * 16777216 + pos <> fk),
+      |        WHERE pk <> fk),
       |rm AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS rp FROM dup),
       |tk AS (SELECT doc_id, i AS pos, ts[i + 1] AS tok
       |       FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks)),
@@ -3228,6 +3302,53 @@ object Queries {
       |  FROM ms)
       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, maxsim
       |FROM ranked WHERE rank <= 3""".stripMargin))
+
+  private val d15 = Q(
+    "d15_maxsim_serving",
+    // The 100 TB MaxSim SERVING composition d14's scaladoc declares
+    // (Similarity.scala maxSim / probeIndex): corpus vectors live in a
+    // written disk IVF index (cell-partitioned parquet); each query TOKEN
+    // probes ONLY its nProbe cells' partitions (partition-pruned read,
+    // IvfIndexSpec asserts PartitionFilters); probe hits map to a DOC
+    // shortlist; the exact integer MaxSim scorer runs on shortlisted docs
+    // only — scoring the full corpus is never an option at scale. Known
+    // answer the d05 way: every 25th doc gets a planted twin doc (same 8
+    // vectors at doc_id+100000 / vec_id+800000) used as the query; the twin
+    // token's exact copy is cosine-1 in its own probed cell (identical
+    // argmax tie-break), so the ORIGINAL doc always survives the prune and
+    // scores the analytic ceiling — floor(1e6·cos)=1e6 per surviving token,
+    // Σ = nonzero_tokens·1e6 — while any other doc is strictly below it and
+    // the twin itself ties but loses the doc_id tie-break. rank-1 is
+    // therefore exact and hash-checkable even though the shortlist is
+    // approximation-defined.
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb
+        .select(expr("vec_id div 8").as("doc_id"), col("vec_id"), col("embedding"))
+      val twins = corpus.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("qid"),
+          (col("vec_id") + 800000).as("qtok"), col("embedding"))
+      val centroids = Similarity.ivfCentroids(emb, nCells = 16, refineIters = 1)
+      val idxDir =
+        java.nio.file.Files.createTempDirectory("graft_d15_idx").toString + "/idx"
+      Similarity.writeIndex(emb, centroids, idxDir)
+      val tokenProbes = twins.select(col("qtok").as("qid"), col("embedding").as("qv"))
+      val hits = Similarity.probeIndex(s, idxDir, tokenProbes, centroids,
+        k = 32, nProbe = 4)
+      val shortlist = hits.select(expr("neighbor div 8").as("doc_id")).distinct()
+      Similarity.maxSim(corpus.join(shortlist, "doc_id"), twins)
+        .filter(col("rank") === 1)
+    },
+    Some("""WITH nz AS (
+      |  SELECT vec_id // 8 AS doc_id, count(*) AS nzt
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |          x -> CAST(round(x * 1000) AS BIGINT)
+      |               * CAST(round(x * 1000) AS BIGINT))) > 0
+      |  GROUP BY 1)
+      |SELECT CAST(doc_id + 100000 AS BIGINT) AS qid, CAST(1 AS INT) AS rank,
+      |       doc_id, CAST(nzt * 1000000 AS BIGINT) AS maxsim
+      |FROM nz WHERE doc_id % 25 = 0""".stripMargin))
 
   // ---------------------------------------------------------------- group E
 
@@ -5203,6 +5324,98 @@ object Queries {
       |       (g.quality_pass AND f.doc_id IS NULL) AS admit
       |FROM gated g LEFT JOIN flagged f USING (doc_id)""".stripMargin))
 
+  private val g10 = Q(
+    "g10_stream_media_admission",
+    // Incremental MEDIA admission — the g09 posture for the f11/f12
+    // perceptual family: the archive's dHashes live in a DISK band index
+    // (Multimodal.writeHashIndex, partitioned by band bucket); an arriving
+    // media batch probes ONLY the partitions its own band keys hash into
+    // (probeHashIndex — the pb isin lands in PartitionFilters, asserted in
+    // MediaIndexSpec), so per-batch admission cost tracks the BATCH, not
+    // the archive. Arrival mix: %20==0 exact re-uploads (hamming 0 against
+    // their source), %20==10 single-pixel +16 perturbations (≤2 gradient
+    // bits move — flagged through banding at recall 1), %20==15 truncated
+    // payloads (dead-letter at decode, must never reach the pair set).
+    // Every stage is stateless (the probed pb set is per-batch routing
+    // metadata), so the batch result IS the streaming result — per-batch
+    // union parity is MediaIndexSpec's batching-invariance test. The
+    // oracle replays EVERYTHING analytically from the closed-form plane
+    // (the f11 discipline): batch and archive hashes, band keys, candidate
+    // join, hamming — a mis-read byte cannot hash-match.
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      val archive = operators.Multimodal.extractDhash(s,
+        ids.map(id => (id, operators.Multimodal.syntheticPgm(id)))
+          .toDF("doc_id", "payload"), "doc_id", "payload")
+      val batch = operators.Multimodal.extractDhash(s,
+        ids.flatMap { id =>
+          val orig = operators.Multimodal.syntheticPgm(id)
+          val re = if (id % 20 == 0) Seq((id + 500000, orig)) else Seq.empty
+          val pert = if (id % 20 == 10) {
+            val p = orig.clone()
+            val plane = p.length - ((8 + id % 9) * (8 + id % 7)).toInt
+            p(plane) = (((p(plane) & 0xff) + 16) % 256).toByte
+            Seq((id + 600000, p))
+          } else Seq.empty
+          val dead = if (id % 20 == 15) Seq((id + 700000, orig.take(5))) else Seq.empty
+          re ++ pert ++ dead
+        }.toDF("doc_id", "payload"), "doc_id", "payload")
+      val idxDir =
+        java.nio.file.Files.createTempDirectory("graft_g10_idx").toString + "/idx"
+      operators.Multimodal.writeHashIndex(archive, idxDir)
+      operators.Multimodal.probeHashIndex(s, idxDir, batch)
+    },
+    // the f11 dHash replay, batch × archive edition: analytic hashes for
+    // both sides, 4×16-bit band equi-join, hamming ≤ 2
+    Some("""WITH rws AS (
+      |  SELECT doc_id AS row_id, doc_id AS d, FALSE AS pert, 0 AS side
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000, doc_id, FALSE, 1
+      |  FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 600000, doc_id, TRUE, 1
+      |  FROM documents WHERE doc_id % 20 = 10),
+      |grid AS (
+      |  SELECT row_id, d, pert, side, oy.i AS oy, ox.i AS ox,
+      |         ((oy.i * (8 + d % 7)) // 8) * (8 + d % 9)
+      |           + (ox.i * (8 + d % 9)) // 9 AS p
+      |  FROM rws, generate_series(0, 7) oy(i), generate_series(0, 8) ox(i)),
+      |gv AS (
+      |  SELECT row_id, side, oy, ox,
+      |         CASE WHEN pert AND p = 0 THEN ((d * 31) % 256 + 16) % 256
+      |              ELSE (d * 31 + p * 7) % 256 END AS g
+      |  FROM grid),
+      |bits AS (
+      |  SELECT row_id, side, oy, ox, g,
+      |         lead(g) OVER (PARTITION BY row_id, oy ORDER BY ox) AS nxt
+      |  FROM gv),
+      |hsum AS (
+      |  SELECT row_id, side,
+      |         sum(CASE WHEN g < nxt
+      |               THEN CAST(power(2, oy * 8 + ox) AS HUGEINT)
+      |               ELSE 0::HUGEINT END) AS s
+      |  FROM bits WHERE ox < 8 GROUP BY row_id, side),
+      |hashes AS (
+      |  SELECT row_id, side,
+      |         CAST(CASE WHEN s >= 9223372036854775808
+      |                THEN s - 18446744073709551616
+      |                ELSE s END AS BIGINT) AS dhash
+      |  FROM hsum),
+      |bands AS (
+      |  SELECT row_id, side, dhash, k.i AS k,
+      |         (dhash >> (k.i * 16)) & 65535 AS key
+      |  FROM hashes, generate_series(0, 3) k(i)),
+      |cand AS (
+      |  SELECT DISTINCT q.row_id, c.row_id AS corpus_id,
+      |         q.dhash AS qh, c.dhash AS ch
+      |  FROM bands q JOIN bands c
+      |    ON q.k = c.k AND q.key = c.key
+      |   AND q.side = 1 AND c.side = 0 AND q.row_id <> c.row_id)
+      |SELECT row_id, corpus_id, CAST(bit_count(xor(qh, ch)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(qh, ch)) <= 2""".stripMargin))
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -5291,11 +5504,12 @@ object Queries {
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42, b43, b44, b45,
+    b46, b47,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17, c18,
     c19, c20,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13,
-    g01, g02, g03, g04, g05, g06, g07, g08, g09)
+    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10)
 }

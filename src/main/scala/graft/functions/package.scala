@@ -40,8 +40,12 @@ package object functions {
 
   /** Aggregate: SpaceSaving heavy hitters over a long column — k-bounded
     * frequency estimation (the `approx_top_k` OSS Spark lacks). Returns
-    * `array<struct<value, est, err>>` sorted by est desc; every value with
-    * true frequency > n/k is guaranteed present, and true ≤ est ≤ true+err.
+    * `array<struct<value, est, err>>` sorted by est desc; true ≤ est ≤
+    * true+err for every tracked value. Presence bound: > n/k true
+    * frequency in a single sketch, > 2n/k once sketches merge — and any
+    * multi-partition aggregate merges, so design to the 2n/k bound (the
+    * merge's per-side min-count additions can double the est-sum before
+    * the trim; see sql.graft.HeavyHitters for the derivation).
     * Plans as ObjectHashAggregate with map-side combine — k entries cross
     * the wire per partition instead of every distinct value.
     */

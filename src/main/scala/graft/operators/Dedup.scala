@@ -527,7 +527,8 @@ object Dedup {
     * a plain long `min`, which stays in HashAggregate with map-side combine
     * (a `min(struct(...))` would demote to SortAggregate, the a03
     * pathology). Packing contract: pos < 2^24 paragraphs per document,
-    * doc ids < 2^39. The first-key table is |distinct paragraphs| rows of
+    * doc ids < 2^39 — enforced loudly by [[packedOrderKey]], never silent.
+    * The first-key table is |distinct paragraphs| rows of
     * 16 bytes, never corpus-sized; its partitioning (by hash) is reused by
     * the decision join, so the full text crosses exactly one exchange.
     * Documents whose every paragraph first appeared elsewhere drop out.
@@ -541,7 +542,7 @@ object Dedup {
     val paras = df.select(col(idCol).cast("long").as("doc_id"),
       posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
       .withColumn("ph", xxhash64(col("para")))
-      .withColumn("okey", shiftleft(col("doc_id"), 24) + col("pos"))
+      .withColumn("okey", packedOrderKey(col("doc_id"), col("pos")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = paras.groupBy("ph").agg(min(col("okey")).as("first_key"))
     val out = paras.join(first, Seq("ph"))
@@ -590,7 +591,7 @@ object Dedup {
         expr(s"transform(sequence(0, size(toks) - $l), " +
           s"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $l))))"))
         .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as(Seq("pos", "gh")))
-      .withColumn("okey", shiftleft(col("doc_id"), 24) + col("pos"))
+      .withColumn("okey", packedOrderKey(col("doc_id"), col("pos")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = grams.groupBy("gh").agg(min(col("okey")).as("first_key"))
     val dupStarts = grams.join(first, Seq("gh"))
@@ -607,6 +608,23 @@ object Dedup {
         (size(col("toks")) - size(col("kept"))).cast("int").as("n_removed_tokens"))
     materializedPairs(out, grams)
   }
+
+  /** Packed (doc, pos) corpus-wide order key — doc_id·2²⁴ + pos — with the
+    * b42 loud-bound discipline: the pack silently MISORDERS keep-first
+    * decisions if a document exceeds 2²⁴ paragraphs/windows or doc_id ≥ 2³⁹,
+    * so a violated bound fails loudly in both engines instead — Spark
+    * through this raise_error, DuckDB through its overflow-checked
+    * `doc_id * 16777216` plus an explicit error() on the pos bound in the
+    * mirrored oracles (Queries c19/c20). Production runs have no oracle;
+    * this guard is what they get.
+    */
+  private[graft] def packedOrderKey(docId: Column, pos: Column): Column =
+    when(docId < 0 || docId >= lit(1L << 39) || pos < 0 || pos >= lit(1 << 24),
+      raise_error(format_string(
+        "packed (doc, pos) order key out of bounds: doc_id=%d pos=%d " +
+          "(need 0<=doc_id<2^39, 0<=pos<2^24)",
+        docId, pos)).cast("long"))
+      .otherwise(shiftleft(docId, 24) + pos)
 
   /** Embedding cosine near-dup pairs above a threshold. Nested-loop join —
     * intended for small or pre-blocked inputs; use LSH buckets at scale.

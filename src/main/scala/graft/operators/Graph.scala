@@ -24,6 +24,17 @@ import org.apache.spark.storage.StorageLevel
   * restructure; 16.4 s → see SURVEY §6 for the after). RDD lineage is kept,
   * so a lost cached block recomputes instead of stranding the job.
   *
+  * Partitioning discipline: the edge list is hash-partitioned by `src`
+  * BEFORE it is persisted, so the cached `InMemoryRelation` reports
+  * `hashpartitioning(src)` as its output partitioning and every
+  * iteration's `edges ⋈ ranks ON src = node` (and the `deg` groupBy and
+  * the initial-rank distinct, both keyed on src) satisfies its required
+  * distribution from the cache — once the rank vector outgrows broadcast
+  * (the 100 TB regime), each iteration shuffles ONLY the |nodes|-row rank
+  * vector, never the edge list. GraphSpec asserts the plan shape: with
+  * broadcast disabled, no Exchange sits above the edge-side
+  * InMemoryTableScan in the iteration join.
+  *
   * Returns a PERSISTED frame (the Bm25.search hand-back contract): every
   * internal cache is released before return; the caller (or Verify/Bench's
   * clear-between-runs) releases the result.
@@ -37,37 +48,30 @@ object Graph {
     */
   def pageRank(spark: SparkSession, lineitem: DataFrame, orders: DataFrame,
                iterations: Int = 3): DataFrame = {
-    val base = lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
-      .distinct()
-    val edges = base.select(col("cn").as("src"), col("sn").as("dst"))
-      .unionByName(base.select(col("sn").as("src"), col("cn").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = edgeFrame(lineitem, orders).persist(StorageLevel.MEMORY_AND_DISK)
     val n = edges.select("src").distinct().count() // materializes the edge cache
+    if (n == 0) { // empty input: no nodes to rank (and nothing to divide by)
+      edges.unpersist(blocking = false)
+      return spark.range(0).select(
+        lit("customer").as("kind"), col("id").as("key"), col("id").as("rank_e12"))
+    }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val scale = 1000000000000L
     val teleport = (15L * scale / 100) / n
 
-    def step(ranks: DataFrame): DataFrame =
-      edges.join(ranks, col("src") === col("node"))
-        .join(deg, "src")
-        .select(col("dst"), expr("r div outdeg").as("c"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum("c").as("csum"))
-        .select(col("node"), (lit(teleport) + expr("(85 * csum) div 100")).as("r"))
+    def iterate(ranks: DataFrame): DataFrame = step(edges, deg, teleport)(ranks)
 
     var ranks = edges.select(col("src").as("node")).distinct()
       .withColumn("r", lit(scale / n))
     var prevCache: Option[DataFrame] = None
     for (_ <- 1 until iterations) {
-      val p = step(ranks).persist(StorageLevel.MEMORY_AND_DISK)
+      val p = iterate(ranks).persist(StorageLevel.MEMORY_AND_DISK)
       p.count() // materialize so the previous round can release
       prevCache.foreach(_.unpersist(blocking = false))
       prevCache = Some(p)
       ranks = spark.createDataFrame(p.rdd, p.schema) // truncate plan lineage
     }
-    val out = step(ranks).select(
+    val out = iterate(ranks).select(
       when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
       expr("node div 2").as("key"), col("r").as("rank_e12"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -76,4 +80,34 @@ object Graph {
     edges.unpersist(blocking = false)
     out
   }
+
+  /** Symmetric edge list (both directions of every distinct trading pair),
+    * hash-partitioned by `src` so the caller's persist captures that
+    * partitioning — NOT persisted here (pageRank persists it; GraphSpec
+    * persists its own copy to assert the plan shape).
+    */
+  private[graft] def edgeFrame(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val base = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    base.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(base.select(col("sn").as("src"), col("cn").as("dst")))
+      .repartition(col("src")) // partition ONCE; every iteration reuses it
+  }
+
+  /** One PageRank iteration: edges ⋈ ranks on src=node, per-edge
+    * contribution `r div outdeg`, contributions summed on dst, damped in
+    * exact integer arithmetic. With `edges` persisted under its src hash
+    * partitioning, the edge side of this join reads straight from cache —
+    * only the |nodes|-row rank vector moves.
+    */
+  private[graft] def step(edges: DataFrame, deg: DataFrame, teleport: Long)
+                         (ranks: DataFrame): DataFrame =
+    edges.join(ranks, col("src") === col("node"))
+      .join(deg, "src")
+      .select(col("dst"), expr("r div outdeg").as("c"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum("c").as("csum"))
+      .select(col("node"), (lit(teleport) + expr("(85 * csum) div 100")).as("r"))
 }

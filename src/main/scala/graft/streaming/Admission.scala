@@ -39,10 +39,13 @@ object Admission {
   def ruleGate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .withColumn("_t", expr(s"filter(split(trim($textCol), '\\\\s+'), x -> length(x) > 0)"))
-      .withColumn("n_words", size(col("_t")))
+      // a NULL text must be a deterministic REJECTION, not a null verdict
+      // that three-values its way through near_dup/admit: 0 words, fail
+      .withColumn("n_words", coalesce(size(col("_t")), lit(0)))
       .withColumn("_alpha", expr("size(filter(_t, x -> x rlike '^[a-z]+$'))"))
       .withColumn("quality_pass",
-        col("n_words") >= 5 && col("_alpha") * 10 >= col("n_words") * 7)
+        coalesce(col("n_words") >= 5 && col("_alpha") * 10 >= col("n_words") * 7,
+          lit(false)))
       .drop("_t", "_alpha")
 
   /** Batch / per-micro-batch kernel: verdict per incoming doc.

@@ -490,13 +490,18 @@ final class HeavyHittersBuf(
 /** `heavy_hitters(value, k) -> array<struct<value, est, err>>` — SpaceSaving
   * (Metwally et al. 2005) frequency estimation with a k-entry bound: the
   * `approx_top_k` OSS Spark lacks. Guarantees (and what the spec pins):
-  * every value with true frequency > n/k is present; for every tracked
-  * value, true ≤ est ≤ true + err with err ≤ n/k (per-sketch AND merged:
-  * the merge follows Agarwal et al. 2012's mergeable-summaries
-  * construction — a value absent from one side gains that side's min count
-  * on both est and err, since that is the mass it could have held there
-  * before eviction; counts and overcounts add, trimming keeps the k
-  * largest — which is what preserves est ≥ true across merges).
+  * for every tracked value, true ≤ est ≤ true + err; presence is
+  * guaranteed for true frequency > n/k in a SINGLE sketch, and > 2n/k
+  * once sketches MERGE (any multi-partition aggregate merges): the merge
+  * follows Agarwal et al. 2012's mergeable-summaries construction — a
+  * value absent from one side gains that side's min count on both est and
+  * err, since that is the mass it could have held there before eviction;
+  * counts and overcounts add, trimming keeps the k largest — which
+  * preserves est ≥ true across merges, but the per-side min-count
+  * additions let the merged est-sum reach 2n, so the trim's presence
+  * threshold weakens to ~2n/k (HeavyHittersSpec and FuzzProps pin exactly
+  * this bound; callers needing the n/k contract must separate by 2n/k, as
+  * b45/b46 do).
   *
   * Exists for the same plan reason as [[KeepLatest]]: a bounded O(k) state
   * through TypedImperativeAggregate plans as ObjectHashAggregate with

@@ -325,4 +325,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byCopies.get(2L).contains(exactIds.size.toLong))
   }
+
+  test("packedOrderKey: in-bound packs exactly, each violated bound fails loudly") {
+    import spark.implicits._
+    // in-bound: exact pack, including both boundary-adjacent corners
+    val ok = Seq((5L, 7), ((1L << 39) - 1, (1 << 24) - 1)).toDF("d", "p")
+      .select(Dedup.packedOrderKey(col("d"), col("p")).as("k"))
+      .collect().map(_.getLong(0))
+    assert(ok(0) == (5L << 24) + 7)
+    assert(ok(1) == (((1L << 39) - 1) << 24) + ((1 << 24) - 1))
+    // just-over-bound, one violation at a time
+    for ((d, p) <- Seq((1L << 39, 0), (5L, 1 << 24), (-1L, 0), (5L, -1))) {
+      val e = intercept[Exception] {
+        Seq((d, p)).toDF("d", "p")
+          .select(Dedup.packedOrderKey(col("d"), col("p")).as("k")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("order key out of bounds")),
+        s"($d,$p) failed without the loud guard message: $e")
+    }
+  }
+
+  test("paragraphDedup fails loudly on a doc_id past the pack bound") {
+    import spark.implicits._
+    val df = Seq((1L << 39, "alpha\n\nbeta")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.paragraphDedup(df, "doc_id", "text").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("order key out of bounds")))
+  }
 }

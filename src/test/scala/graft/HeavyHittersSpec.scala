@@ -84,4 +84,56 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
     val es = entries(df, 8)
     assert(es.map(_._2).sum == 50, "only non-null rows counted")
   }
+
+  test("SQL surface rejects a non-literal k with a clear analysis error") {
+    GraftFunctions.register(spark)
+    skewed(100).createOrReplaceTempView("hh_in_badk")
+    for (badK <- Seq("v", "'eight'", "CAST(NULL AS INT)")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT heavy_hitters(v, $badK) FROM hh_in_badk").collect()
+      }
+      assert(e.getMessage.contains("k must be an integer literal"),
+        s"k=$badK: ${e.getMessage}")
+    }
+  }
+
+  test("grouped: the O(k)-per-group contract composes with GROUP BY at 1 and 16 partitions") {
+    // b46/b47's shape — per-group SpaceSaving state under a real GROUP BY.
+    // 3 groups × (one dominant value at 50% of the group + a uniform tail)
+    val n = 60000L
+    val base = spark.range(n).select(
+      (col("id") % 3).cast("string").as("g"),
+      when(col("id") % 2 === 0, lit(-1L) - col("id") % 3) // per-group plant
+        .otherwise(col("id") % 200).as("v"))
+    val k = 8
+    val perGroup = n / 3
+    val truth = base.groupBy("g", "v").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq(1, 16).foreach { parts =>
+      val agg = base.repartition(parts)
+        .groupBy("g").agg(heavy_hitters(col("v"), k).as("hh"))
+      val rows = agg.select(col("g"), explode(col("hh")).as("e"))
+        .select(col("g"), col("e.value"), col("e.est"), col("e.err"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.groupBy(_._1).forall(_._2.length == k), "k entries per group")
+      rows.foreach { case (g, v, est, err) =>
+        val t = truth.getOrElse((g, v), 0L)
+        assert(est >= t && est <= t + err, s"[$g,$v] est $est outside [true, true+err], true=$t")
+      }
+      // per-group presence above the MERGED 2n_g/k bound, and the planted
+      // dominant value is rank 1 in its group
+      (0 until 3).map(_.toString).foreach { g =>
+        val inG = rows.filter(_._1 == g)
+        truth.collect { case ((`g`, v), t) if t > 2 * perGroup / k => v }.foreach { hot =>
+          assert(inG.exists(_._2 == hot), s"group $g lost hot value $hot at $parts parts")
+        }
+        assert(inG.maxBy(_._3)._2 == -1L - g.toLong, s"group $g rank-1 not the plant")
+      }
+      // plan shape: one aggregation (partial+final ObjectHashAggregate),
+      // no SortAggregate demotion, and only the group-key exchange
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"), plan)
+      assert(!plan.contains("SortAggregate"), plan)
+    }
+  }
 }
