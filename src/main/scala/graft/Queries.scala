@@ -642,6 +642,77 @@ object Queries {
              20, "http_log", "log_id", "resource_id", "bytes_sent")}
       |SELECT log_id, hd AS hval FROM h20""".stripMargin))
 
+  private val a21 = Q(
+    "a21_capacity_estimate",
+    // The reference README's sizing task ("estimate of disk space required
+    // given average incoming message rate and retention",
+    // reference/README.md:63-66) as a registered row: measure the rollup's
+    // cardinality compression on the sample (|a04 totals| / |raw logs|),
+    // extrapolate to 1k msg/s over 90 days at the measured ~64 B/agg-row
+    // parquet footprint (operators/Capacity.scala). Every arithmetic step
+    // is mirrored exactly: the one double op (rate × compression) is the
+    // same IEEE multiply in both engines, truncated toward zero (.toLong /
+    // trunc), and everything else is BIGINT.
+    (s, dir) => {
+      import s.implicits._
+      val est = operators.Capacity.estimate(
+        httpLog(s, dir), a04.fn(s, dir), msgsPerSecond = 1000, retentionDays = 90)
+      Seq((est.rawRowsPerDay, est.aggRowsPerDay, est.aggBytesPerDay,
+        est.retentionDays, est.totalBytes))
+        .toDF("raw_rows_per_day", "agg_rows_per_day", "agg_bytes_per_day",
+          "retention_days", "total_bytes")
+    },
+    Some(s"""${HttpLog.cte}
+      |, agg AS (
+      |  SELECT resource_id, response_status, cache_status, remote_addr,
+      |         date_trunc('hour', ts) AS ts_hour
+      |  FROM http_log GROUP BY 1, 2, 3, 4, 5),
+      |n AS (SELECT (SELECT count(*) FROM http_log) AS rawn,
+      |             (SELECT count(*) FROM agg) AS aggn),
+      |e AS (SELECT CAST(86400000 AS BIGINT) AS raw_rows_per_day,
+      |             CAST(trunc(86400000 * (CAST(aggn AS DOUBLE) / rawn))
+      |                  AS BIGINT) AS agg_rows_per_day
+      |      FROM n)
+      |SELECT raw_rows_per_day, agg_rows_per_day,
+      |       agg_rows_per_day * 64 AS agg_bytes_per_day,
+      |       CAST(90 AS INT) AS retention_days,
+      |       agg_rows_per_day * 64 * 90 AS total_bytes
+      |FROM e""".stripMargin))
+
+  private val a22 = Q(
+    "a22_compact_small_files",
+    // Small-file compaction (the OPTIMIZE bin-packing maintenance pass,
+    // Layout.compact) as a registered row: the totals table lands as 32
+    // deliberately-tiny files (the streaming-sink fragmentation the pass
+    // exists for), compact() bin-packs them — with a 1 GiB target every
+    // file is under the small threshold and the packing is closed-form:
+    // ceil(total/1 GiB) = exactly ONE output file. The returned frame
+    // re-reads the compacted table, so the hash certifies the swap lost no
+    // rows and the stats match the closed-form file counts; crash-safety
+    // and idempotence of the rename protocol stay pinned in LayoutSpec.
+    (s, dir) => {
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_a22").toString + "/totals"
+      a04.fn(s, dir).repartition(32)
+        .write.mode("overwrite").parquet(tmp)
+      val stats = operators.Layout.compact(s, tmp, targetBytes = 1L << 30)
+      s.read.parquet(tmp).agg(
+        lit(stats.filesBefore).as("files_before"),
+        lit(stats.filesAfter).as("files_after"),
+        lit(stats.smallRewritten).as("files_rewritten"),
+        count(lit(1)).as("rows_after"),
+        sum("requests").as("requests_total"))
+    },
+    Some(s"""${HttpLog.cte}
+      |, agg AS (
+      |  SELECT resource_id, response_status, cache_status, remote_addr,
+      |         date_trunc('hour', ts) AS ts_hour, count(*) AS requests
+      |  FROM http_log GROUP BY 1, 2, 3, 4, 5)
+      |SELECT CAST(32 AS INT) AS files_before, CAST(1 AS INT) AS files_after,
+      |       CAST(32 AS INT) AS files_rewritten,
+      |       count(*) AS rows_after, CAST(sum(requests) AS BIGINT) AS requests_total
+      |FROM agg""".stripMargin))
+
   private val a16 = Q(
     "a16_gapfill_timeseries",
     (s, dir) => {
@@ -5500,7 +5571,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15,
-    a16, a17, a18, a19, a20,
+    a16, a17, a18, a19, a20, a21, a22,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42, b43, b44, b45,

@@ -44,6 +44,12 @@ import graft.operators.{Dedup, Similarity}
   *    offsets per replica (structurally identical components — nodes and
   *    edges both ×mult), time those registered queries (b43's iteration
   *    shuffle).
+  *  - `serve`: inflate documents AND embeddings (dissimilar salting), build
+  *    the admission/serving indexes ONCE (disk LSH band index, MaxSim IVF
+  *    index — offline artifacts, untimed), then time the PER-BATCH costs
+  *    that must stay flat as the corpus grows: g09 admission of a
+  *    fixed-size arrival batch against the prebuilt index, the exact d14
+  *    MaxSim scorer, and the d15 IVF-shortlist MaxSim serving path.
   *  - any query names: inflate events, time those registered queries.
   *
   * Usage: runMain graft.ScaleProbe [multiplier] [etl|dedup|sketch|text|queryName...]
@@ -91,14 +97,14 @@ object ScaleProbe {
             else d.withColumn("embedding", expr(
               s"transform(embedding, (x, i) -> CAST(IF(pmod(hash(i, $r), 2) = 0, -x, x) AS FLOAT))")))
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      } else if (mode == "dedup" || mode == "text" || mode == "textq") {
+      } else if (mode == "dedup" || mode == "serve" || mode == "text" || mode == "textq") {
         inflate(spark.read.parquet(s"$base/documents.parquet"), mult, "doc_id",
           (d, r) => if (r == 0) d
             else d.withColumn("text", translate(col("text"), alpha, cipher(r))))
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
         // sign-flip mask from murmur3(hash(dim, r)) — distinct per replica for
         // every r (the old (i + r) % 7 pattern repeated with period 7)
-        if (mode == "dedup")
+        if (mode == "dedup" || mode == "serve")
           inflate(spark.read.parquet(s"$base/embeddings.parquet"), mult, "vec_id",
             (d, r) => if (r == 0) d
               else d.withColumn("embedding", expr(
@@ -376,6 +382,63 @@ object ScaleProbe {
           "pq_probe_50q" -> (() =>
             Similarity.probeIndexPQ(spark, pqDir, queries, centroids, cb,
               k = 10, m = 8, kc = 16)))
+      } else if (mode == "serve") {
+        // Per-batch cost with PREBUILT indexes across corpus growth — the
+        // admission/serving posture: the archive is indexed ONCE (outside
+        // the timed thunks, like e26's merges — an offline artifact), and
+        // the timed runs are per-increment costs that must track the BATCH
+        // while the corpus grows 10×/100× underneath. Covers the two r8
+        // ops previously measured only with both sides growing: g09
+        // admission (now vs a prebuilt band index) and d14/d15 MaxSim
+        // (exact scorer curve + the IVF-shortlist serving knob).
+        val docs = Tables.documents(spark, out)
+        val emb = Tables.embeddings(spark, out)
+        // fixed arrival batch: the BASE corpus's g09 mix, size-invariant
+        // in mult, so the probe isolates corpus growth
+        val base0 = spark.read.parquet(s"$base/documents.parquet")
+        val arrivals = base0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" servescreen probe suffix")).as("text"))
+          .unionByName(base0.filter(col("doc_id") % 10 === 5)
+            .select((col("doc_id") + 300000).as("doc_id"),
+              trim(repeat(lit("@@@ "), 20)).as("text")))
+          .unionByName(base0.filter(col("doc_id") % 10 === 3)
+            .select((col("doc_id") + 400000).as("doc_id"),
+              translate(col("text"), "aeiou", "uoiea").as("text")))
+        val screenIdx = s"$out/screen_idx"
+        if (!Files.exists(Paths.get(s"$out/_screen_idx_done"))) {
+          streaming.NearDupScreen.writeIndex(docs, screenIdx, "doc_id", "text")
+          Files.createFile(Paths.get(s"$out/_screen_idx_done"))
+        }
+        val corpus = emb.select(expr("vec_id div 8").as("doc_id"),
+          col("vec_id"), col("embedding"))
+        val queries = corpus.filter(col("doc_id").isin(3, 17, 29))
+          .select(col("doc_id").as("qid"), col("vec_id").as("qtok"), col("embedding"))
+        val nVec = emb.count()
+        val nCells = math.max(16, (nVec / 500).toInt) // cells grow, cell size flat
+        def frozen(df: DataFrame): DataFrame = spark.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+        val ivfDir = s"$out/maxsim_ivf_idx"
+        lazy val centroids = {
+          val c = frozen(Similarity.ivfCentroids(emb, nCells, refineIters = 1))
+          if (!Files.exists(Paths.get(s"$out/_maxsim_idx_done"))) {
+            Similarity.writeIndex(emb, c, ivfDir)
+            Files.createFile(Paths.get(s"$out/_maxsim_idx_done"))
+          }
+          c
+        }
+        Seq(
+          "g09_admit_prebuilt" -> (() =>
+            streaming.Admission.admitIndexed(spark, arrivals, screenIdx,
+              "doc_id", "text")),
+          "d14_maxsim_exact" -> (() => Similarity.maxSim(corpus, queries)),
+          "d15_maxsim_shortlist" -> (() => {
+            val hits = Similarity.probeIndex(spark, ivfDir,
+              queries.select(col("qtok").as("qid"), col("embedding").as("qv")),
+              centroids, k = 32, nProbe = 4)
+            val shortlist = hits.select(expr("neighbor div 8").as("doc_id")).distinct()
+            Similarity.maxSim(corpus.join(shortlist, "doc_id"), queries)
+          }))
       } else if (mode == "text") {
         val docs = () => Tables.documents(spark, out)
         Seq(
@@ -409,7 +472,7 @@ object ScaleProbe {
       }
 
     val rows =
-      if (mode == "dedup" || mode == "text" || mode == "textq")
+      if (mode == "dedup" || mode == "serve" || mode == "text" || mode == "textq")
         spark.read.parquet(s"$out/documents.parquet").count()
       else if (mode == "index")
         spark.read.parquet(s"$out/embeddings.parquet").count()
@@ -422,7 +485,7 @@ object ScaleProbe {
     // already consumed their args as query names above
     val wanted = args.drop(2).toSet
     val selected =
-      if (mode == "dedup" || mode == "text" || mode == "sketch")
+      if (mode == "dedup" || mode == "serve" || mode == "text" || mode == "sketch")
         probes.filter(p => wanted.isEmpty || wanted.contains(p._1))
       else probes
     val results = selected.map { case (name, mk) =>

@@ -53,9 +53,38 @@ object Admission {
     */
   def admit(incoming: DataFrame, corpus: DataFrame, idCol: String,
             textCol: String, threshold: Double = 0.5): DataFrame = {
+    val screenOut = (survivors: DataFrame) =>
+      NearDupScreen.screen(survivors, corpus, idCol, textCol, threshold)
+    verdicts(incoming, idCol, textCol, screenOut)
+  }
+
+  /** [[admit]] against a PREBUILT disk band index
+    * ([[NearDupScreen.writeIndex]]) — the production admission posture:
+    * the archive is indexed ONCE; each arriving batch pays rules + a
+    * banded probe of only the partitions its own band keys hash into
+    * (`probeIndex` — PartitionFilters-pruned, NearDupIndexSpec), so
+    * per-batch admission cost tracks the BATCH, never the archive.
+    * Verdict semantics identical to [[admit]] (probeIndex == screen is
+    * NearDupIndexSpec's equivalence assertion); the §6 `serve` probe
+    * measures the per-batch cost staying flat across 10×/100× corpus.
+    */
+  def admitIndexed(spark: org.apache.spark.sql.SparkSession, incoming: DataFrame,
+                   indexPath: String, idCol: String, textCol: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val screenOut = (survivors: DataFrame) =>
+      NearDupScreen.probeIndex(spark, indexPath, survivors, idCol, textCol,
+        threshold = threshold)
+    verdicts(incoming, idCol, textCol, screenOut)
+  }
+
+  /** Shared verdict tail: rules, screen the survivors, one non-null
+    * verdict row per arrival.
+    */
+  private def verdicts(incoming: DataFrame, idCol: String, textCol: String,
+                       screen: DataFrame => DataFrame): DataFrame = {
     val gated = ruleGate(incoming, idCol, textCol)
     val survivors = gated.filter(col("quality_pass")).select(col(idCol), col(textCol))
-    val screenOut = NearDupScreen.screen(survivors, corpus, idCol, textCol, threshold)
+    val screenOut = screen(survivors)
     val flags = screenOut.select(col("doc_id").as(idCol)).distinct()
       .withColumn("_flagged", lit(true))
     val flagged = coalesce(col("_flagged"), lit(false))

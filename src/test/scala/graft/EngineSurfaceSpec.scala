@@ -168,4 +168,11 @@ class EngineSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.queries.keySet == Queries.all.map(_.name).toSet)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("session scale configs are set (SURVEY §4: AQE + skew join on, bounded shuffle partitions)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64,
+      "local sessions must size shuffle partitions to cores, not the 200 default")
+  }
 }

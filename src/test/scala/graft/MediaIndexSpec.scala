@@ -73,4 +73,41 @@ class MediaIndexSpec extends AnyFunSuite with SparkTestBase {
       probed.unpersist(blocking = false)
     }
   }
+
+  test("batching invariance: micro-batch probes union to the whole-batch result (g10)") {
+    // the g10 streaming contract: every stage is stateless (the probed pb
+    // set is per-batch routing metadata), so splitting an arriving batch
+    // into micro-batches and unioning the per-batch verdicts must equal
+    // the single-batch probe — arrival batching cannot change admissions
+    val corpus = corpusHashes
+    val arrivals = spark.range(40).as[Long].map { i =>
+      val src = i * 12 % 480 // spread over the archive
+      val p = Multimodal.syntheticPgm(src)
+      if (i % 2 == 1) { // half perturbed, half exact re-uploads
+        val plane = p.length - ((8 + src % 9) * (8 + src % 7)).toInt
+        p(plane) = (((p(plane) & 0xff) + 16) % 256).toByte
+      }
+      (i + 800000, p)
+    }.toDF("doc_id", "payload")
+    val batch = Multimodal.extractDhash(spark, arrivals, "doc_id", "payload")
+      .persist()
+    withTempDir("graft_media_inv") { tmp =>
+      val dir = tmp + "/idx"
+      Multimodal.writeHashIndex(corpus, dir)
+      val whole = Multimodal.probeHashIndex(spark, dir, batch)
+      val wholeSet = whole.collect().toSet
+      val unioned = (0 until 4).flatMap { b =>
+        val mb = Multimodal.probeHashIndex(spark, dir,
+          batch.filter(col("row_id") % 4 === b))
+        val rows = mb.collect().toSet
+        mb.unpersist(blocking = false)
+        rows
+      }.toSet
+      assert(unioned == wholeSet,
+        s"micro-batch union diverged: ${unioned.size} vs ${wholeSet.size} rows")
+      assert(wholeSet.nonEmpty, "expected flagged arrivals in the parity check")
+      whole.unpersist(blocking = false)
+      batch.unpersist(blocking = true)
+    }
+  }
 }

@@ -69,6 +69,32 @@ class QueriesRound8bSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("d14_maxsim plan: no shuffle ever carries a vector payload (SURVEY §4 claim)") {
+    // the "corpus never shuffles" discipline, enforced: query vectors move
+    // by broadcast, and every ShuffleExchange in the plan carries only
+    // scalar (aggregated-score) columns — an array-typed attribute crossing
+    // a shuffle would mean corpus embeddings on the wire
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = Queries.all.find(_.name == "d14_maxsim").get.fn(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.flatMap(walk)
+    })
+    val shuffles = walk(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty, "expected the keyed score aggregation to shuffle")
+    shuffles.foreach { s =>
+      val arrays = s.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"shuffle carries vector payload ${arrays.map(_.name).mkString(",")}:\n$s")
+    }
+  }
+
   test("b43_pagerank: mass conserved within floor loss, suppliers outrank customers") {
     val rows = q("b43_pagerank").collect()
     val scale = 1000000000000L
