@@ -410,6 +410,15 @@ object ScaleProbe {
           streaming.NearDupScreen.writeIndex(docs, screenIdx, "doc_id", "text")
           Files.createFile(Paths.get(s"$out/_screen_idx_done"))
         }
+        // A fine-bucket small-batch variant (nBuckets=256, 50-doc batch) was
+        // probed here and REVERTED: at 10× the 8192-partition index holds
+        // ~200 rows/file and the probe read 12.8 s vs the coarse index's
+        // 5.1 s for a 30× LARGER batch — tiny-file open overhead swamps the
+        // pruning win on local FS. The flatness rule stands (per-key probe
+        // cost ∝ bucket width = corpus/nBuckets ⇒ scale nBuckets with the
+        // corpus), but its bucket width must also clear the small-file
+        // floor — the same maxPartitionBytes sizing lesson as everywhere
+        // else; Admission.admitIndexed's scaladoc carries both constraints.
         val corpus = emb.select(expr("vec_id div 8").as("doc_id"),
           col("vec_id"), col("embedding"))
         val queries = corpus.filter(col("doc_id").isin(3, 17, 29))

@@ -65,15 +65,31 @@ object Admission {
     * (`probeIndex` — PartitionFilters-pruned, NearDupIndexSpec), so
     * per-batch admission cost tracks the BATCH, never the archive.
     * Verdict semantics identical to [[admit]] (probeIndex == screen is
-    * NearDupIndexSpec's equivalence assertion); the §6 `serve` probe
-    * measures the per-batch cost staying flat across 10×/100× corpus.
+    * NearDupIndexSpec's equivalence assertion).
+    *
+    * `nBuckets` must match the value the index was WRITTEN with, and it is
+    * the flatness knob: a probe reads ≈ (per-band batch keys / nBuckets)
+    * of the index per band, floored at one bucket-width per key — so
+    * partition pruning only bites while per-band batch keys ≪ nBuckets,
+    * and bucket WIDTH (corpus/nBuckets) is what each matched key pays.
+    * Size nBuckets to the corpus (the d15/c12 cells-grow-with-corpus
+    * rule) and keep admission batches small relative to it — but bucket
+    * width must ALSO clear the small-file floor: the §6 `serve` probe
+    * measured a 256-bucket index at a 50k-doc corpus (8192 partitions,
+    * ~200 rows/file) reading 2.5× SLOWER for a 50-doc batch than the
+    * 64-bucket index did for a 1.5k-doc batch — tiny-file open overhead
+    * swamped the prune. Both constraints together: nBuckets ≈ corpus
+    * band-rows / (a few MB of rows), probed batches ≪ nBuckets keys per
+    * band. At the default 64 buckets a 1.5k-doc batch touches every
+    * bucket and cost grows with bucket width (1.8× across 10× corpus,
+    * §6) — that is the expected large-batch regime, not a defect.
     */
   def admitIndexed(spark: org.apache.spark.sql.SparkSession, incoming: DataFrame,
                    indexPath: String, idCol: String, textCol: String,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, nBuckets: Int = 64): DataFrame = {
     val screenOut = (survivors: DataFrame) =>
       NearDupScreen.probeIndex(spark, indexPath, survivors, idCol, textCol,
-        threshold = threshold)
+        nBuckets = nBuckets, threshold = threshold)
     verdicts(incoming, idCol, textCol, screenOut)
   }
 
