@@ -2200,6 +2200,58 @@ object Queries {
       |SELECT event_type, v AS top_value, CAST(8 AS INT) AS n_tracked
       |FROM ranked WHERE rn = 1""".stripMargin))
 
+  private val profileCols = Seq(
+    ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
+    ("o_totalprice", "num"), ("o_orderdate", "ts"), ("o_orderpriority", "str"))
+
+  private val b48 = Q(
+    "b48_table_profile",
+    // Single-scan table profiling (operators/Profile.scala) — the "what is
+    // in this table" ops pass, 100 TB-shaped: per column, row/null counts,
+    // KMV distinct estimate, canonical min/max — ALL as partial-aggregating
+    // expressions in ONE ungrouped aggregate over ONE scan (map-side
+    // combine, a one-row shuffle), then unpivoted to a row per column with
+    // an explode projection. Hash-checkable because every value first maps
+    // to a canonical integer/string repr (doubles → e4 fixed point,
+    // timestamps → epoch micros) before any min/max or md5, and the
+    // distinct estimate is the set-deterministic b23 KMV sketch — so even
+    // the "approximate" column mirrors exactly in SQL.
+    (s, dir) => operators.Profile.profile(Tables.orders(s, dir), profileCols),
+    Some {
+      def repr(c: String, kind: String): String = kind match {
+        case "int" => s"CAST($c AS BIGINT)"
+        case "num" => s"CAST(floor($c * 10000) AS BIGINT)"
+        case "ts"  => s"epoch_us($c)"
+        case _     => "CAST(NULL AS BIGINT)"
+      }
+      def hashSql(c: String, kind: String): String =
+        if (kind == "str") s"md5($c)" else s"md5(CAST(${repr(c, kind)} AS VARCHAR))"
+      val blocks = profileCols.map { case (c, kind) =>
+        val (minN, maxN) =
+          if (kind == "str") ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+          else (s"(SELECT min(${repr(c, kind)}) FROM orders)",
+                s"(SELECT max(${repr(c, kind)}) FROM orders)")
+        val (minS, maxS) =
+          if (kind == "str") (s"(SELECT min($c) FROM orders)", s"(SELECT max($c) FROM orders)")
+          else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        s"""dh_$c AS (SELECT DISTINCT ${hashSql(c, kind)} AS h FROM orders WHERE $c IS NOT NULL),
+           |k_$c AS (SELECT count(*) AS nd,
+           |         (SELECT h FROM dh_$c ORDER BY h LIMIT 1 OFFSET 63) AS kth_hash
+           |         FROM dh_$c),
+           |p_$c AS (SELECT '$c' AS "column", '$kind' AS kind,
+           |  (SELECT count(*) FROM orders) AS n_rows,
+           |  (SELECT count(*) - count($c) FROM orders) AS n_nulls,
+           |  CAST(CASE WHEN nd < 64 THEN nd
+           |       ELSE floor(63.0 / (CAST(greatest(${kmvDigitSum}, 1) AS DOUBLE)
+           |                          / 4503599627370496.0)) END AS BIGINT) AS n_distinct_est,
+           |  $minN AS min_num, $maxN AS max_num,
+           |  $minS AS min_str, $maxS AS max_str
+           |  FROM k_$c)""".stripMargin
+      }
+      "WITH " + blocks.mkString(",\n") + "\n" +
+        profileCols.map { case (c, _) => s"SELECT * FROM p_$c" }.mkString("\nUNION ALL\n")
+    })
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -5575,7 +5627,7 @@ object Queries {
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42, b43, b44, b45,
-    b46, b47,
+    b46, b47, b48,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17, c18,
     c19, c20,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,

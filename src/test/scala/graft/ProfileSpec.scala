@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Profile
+
+/** Single-scan table profiling (SURVEY §2 b48): the whole profile must be
+  * ONE pass — one file scan, one ungrouped aggregate, a one-row shuffle —
+  * and its statistics must honor the exact/estimate contracts the hash
+  * gate can't explain when it reddens.
+  */
+class ProfileSpec extends AnyFunSuite with SparkTestBase {
+
+  private val cols = Seq(
+    ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
+    ("o_totalprice", "num"), ("o_orderdate", "ts"), ("o_orderpriority", "str"))
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+    case q: QueryStageExec => walk(q.plan)
+    case other => other.children.flatMap(walk)
+  })
+
+  test("one scan, ungrouped aggregate, one-row exchange — regardless of table width") {
+    val df = Profile.profile(Tables.orders(spark, sfDir), cols)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = walk(df.queryExecution.executedPlan)
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, s"profile must read the table once, saw ${scans.length} scans")
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    // the only exchange is the partial→final reduction of ONE aggregate row
+    assert(shuffles.length == 1, s"expected the single agg exchange:\n${shuffles.mkString("\n")}")
+  }
+
+  test("counts exact, estimates honest, canonical reprs consistent") {
+    val rows = Profile.profile(Tables.orders(spark, sfDir), cols)
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val orders = Tables.orders(spark, sfDir)
+    val n = orders.count()
+    assert(rows.values.forall(_.getAs[Long]("n_rows") == n))
+    // exact distinct when cardinality is under the sketch budget (64)
+    val statuses = orders.select(countDistinct("o_orderstatus")).first().getLong(0)
+    assert(rows("o_orderstatus").getAs[Long]("n_distinct_est") == statuses)
+    // estimate within the KMV error envelope for high cardinality
+    val keys = orders.select(countDistinct("o_orderkey")).first().getLong(0)
+    val est = rows("o_orderkey").getAs[Long]("n_distinct_est")
+    assert(math.abs(est - keys).toDouble / keys < 0.35, s"est $est vs true $keys")
+    // canonical num reprs: e4 fixed point floors exactly
+    val minP = orders.select(min(col("o_totalprice"))).first().getDouble(0)
+    assert(rows("o_totalprice").getAs[Long]("min_num") == math.floor(minP * 10000).toLong)
+    // str columns carry string min/max and null num reprs; num columns the reverse
+    assert(rows("o_orderstatus").isNullAt(rows("o_orderstatus").fieldIndex("min_num")))
+    assert(rows("o_orderkey").isNullAt(rows("o_orderkey").fieldIndex("min_str")))
+  }
+
+  test("null accounting: nulls excluded from distinct and min/max, counted in n_nulls") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (null, "b"), (1L, null))
+      .toDF("v", "s")
+    val p = Profile.profile(df, Seq(("v", "int"), ("s", "str")))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(p("v").getAs[Long]("n_rows") == 4)
+    assert(p("v").getAs[Long]("n_nulls") == 1)
+    assert(p("v").getAs[Long]("n_distinct_est") == 2)
+    assert(p("v").getAs[Long]("min_num") == 1L && p("v").getAs[Long]("max_num") == 2L)
+    assert(p("s").getAs[Long]("n_nulls") == 2)
+    assert(p("s").getAs[Long]("n_distinct_est") == 2)
+    assert(p("s").getAs[String]("min_str") == "a" && p("s").getAs[String]("max_str") == "b")
+  }
+}
