@@ -2217,39 +2217,88 @@ object Queries {
     // distinct estimate is the set-deterministic b23 KMV sketch — so even
     // the "approximate" column mirrors exactly in SQL.
     (s, dir) => operators.Profile.profile(Tables.orders(s, dir), profileCols),
+    Some("WITH " + profileSqlBlocks("orders", "x").mkString(",\n") + "\n" +
+      profileUnion("x")))
+
+  /** The b48 profile replayed in SQL over source `src`, CTE names prefixed
+    * with `tag` so two profiles compose in one statement (b49 drift).
+    */
+  private def profileSqlBlocks(src: String, tag: String): Seq[String] = {
+    def repr(c: String, kind: String): String = kind match {
+      case "int" => s"CAST($c AS BIGINT)"
+      case "num" => s"CAST(floor($c * 10000) AS BIGINT)"
+      case "ts"  => s"epoch_us($c)"
+      case _     => "CAST(NULL AS BIGINT)"
+    }
+    def hashSql(c: String, kind: String): String =
+      if (kind == "str") s"md5($c)" else s"md5(CAST(${repr(c, kind)} AS VARCHAR))"
+    profileCols.map { case (c, kind) =>
+      val (minN, maxN) =
+        if (kind == "str") ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+        else (s"(SELECT min(${repr(c, kind)}) FROM $src)",
+              s"(SELECT max(${repr(c, kind)}) FROM $src)")
+      val (minS, maxS) =
+        if (kind == "str") (s"(SELECT min($c) FROM $src)", s"(SELECT max($c) FROM $src)")
+        else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      s"""dh_${tag}_$c AS (SELECT DISTINCT ${hashSql(c, kind)} AS h FROM $src WHERE $c IS NOT NULL),
+         |k_${tag}_$c AS (SELECT count(*) AS nd,
+         |         (SELECT h FROM dh_${tag}_$c ORDER BY h LIMIT 1 OFFSET 63) AS kth_hash
+         |         FROM dh_${tag}_$c),
+         |p_${tag}_$c AS (SELECT '$c' AS "column", '$kind' AS kind,
+         |  (SELECT count(*) FROM $src) AS n_rows,
+         |  (SELECT count(*) - count($c) FROM $src) AS n_nulls,
+         |  CAST(CASE WHEN nd < 64 THEN nd
+         |       ELSE floor(63.0 / (CAST(greatest(${kmvDigitSum}, 1) AS DOUBLE)
+         |                          / 4503599627370496.0)) END AS BIGINT) AS n_distinct_est,
+         |  $minN AS min_num, $maxN AS max_num,
+         |  $minS AS min_str, $maxS AS max_str
+         |  FROM k_${tag}_$c)""".stripMargin
+    }
+  }
+
+  private def profileUnion(tag: String): String =
+    profileCols.map { case (c, _) => s"SELECT * FROM p_${tag}_$c" }
+      .mkString("\nUNION ALL\n")
+
+  private val b49 = Q(
+    "b49_profile_drift",
+    // Snapshot-over-snapshot drift report (Profile.drift) — what a
+    // pipeline DOES with b48's profiles: today's ingest vs yesterday's,
+    // one row per column, integer/boolean metrics only (ppm null-rate
+    // delta, ppm distinct ratio, canonical-repr range escape) so the
+    // report hash-checks end to end. Planted drift: "prev" drops every
+    // 10th order AND caps o_totalprice < 400000, so cur shows a row-count
+    // delta on every column, a distinct-ratio > 1e6 on the key columns,
+    // and range_widened on o_totalprice (cur's max escapes the cap).
+    // Cost shape: two single-scan profiles + a |columns|-row join.
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val prev = orders.filter(col("o_orderkey") % 10 =!= 0 &&
+        col("o_totalprice") < 400000)
+      operators.Profile.drift(
+        operators.Profile.profile(orders, profileCols),
+        operators.Profile.profile(prev, profileCols))
+    },
     Some {
-      def repr(c: String, kind: String): String = kind match {
-        case "int" => s"CAST($c AS BIGINT)"
-        case "num" => s"CAST(floor($c * 10000) AS BIGINT)"
-        case "ts"  => s"epoch_us($c)"
-        case _     => "CAST(NULL AS BIGINT)"
-      }
-      def hashSql(c: String, kind: String): String =
-        if (kind == "str") s"md5($c)" else s"md5(CAST(${repr(c, kind)} AS VARCHAR))"
-      val blocks = profileCols.map { case (c, kind) =>
-        val (minN, maxN) =
-          if (kind == "str") ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
-          else (s"(SELECT min(${repr(c, kind)}) FROM orders)",
-                s"(SELECT max(${repr(c, kind)}) FROM orders)")
-        val (minS, maxS) =
-          if (kind == "str") (s"(SELECT min($c) FROM orders)", s"(SELECT max($c) FROM orders)")
-          else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
-        s"""dh_$c AS (SELECT DISTINCT ${hashSql(c, kind)} AS h FROM orders WHERE $c IS NOT NULL),
-           |k_$c AS (SELECT count(*) AS nd,
-           |         (SELECT h FROM dh_$c ORDER BY h LIMIT 1 OFFSET 63) AS kth_hash
-           |         FROM dh_$c),
-           |p_$c AS (SELECT '$c' AS "column", '$kind' AS kind,
-           |  (SELECT count(*) FROM orders) AS n_rows,
-           |  (SELECT count(*) - count($c) FROM orders) AS n_nulls,
-           |  CAST(CASE WHEN nd < 64 THEN nd
-           |       ELSE floor(63.0 / (CAST(greatest(${kmvDigitSum}, 1) AS DOUBLE)
-           |                          / 4503599627370496.0)) END AS BIGINT) AS n_distinct_est,
-           |  $minN AS min_num, $maxN AS max_num,
-           |  $minS AS min_str, $maxS AS max_str
-           |  FROM k_$c)""".stripMargin
-      }
-      "WITH " + blocks.mkString(",\n") + "\n" +
-        profileCols.map { case (c, _) => s"SELECT * FROM p_$c" }.mkString("\nUNION ALL\n")
+      val prevCte =
+        """prev_orders AS (
+          |  SELECT * FROM orders
+          |  WHERE o_orderkey % 10 <> 0 AND o_totalprice < 400000)""".stripMargin
+      "WITH " + (prevCte +: (profileSqlBlocks("orders", "c") ++
+        profileSqlBlocks("prev_orders", "p"))).mkString(",\n") + "\n" +
+        s""", profc AS (${profileUnion("c")}),
+           |profp AS (${profileUnion("p")})
+           |SELECT c."column", c.kind,
+           |  c.n_rows AS n_rows_cur, p.n_rows AS n_rows_prev,
+           |  CAST(floor(c.n_nulls * 1000000 / c.n_rows)
+           |       - floor(p.n_nulls * 1000000 / p.n_rows) AS BIGINT) AS null_rate_delta_e6,
+           |  CAST(floor(c.n_distinct_est * 1000000
+           |             / greatest(p.n_distinct_est, 1)) AS BIGINT) AS distinct_ratio_e6,
+           |  (coalesce(c.min_num < p.min_num, FALSE)
+           |   OR coalesce(c.max_num > p.max_num, FALSE)
+           |   OR coalesce(c.min_str < p.min_str, FALSE)
+           |   OR coalesce(c.max_str > p.max_str, FALSE)) AS range_widened
+           |FROM profc c JOIN profp p ON c."column" = p."column"""".stripMargin
     })
 
   // ---------------------------------------------------------------- group C
@@ -5627,7 +5676,7 @@ object Queries {
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42, b43, b44, b45,
-    b46, b47, b48,
+    b46, b47, b48, b49,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17, c18,
     c19, c20,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,

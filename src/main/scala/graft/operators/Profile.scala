@@ -72,4 +72,40 @@ object Profile {
     }
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Snapshot-over-snapshot drift report — what a pipeline actually DOES
+    * with profiles: today's ingest profiled against yesterday's, one row
+    * per column, integer/boolean metrics only so the report is as
+    * hash-exact as the profiles it joins:
+    *
+    *  - `null_rate_delta_e6` — change in parts-per-million null rate
+    *    (floor'd per side, then differenced: exact integers).
+    *  - `distinct_ratio_e6`  — cur/prev distinct estimate in ppm (a
+    *    collapse to few values or an id-space explosion both move this).
+    *  - `range_widened`      — cur min/max escaped prev's envelope, on
+    *    the canonical repr (num) or the string order (str): new ids,
+    *    future timestamps, out-of-range totals.
+    *
+    * Both inputs are [[profile]] outputs (6-row-ish frames): the join is
+    * broadcast-trivial; at scale the cost is the two single-scan profiles.
+    */
+  def drift(cur: DataFrame, prev: DataFrame): DataFrame = {
+    val c = cur.as("c")
+    val p = prev.as("p")
+    def rate(side: String): Column =
+      floor(col(s"$side.n_nulls") * 1000000L / col(s"$side.n_rows")).cast("long")
+    c.join(p, col("c.column") === col("p.column"))
+      .select(
+        col("c.column").as("column"), col("c.kind").as("kind"),
+        col("c.n_rows").as("n_rows_cur"), col("p.n_rows").as("n_rows_prev"),
+        (rate("c") - rate("p")).as("null_rate_delta_e6"),
+        floor(col("c.n_distinct_est") * 1000000L /
+          greatest(col("p.n_distinct_est"), lit(1L))).cast("long")
+          .as("distinct_ratio_e6"),
+        (coalesce(col("c.min_num") < col("p.min_num"), lit(false)) ||
+         coalesce(col("c.max_num") > col("p.max_num"), lit(false)) ||
+         coalesce(col("c.min_str") < col("p.min_str"), lit(false)) ||
+         coalesce(col("c.max_str") > col("p.max_str"), lit(false)))
+          .as("range_widened"))
+  }
 }

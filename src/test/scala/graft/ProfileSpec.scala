@@ -71,4 +71,33 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(p("s").getAs[Long]("n_distinct_est") == 2)
     assert(p("s").getAs[String]("min_str") == "a" && p("s").getAs[String]("max_str") == "b")
   }
+
+  test("drift: planted null surge, id-space growth, and range escape all fire; steady state is quiet") {
+    import spark.implicits._
+    val prev = spark.range(1000).select(col("id").as("v"),
+      concat(lit("u"), col("id") % 50).as("s"))
+    // current snapshot: ids keep growing (range escape + distinct growth),
+    // 20% of s goes null (null-rate surge)
+    val cur = spark.range(2000).select(col("id").as("v"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(concat(lit("u"), col("id") % 50)).as("s"))
+    val spec = Seq(("v", "int"), ("s", "str"))
+    val d = Profile.drift(Profile.profile(cur, spec), Profile.profile(prev, spec))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val v = d("v")
+    assert(v.getAs[Long]("n_rows_cur") == 2000 && v.getAs[Long]("n_rows_prev") == 1000)
+    assert(v.getAs[Long]("distinct_ratio_e6") > 1500000, "id-space growth must show")
+    assert(v.getAs[Boolean]("range_widened"), "cur max id escapes prev envelope")
+    assert(v.getAs[Long]("null_rate_delta_e6") == 0)
+    val sCol = d("s")
+    assert(sCol.getAs[Long]("null_rate_delta_e6") == 200000, "20% null surge in ppm")
+    assert(!sCol.getAs[Boolean]("range_widened"), "same string domain: no escape")
+    // steady state: identical snapshots are all-quiet
+    val q = Profile.drift(Profile.profile(prev, spec), Profile.profile(prev, spec))
+      .collect()
+    q.foreach { r =>
+      assert(r.getAs[Long]("null_rate_delta_e6") == 0)
+      assert(r.getAs[Long]("distinct_ratio_e6") == 1000000)
+      assert(!r.getAs[Boolean]("range_widened"))
+    }
+  }
 }
