@@ -268,4 +268,26 @@ object FuzzProps extends Properties("graft.kernels") {
       bounded && present && sized
     }
   }
+
+  // the c19/c20 packed (doc, pos) order key (Dedup.packedOrderKey): inside
+  // the guarded bounds the pack orders EXACTLY like the lexicographic pair
+  // — this property is the keep-first correctness argument — and one step
+  // past the pos bound that equivalence provably breaks, which is why the
+  // runtime guard raises instead of packing
+  property("packed order key == lexicographic (doc, pos) order inside bounds") =
+    forAll(
+      Gen.chooseNum(0L, (1L << 39) - 1), Gen.chooseNum(0, (1 << 24) - 1),
+      Gen.chooseNum(0L, (1L << 39) - 1), Gen.chooseNum(0, (1 << 24) - 1)) {
+      (d1, p1, d2, p2) =>
+        val k1 = (d1 << 24) + p1
+        val k2 = (d2 << 24) + p2
+        val lex = if (d1 != d2) d1 < d2 else p1 < p2
+        (k1 < k2) == lex && ((k1 == k2) == (d1 == d2 && p1 == p2))
+    }
+
+  property("one past the pos bound, pack order breaks (why the guard exists)") =
+    forAll(Gen.chooseNum(0L, (1L << 38))) { d =>
+      // (d, 2^24) packs identically to (d+1, 0): a silent misorder
+      ((d << 24) + (1 << 24)) == ((d + 1) << 24)
+    }
 }
