@@ -5588,6 +5588,64 @@ object Queries {
       |SELECT row_id, corpus_id, CAST(bit_count(xor(qh, ch)) AS INT) AS hamming
       |FROM cand WHERE bit_count(xor(qh, ch)) <= 2""".stripMargin))
 
+  private val streamProfileCols = Seq(
+    ("resource_id", "int"), ("bytes_sent", "int"),
+    ("remote_addr", "str"), ("cache_status", "str"))
+
+  private val g11 = Q(
+    "g11_stream_profile",
+    // CONTINUOUS ingest profiling (Profile.hourlyProfile) — b48's single-
+    // pass profile under a time-window GROUP BY: per event hour and column,
+    // row/null counts, KMV distinct estimate, canonical min/max. ONE
+    // function serves both postures (count/min/max and the KMV udaf are
+    // all partial-aggregating, so the same plan is a legal Structured
+    // Streaming aggregation — append mode emits each hour once its window
+    // closes under the watermark); this batch twin is the oracle gate and
+    // StreamingSpec proves stream==batch over a chunked replay. Composed
+    // with b49's drift this is the ingest-monitoring loop: profile each
+    // arriving hour, drift it against yesterday.
+    (s, dir) => operators.Profile.hourlyProfile(
+      httpLog(s, dir), "ts", streamProfileCols),
+    Some {
+      def repr(c: String, kind: String): String = kind match {
+        case "int" => s"CAST($c AS BIGINT)"
+        case "num" => s"CAST(floor($c * 10000) AS BIGINT)"
+        case "ts"  => s"epoch_us($c)"
+        case _     => "CAST(NULL AS BIGINT)"
+      }
+      def hashSql(c: String, kind: String): String =
+        if (kind == "str") s"md5($c)" else s"md5(CAST(${repr(c, kind)} AS VARCHAR))"
+      val blocks = streamProfileCols.map { case (c, kind) =>
+        val (minN, maxN) =
+          if (kind == "str") ("min(CAST(NULL AS BIGINT))", "max(CAST(NULL AS BIGINT))")
+          else (s"min(${repr(c, kind)})", s"max(${repr(c, kind)})")
+        val (minS, maxS) =
+          if (kind == "str") (s"min($c)", s"max($c)")
+          else ("min(CAST(NULL AS VARCHAR))", "max(CAST(NULL AS VARCHAR))")
+        s"""h_$c AS (SELECT DISTINCT hr, ${hashSql(c, kind)} AS h FROM hrs WHERE $c IS NOT NULL),
+           |r_$c AS (SELECT hr, h, row_number() OVER (PARTITION BY hr ORDER BY h) AS rn,
+           |         count(*) OVER (PARTITION BY hr) AS nd FROM h_$c),
+           |k_$c AS (SELECT hr, max(nd) AS nd,
+           |         max(CASE WHEN rn = 64 THEN h END) AS kth_hash FROM r_$c GROUP BY 1),
+           |s_$c AS (SELECT hr, count($c) AS nn, $minN AS minn, $maxN AS maxn,
+           |         $minS AS mins, $maxS AS maxs FROM hrs GROUP BY 1),
+           |p_$c AS (SELECT b.hr, '$c' AS "column", '$kind' AS kind,
+           |  b.n_rows, b.n_rows - s.nn AS n_nulls,
+           |  CAST(CASE WHEN coalesce(k.nd, 0) < 64 THEN coalesce(k.nd, 0)
+           |       ELSE floor(63.0 / (CAST(greatest(${kmvDigitSum}, 1) AS DOUBLE)
+           |                          / 4503599627370496.0)) END AS BIGINT) AS n_distinct_est,
+           |  s.minn AS min_num, s.maxn AS max_num,
+           |  s.mins AS min_str, s.maxs AS max_str
+           |  FROM base b LEFT JOIN k_$c k USING (hr) JOIN s_$c s USING (hr))""".stripMargin
+      }
+      s"""${HttpLog.cte}
+         |, hrs AS (SELECT date_trunc('hour', ts) AS hr, * FROM http_log),
+         |base AS (SELECT hr, count(*) AS n_rows FROM hrs GROUP BY 1),
+         |${blocks.mkString(",\n")}
+         |${streamProfileCols.map { case (c, _) => s"SELECT * FROM p_$c" }
+           .mkString("\nUNION ALL\n")}""".stripMargin
+    })
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -5683,5 +5741,5 @@ object Queries {
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13,
-    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10)
+    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11)
 }

@@ -47,9 +47,9 @@ object Profile {
     case _     => md5(reprNum(c, kind).cast("string").cast("binary"))
   }
 
-  def profile(df: DataFrame, cols: Seq[(String, String)], k: Int = 64): DataFrame = {
+  private def aggExprs(cols: Seq[(String, String)], k: Int): Seq[Column] = {
     val kmv = Kmv.kmv_distinct(k)
-    val aggs: Seq[Column] = cols.flatMap { case (c, kind) =>
+    cols.flatMap { case (c, kind) =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
         kmv(hashOf(c, kind)).as(s"${c}__kmv"),
@@ -60,8 +60,10 @@ object Profile {
         max(if (kind == "str") col(c).cast("string")
             else lit(null).cast("string")).as(s"${c}__maxs"))
     } :+ count(lit(1)).as("__n")
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val entries = cols.map { case (c, kind) =>
+  }
+
+  private def entryStructs(cols: Seq[(String, String)]): Seq[Column] =
+    cols.map { case (c, kind) =>
       struct(
         lit(c).as("column"), lit(kind).as("kind"),
         col("__n").as("n_rows"),
@@ -70,7 +72,35 @@ object Profile {
         col(s"${c}__minn").as("min_num"), col(s"${c}__maxn").as("max_num"),
         col(s"${c}__mins").as("min_str"), col(s"${c}__maxs").as("max_str"))
     }
-    row.select(explode(array(entries: _*)).as("p")).select("p.*")
+
+  private val fields = Seq("column", "kind", "n_rows", "n_nulls",
+    "n_distinct_est", "min_num", "max_num", "min_str", "max_str")
+
+  def profile(df: DataFrame, cols: Seq[(String, String)], k: Int = 64): DataFrame = {
+    val aggs = aggExprs(cols, k)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entryStructs(cols): _*)).as("p")).select("p.*")
+  }
+
+  /** The CONTINUOUS form of [[profile]] — one profile row set per event
+    * hour, the same aggregates under a time-window GROUP BY. Legal as a
+    * Structured Streaming aggregation (count/min/max and the KMV udaf are
+    * all partial-aggregating; append mode emits each hour's profile once
+    * its window closes under the watermark), and identical on a batch
+    * frame — ONE function, both postures, so stream==batch parity is a
+    * spec (StreamingSpec) and the batch twin is the oracle-gated query
+    * (g11). This plus [[drift]] is the ingest-monitoring loop: profile
+    * each arriving hour, drift it against yesterday's profile.
+    */
+  def hourlyProfile(df: DataFrame, tsCol: String, cols: Seq[(String, String)],
+                    k: Int = 64, watermark: String = "2 hours"): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val aggs = aggExprs(cols, k)
+    src.groupBy(window(col(tsCol), "1 hour"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window").getField("start").as("hr") +:
+        explode(array(entryStructs(cols): _*)).as("p") +: Nil: _*)
+      .select(col("hr") +: fields.map(f => col(s"p.$f")): _*)
   }
 
   /** Snapshot-over-snapshot drift report — what a pipeline actually DOES

@@ -88,6 +88,18 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Admission.admitIndexed releases every internal cache (incl. the probe's)") {
+    withTempDir("graft_hyg_idx") { tmp =>
+      val dir = tmp + "/idx"
+      graft.streaming.NearDupScreen.writeIndex(docs, dir, "doc_id", "text")
+      checkContract("Admission.admitIndexed") {
+        val incoming = docs.select((col("doc_id") + 500000).as("doc_id"),
+          translate(col("text"), "aeiou", "uoiea").as("text"))
+        graft.streaming.Admission.admitIndexed(spark, incoming, dir, "doc_id", "text")
+      }
+    }
+  }
+
   test("Dedup.minhashPairs releases every internal cache") {
     checkContract("minhashPairs") {
       graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")

@@ -548,6 +548,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("hourly profile as streaming aggregate equals the batch profile (g11)") {
+    // the g11 contract: Profile.hourlyProfile is ONE function for both
+    // postures — the windowed count/min/max/KMV aggregates are all
+    // partial-aggregating, so a chunked replay through the state store
+    // must emit exactly the batch result per closed hour
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val cols = Seq(("v", "int"), ("s", "str"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profile.hourlyProfile(
+        df.toDF("ts", "v", "s"), "ts", cols, k = 8)
+    val q = run(ms.toDF()).writeStream.format("memory")
+      .queryName("prof_stream").outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      val batch1 = (0 until 30).map(i => (t(10, i % 60), i.toLong, s"u${i % 5}"))
+      val batch2 = (0 until 30).map(i => (t(10, 30 + i % 29), i.toLong * 3, s"u${i % 7}")) ++
+        Seq((t(11, 5), 999L, "zz"))
+      ms.addData(batch1)
+      q.processAllAvailable()
+      ms.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("prof_stream").collect().map(_.toSeq).toSet
+      val batch = run((batch1 ++ batch2).toDF("ts", "v", "s")).collect().map(_.toSeq).toSet
+      assert(streamed == batch, "stream/batch divergence in hourly profile")
+      assert(streamed.nonEmpty && streamed.exists(_.contains("v")))
+    } finally q.stop()
+  }
+
   test("sessionsOfBatch: gap split, boundary, trailing close, stream parity") {
     import graft.streaming.StatefulSessionize._
     val gapMs = 30L * 60 * 1000
