@@ -45,17 +45,48 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
 
   test("sketch of a union merges like the union of sketches") {
     // the theta-sketch property that makes KMV usable for distributed
-    // rollups: bottom-k(A ∪ B) = trim(bottom-k(A) ∪ bottom-k(B))
+    // rollups: bottom-k(A ∪ B) = trim(bottom-k(A) ∪ bottom-k(B)) — driven
+    // through the native aggregate's update/merge/eval (incl. one
+    // serialize/deserialize round, the shuffle path)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
     val k = 64
-    val left = (1 to 300).map(i => s"a$i")
-    val right = (200 to 500).map(i => s"b$i") ++ (1 to 300).map(i => s"a$i")
-    val s1 = new Kmv.KmvSketch(k)
+    val agg = org.apache.spark.sql.graft.KmvDistinct(
+      BoundReference(0, StringType, nullable = true), k)
     val md = java.security.MessageDigest.getInstance("MD5")
     def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val bufA = left.map(h).foldLeft(s1.zero)(s1.reduce)
-    val bufB = right.map(h).foldLeft(s1.zero)(s1.reduce)
-    val together = (left ++ right).map(h).foldLeft(s1.zero)(s1.reduce)
-    assert(s1.finish(s1.merge(bufA, bufB)) == s1.finish(together))
+    def bufOf(xs: Seq[String]) = {
+      val b = agg.createAggregationBuffer()
+      xs.foreach(x => agg.update(b, InternalRow(UTF8String.fromString(h(x)))))
+      b
+    }
+    val left = (1 to 300).map(i => s"a$i")
+    val right = (200 to 500).map(i => s"b$i") ++ (1 to 300).map(i => s"a$i")
+    val merged = agg.merge(bufOf(left),
+      agg.deserialize(agg.serialize(bufOf(right))))
+    val together = bufOf(left ++ right)
+    assert(agg.eval(merged) == agg.eval(together))
+    // and the law is visible at the value level: a full sketch with a kth hash
+    val r = agg.eval(together).asInstanceOf[InternalRow]
+    assert(r.getLong(0) == k && r.getUTF8String(1).toString.length == 32)
+  }
+
+  test("non-md5 input fails loudly instead of silently corrupting order statistics") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = org.apache.spark.sql.graft.KmvDistinct(
+      BoundReference(0, StringType, nullable = true), 8)
+    val b = agg.createAggregationBuffer()
+    for (bad <- Seq("xyz", "g" * 32, "0" * 31)) {
+      val e = intercept[IllegalArgumentException] {
+        agg.update(b, InternalRow(UTF8String.fromString(bad)))
+      }
+      assert(e.getMessage.contains("32-char hex"))
+    }
   }
 
   test("bottom-k sample is partitioning-invariant and uniform-ish") {
