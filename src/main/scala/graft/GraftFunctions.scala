@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog, HeavyHitters, KeepLatest, NfcNormalize}
+import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog, HeavyHitters, KeepLatest, KmvDistinct, NfcNormalize}
 
 /** SQL-surface registration of the engine's native expressions, so
   * `spark.sql("SELECT anonymize_ip(addr) ...")` works. Idempotent; usable on
@@ -25,18 +25,24 @@ object GraftFunctions {
     // k must be a literal (folded before the sketch is constructed) — a
     // column reference or non-numeric k would otherwise surface as an NPE
     // or ClassCastException from inside the builder
-    "heavy_hitters"          -> ((es: Seq[Expression]) => {
-      val kOk = es.length == 2 && es(1).foldable &&
-        (es(1).eval() match {
-          case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
-               _: java.lang.Byte => true
-          case _ => false
-        })
-      if (!kOk) throw new org.apache.spark.sql.AnalysisException(
-        "_LEGACY_ERROR_TEMP_3071",
-        Map("msg" -> "heavy_hitters(value, k): k must be an integer literal"))
-      HeavyHitters(es(0), es(1).eval().asInstanceOf[Number].intValue())
-    }))
+    "heavy_hitters"          -> ((es: Seq[Expression]) =>
+      HeavyHitters(es(0), literalK(es, "heavy_hitters(value, k)"))),
+    "kmv_distinct"           -> ((es: Seq[Expression]) =>
+      KmvDistinct(es(0), literalK(es, "kmv_distinct(md5_hex, k)"))))
+
+  /** Shared literal-k gate for the sketch aggregates' SQL surface. */
+  private def literalK(es: Seq[Expression], sig: String): Int = {
+    val kOk = es.length == 2 && es(1).foldable &&
+      (es(1).eval() match {
+        case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+             _: java.lang.Byte => true
+        case _ => false
+      })
+    if (!kOk) throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_3071",
+      Map("msg" -> s"$sig: k must be an integer literal"))
+    es(1).eval().asInstanceOf[Number].intValue()
+  }
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>

@@ -97,6 +97,21 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kmv_distinct on the SQL surface: works with literal k, rejects non-literal") {
+    GraftFunctions.register(spark)
+    skewed(1000).createOrReplaceTempView("kmv_sql_in")
+    val r = spark.sql(
+      """SELECT kmv_distinct(md5(CAST(CAST(v AS STRING) AS BINARY)), 64).est_distinct AS d
+        |FROM kmv_sql_in""".stripMargin).head()
+    // true distinct = 127 (9001, 9002, and the 125 tail values 3,7,…,499);
+    // k=64 → SE ≈ 1/√62 ≈ 13%, so a 40% band is ~3σ
+    assert(math.abs(r.getLong(0) - 127L) <= 51, s"est ${r.getLong(0)} vs true 127")
+    val e = intercept[Exception] {
+      spark.sql("SELECT kmv_distinct(CAST(v AS STRING), v) FROM kmv_sql_in").collect()
+    }
+    assert(e.getMessage.contains("k must be an integer literal"))
+  }
+
   test("grouped: the O(k)-per-group contract composes with GROUP BY at 1 and 16 partitions") {
     // b46/b47's shape — per-group SpaceSaving state under a real GROUP BY.
     // 3 groups × (one dominant value at 50% of the group + a uniform tail)
