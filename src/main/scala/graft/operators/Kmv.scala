@@ -1,9 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, Encoder}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.Column
 
 /** KMV ("k minimum values" / bottom-k theta) distinct-count sketch.
   *
@@ -28,7 +25,9 @@ import org.apache.spark.sql.functions.udaf
   */
 object Kmv {
 
-  /** @param n_tracked    min(k, true distinct count) — exact when < k
+  /** The result struct [[kmv_distinct]] returns (as a typed view for
+    * callers that `.as[KmvResult]` the struct column):
+    * @param n_tracked    min(k, true distinct count) — exact when < k
     * @param kth_hash     the k-th smallest md5 (null while n_tracked < k)
     * @param est_distinct floor((k−1)/θ) once full; exact count before that
     */
@@ -64,44 +63,28 @@ object Kmv {
       Bridge.column(KmvDistinct(Bridge.expression(hash), k).toAggregateExpression())
   }
 
-  /** payload is boxed so a NULL payload row reaches [[BottomKSample.reduce]]'s
-    * guard instead of crashing the encoder's non-nullable Long deserializer.
-    */
-  case class HEntry(h: String, payload: java.lang.Long)
-
-  /** Bottom-k-by-hash uniform sample: the k entries with the smallest
+  /** Column aggregate: `hash_sample(k)(md5HexCol, payloadCol)` →
+    * array<struct<h, payload>> ascending by hash.
+    *
+    * Bottom-k-by-hash uniform sample: the k entries with the smallest
     * hashes ARE a uniform random sample of the distinct values (the hash is
     * the random permutation), chosen deterministically — every re-run, every
     * partitioning, every engine picks the SAME sample. The per-group state
     * is k entries flowing through partial aggregation, so sampling 100 TB
     * costs one scan + a k-row-per-group shuffle; repeated values collapse
-    * (same value ⇒ same hash). This is the per-group reservoir a training
-    * pipeline wants for eyeballing/debug splits, and the complement of the
-    * rate-based domain-mix sampler (e10): exact-k per group vs global rates.
-    */
-  class BottomKSample(k: Int) extends Aggregator[HEntry, Seq[HEntry], Seq[HEntry]] {
-    // Invariant: ascending by hash, ONE entry per hash — the kept payload is
-    // the minimum for that hash, so a hash colliding with different payloads
-    // (callers aren't required to derive h from payload) still yields the
-    // same result under every partitioning / merge order.
-    private def trim(a: Seq[HEntry]): Seq[HEntry] =
-      a.sortBy(e => (e.h, e.payload.longValue)).distinctBy(_.h).take(k)
-    override def zero: Seq[HEntry] = Seq.empty
-    override def reduce(b: Seq[HEntry], e: HEntry): Seq[HEntry] =
-      if (e == null || e.h == null || e.payload == null) b
-      else if (b.length >= k && e.h > b.last.h) b // O(1) reject once warm
-      else trim(b :+ e)
-    override def merge(x: Seq[HEntry], y: Seq[HEntry]): Seq[HEntry] = trim(x ++ y)
-    override def finish(b: Seq[HEntry]): Seq[HEntry] = b
-    override def bufferEncoder: Encoder[Seq[HEntry]] = ExpressionEncoder[Seq[HEntry]]()
-    override def outputEncoder: Encoder[Seq[HEntry]] = ExpressionEncoder[Seq[HEntry]]()
-  }
-
-  /** Column aggregate: `hash_sample(k)(md5HexCol, payloadCol)` →
-    * array<struct<h, payload>> ascending by hash.
+    * (same value ⇒ same hash), and a hash colliding with DIFFERENT payloads
+    * keeps the minimum — merge-order-invariant. This is the per-group
+    * reservoir a training pipeline wants for eyeballing/debug splits, and
+    * the complement of the rate-based domain-mix sampler (e10): exact-k per
+    * group vs global rates. Since r9: the native `sql.graft.HashSample`
+    * (packed-long buffer, the [[kmv_distinct]] treatment) — null hash or
+    * payload rows skip; non-md5 hashes fail loudly.
     */
   def hash_sample(k: Int): (Column, Column) => Column = {
-    val f = udaf(new BottomKSample(k), ExpressionEncoder[HEntry]())
-    (hash: Column, payload: Column) => f(hash, payload)
+    import org.apache.spark.sql.graft.{Bridge, HashSample}
+    (hash: Column, payload: Column) =>
+      Bridge.column(
+        HashSample(Bridge.expression(hash), Bridge.expression(payload), k)
+          .toAggregateExpression())
   }
 }

@@ -812,3 +812,146 @@ case class KmvDistinct(
       newChildren: IndexedSeq[Expression]): KmvDistinct =
     copy(child = newChildren(0))
 }
+
+/** Sorted unique bottom-k of (md5, payload) entries: parallel long arrays
+  * for the hash halves plus the kept payload — one entry per hash, the
+  * MINIMUM payload for that hash (so collisions resolve identically under
+  * every merge order).
+  */
+final class BottomKBuf(val k: Int) {
+  var n: Int = 0
+  val hi: Array[Long] = new Array[Long](k)
+  val lo: Array[Long] = new Array[Long](k)
+  val pay: Array[Long] = new Array[Long](k)
+
+  private def cmpAt(i: Int, h: Long, l: Long): Int = {
+    val c = java.lang.Long.compareUnsigned(hi(i), h)
+    if (c != 0) c else java.lang.Long.compareUnsigned(lo(i), l)
+  }
+
+  private def lowerBound(h: Long, l: Long): Int = {
+    var a = 0; var b = n
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (cmpAt(m, h, l) < 0) a = m + 1 else b = m
+    }
+    a
+  }
+
+  def insert(h: Long, l: Long, p: Long): Unit = {
+    // full and strictly above the current k-th: reject (equal hash must
+    // still proceed — it may lower the kept payload)
+    if (n == k && cmpAt(n - 1, h, l) < 0) return
+    val i = lowerBound(h, l)
+    if (i < n && cmpAt(i, h, l) == 0) {
+      if (p < pay(i)) pay(i) = p
+      return
+    }
+    val last = math.min(n, k - 1)
+    System.arraycopy(hi, i, hi, i + 1, last - i)
+    System.arraycopy(lo, i, lo, i + 1, last - i)
+    System.arraycopy(pay, i, pay, i + 1, last - i)
+    hi(i) = h; lo(i) = l; pay(i) = p
+    if (n < k) n += 1
+  }
+}
+
+/** `hash_sample(md5Hex, payload, k)` — the deterministic bottom-k-by-hash
+  * uniform sample (graft.operators.Kmv documents why the hash IS the
+  * random permutation) as a native TypedImperativeAggregate, the
+  * [[KmvDistinct]] treatment for the sampling sibling: packed-long buffer
+  * instead of encoder-round-tripped Seq[HEntry] (~24 B/entry vs ~90 B, and
+  * no per-row serialization). Semantics identical: one entry per hash
+  * keeping the MINIMUM payload (merge-order-invariant under collisions),
+  * ascending output, nulls skipped, 32-hex input enforced loudly.
+  */
+case class HashSample(
+    hash: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BottomKBuf] with ExpectsInputTypes {
+
+  require(k >= 1 && k <= (1 << 20), "hash_sample k out of range")
+
+  override def children: Seq[Expression] = Seq(hash, payload)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h", StringType, nullable = false),
+      StructField("payload", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hash_sample"
+
+  override def createAggregationBuffer(): BottomKBuf = new BottomKBuf(k)
+
+  private def hexNibble(b: Byte): Int = {
+    if (b >= '0' && b <= '9') b - '0'
+    else if (b >= 'a' && b <= 'f') b - 'a' + 10
+    else if (b >= 'A' && b <= 'F') b - 'A' + 10
+    else throw new IllegalArgumentException(
+      s"hash_sample expects 32-char hex (md5) input, got byte '${b.toChar}'")
+  }
+
+  override def update(buf: BottomKBuf, input: InternalRow): BottomKBuf = {
+    val hv = hash.eval(input)
+    val pv = payload.eval(input)
+    if (hv != null && pv != null) {
+      val s = hv.asInstanceOf[UTF8String].getBytes
+      if (s.length != 32) throw new IllegalArgumentException(
+        s"hash_sample expects 32-char hex (md5) input, got length ${s.length}")
+      var h = 0L; var l = 0L; var i = 0
+      while (i < 16) { h = (h << 4) | hexNibble(s(i)); i += 1 }
+      while (i < 32) { l = (l << 4) | hexNibble(s(i)); i += 1 }
+      buf.insert(h, l, pv.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(a: BottomKBuf, b: BottomKBuf): BottomKBuf = {
+    var i = 0
+    while (i < b.n) { a.insert(b.hi(i), b.lo(i), b.pay(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: BottomKBuf): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      (0 until buf.n).map { i =>
+        InternalRow(
+          UTF8String.fromString(f"${buf.hi(i)}%016x${buf.lo(i)}%016x"),
+          buf.pay(i))
+      })
+
+  override def serialize(buf: BottomKBuf): Array[Byte] = {
+    val out = new Array[Byte](4 + buf.n * 24)
+    val bb = java.nio.ByteBuffer.wrap(out)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      bb.putLong(buf.hi(i)); bb.putLong(buf.lo(i)); bb.putLong(buf.pay(i)); i += 1
+    }
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): BottomKBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      buf.hi(i) = bb.getLong; buf.lo(i) = bb.getLong; buf.pay(i) = bb.getLong; i += 1
+    }
+    buf.n = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HashSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HashSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HashSample =
+    copy(hash = newChildren(0), payload = newChildren(1))
+}

@@ -107,15 +107,35 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
 
   test("sampler keeps min payload per hash — invariant under merge order") {
     // same hash carrying different payloads (h not derived from payload):
-    // every partitioning and merge order must agree on the kept entry
-    val s = new Kmv.BottomKSample(2)
-    def e(h: String, p: Long) = Kmv.HEntry(h, p)
-    val all = Seq(e("aa", 9), e("aa", 3), e("bb", 5), e("cc", 1))
-    val single = all.foldLeft(s.zero)(s.reduce)
+    // every partitioning and merge order must agree on the kept entry —
+    // driven through the native aggregate incl. a ser/de round (shuffle path)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = org.apache.spark.sql.graft.HashSample(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, LongType, nullable = true), 2)
+    val ha = "a" * 32; val hb = "b" * 31 + "0"; val hc = "c" * 31 + "0"
+    val all = Seq((ha, 9L), (ha, 3L), (hb, 5L), (hc, 1L))
+    def bufOf(xs: Seq[(String, Long)]) = {
+      val b = agg.createAggregationBuffer()
+      xs.foreach { case (h, p) =>
+        agg.update(b, InternalRow(UTF8String.fromString(h), p))
+      }
+      b
+    }
+    def rows(b: org.apache.spark.sql.graft.BottomKBuf) = {
+      val a = agg.eval(b).asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2); (r.getUTF8String(0).toString, r.getLong(1))
+      }
+    }
+    val single = rows(bufOf(all))
     val (l, r) = all.splitAt(2)
-    val merged = s.merge(l.foldLeft(s.zero)(s.reduce), r.foldLeft(s.zero)(s.reduce))
+    val merged = rows(agg.merge(bufOf(l), agg.deserialize(agg.serialize(bufOf(r)))))
     assert(single == merged)
-    assert(single == Seq(e("aa", 3), e("bb", 5)))
+    assert(single == Seq((ha, 3L), (hb, 5L)))
   }
 
   test("sampler tolerates null hash and null payload rows") {
