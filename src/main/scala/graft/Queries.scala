@@ -2223,7 +2223,8 @@ object Queries {
   /** The b48 profile replayed in SQL over source `src`, CTE names prefixed
     * with `tag` so two profiles compose in one statement (b49 drift).
     */
-  private def profileSqlBlocks(src: String, tag: String): Seq[String] = {
+  private def profileSqlBlocks(src: String, tag: String,
+                               cols: Seq[(String, String)] = profileCols): Seq[String] = {
     def repr(c: String, kind: String): String = kind match {
       case "int" => s"CAST($c AS BIGINT)"
       case "num" => s"CAST(floor($c * 10000) AS BIGINT)"
@@ -2232,7 +2233,7 @@ object Queries {
     }
     def hashSql(c: String, kind: String): String =
       if (kind == "str") s"md5($c)" else s"md5(CAST(${repr(c, kind)} AS VARCHAR))"
-    profileCols.map { case (c, kind) =>
+    cols.map { case (c, kind) =>
       val (minN, maxN) =
         if (kind == "str") ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
         else (s"(SELECT min(${repr(c, kind)}) FROM $src)",
@@ -2256,8 +2257,9 @@ object Queries {
     }
   }
 
-  private def profileUnion(tag: String): String =
-    profileCols.map { case (c, _) => s"SELECT * FROM p_${tag}_$c" }
+  private def profileUnion(tag: String,
+                           cols: Seq[(String, String)] = profileCols): String =
+    cols.map { case (c, _) => s"SELECT * FROM p_${tag}_$c" }
       .mkString("\nUNION ALL\n")
 
   private val b49 = Q(
@@ -5607,43 +5609,94 @@ object Queries {
     (s, dir) => operators.Profile.hourlyProfile(
       httpLog(s, dir), "ts", streamProfileCols),
     Some {
-      def repr(c: String, kind: String): String = kind match {
-        case "int" => s"CAST($c AS BIGINT)"
-        case "num" => s"CAST(floor($c * 10000) AS BIGINT)"
-        case "ts"  => s"epoch_us($c)"
-        case _     => "CAST(NULL AS BIGINT)"
-      }
-      def hashSql(c: String, kind: String): String =
-        if (kind == "str") s"md5($c)" else s"md5(CAST(${repr(c, kind)} AS VARCHAR))"
-      val blocks = streamProfileCols.map { case (c, kind) =>
-        val (minN, maxN) =
-          if (kind == "str") ("min(CAST(NULL AS BIGINT))", "max(CAST(NULL AS BIGINT))")
-          else (s"min(${repr(c, kind)})", s"max(${repr(c, kind)})")
-        val (minS, maxS) =
-          if (kind == "str") (s"min($c)", s"max($c)")
-          else ("min(CAST(NULL AS VARCHAR))", "max(CAST(NULL AS VARCHAR))")
-        s"""h_$c AS (SELECT DISTINCT hr, ${hashSql(c, kind)} AS h FROM hrs WHERE $c IS NOT NULL),
-           |r_$c AS (SELECT hr, h, row_number() OVER (PARTITION BY hr ORDER BY h) AS rn,
-           |         count(*) OVER (PARTITION BY hr) AS nd FROM h_$c),
-           |k_$c AS (SELECT hr, max(nd) AS nd,
-           |         max(CASE WHEN rn = 64 THEN h END) AS kth_hash FROM r_$c GROUP BY 1),
-           |s_$c AS (SELECT hr, count($c) AS nn, $minN AS minn, $maxN AS maxn,
-           |         $minS AS mins, $maxS AS maxs FROM hrs GROUP BY 1),
-           |p_$c AS (SELECT b.hr, '$c' AS "column", '$kind' AS kind,
-           |  b.n_rows, b.n_rows - s.nn AS n_nulls,
-           |  CAST(CASE WHEN coalesce(k.nd, 0) < 64 THEN coalesce(k.nd, 0)
-           |       ELSE floor(63.0 / (CAST(greatest(${kmvDigitSum}, 1) AS DOUBLE)
-           |                          / 4503599627370496.0)) END AS BIGINT) AS n_distinct_est,
-           |  s.minn AS min_num, s.maxn AS max_num,
-           |  s.mins AS min_str, s.maxs AS max_str
-           |  FROM base b LEFT JOIN k_$c k USING (hr) JOIN s_$c s USING (hr))""".stripMargin
-      }
       s"""${HttpLog.cte}
-         |, hrs AS (SELECT date_trunc('hour', ts) AS hr, * FROM http_log),
-         |base AS (SELECT hr, count(*) AS n_rows FROM hrs GROUP BY 1),
-         |${blocks.mkString(",\n")}
-         |${streamProfileCols.map { case (c, _) => s"SELECT * FROM p_$c" }
-           .mkString("\nUNION ALL\n")}""".stripMargin
+         |, hrs_g AS (SELECT date_trunc('hour', ts) AS hr, * FROM http_log),
+         |base_g AS (SELECT hr, count(*) AS n_rows FROM hrs_g GROUP BY 1),
+         |${hourlyProfileSqlBlocks("g", streamProfileCols).mkString(",\n")}
+         |${profileUnion("g", streamProfileCols)}""".stripMargin
+    })
+
+  /** g11's grouped (per-hour) profile replayed in SQL: the caller provides
+    * CTEs `hrs_<tag>` (hr + the profiled columns) and `base_<tag>`
+    * (hr, n_rows); this emits the per-column chains whose union
+    * (`profileUnion(tag, cols)`) is the profile — reused by g12's drift.
+    */
+  private def hourlyProfileSqlBlocks(tag: String,
+                                     cols: Seq[(String, String)]): Seq[String] = {
+    def repr(c: String, kind: String): String = kind match {
+      case "int" => s"CAST($c AS BIGINT)"
+      case "num" => s"CAST(floor($c * 10000) AS BIGINT)"
+      case "ts"  => s"epoch_us($c)"
+      case _     => "CAST(NULL AS BIGINT)"
+    }
+    def hashSql(c: String, kind: String): String =
+      if (kind == "str") s"md5($c)" else s"md5(CAST(${repr(c, kind)} AS VARCHAR))"
+    cols.map { case (c, kind) =>
+      val (minN, maxN) =
+        if (kind == "str") ("min(CAST(NULL AS BIGINT))", "max(CAST(NULL AS BIGINT))")
+        else (s"min(${repr(c, kind)})", s"max(${repr(c, kind)})")
+      val (minS, maxS) =
+        if (kind == "str") (s"min($c)", s"max($c)")
+        else ("min(CAST(NULL AS VARCHAR))", "max(CAST(NULL AS VARCHAR))")
+      s"""h_${tag}_$c AS (SELECT DISTINCT hr, ${hashSql(c, kind)} AS h FROM hrs_$tag WHERE $c IS NOT NULL),
+         |r_${tag}_$c AS (SELECT hr, h, row_number() OVER (PARTITION BY hr ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY hr) AS nd FROM h_${tag}_$c),
+         |k_${tag}_$c AS (SELECT hr, max(nd) AS nd,
+         |         max(CASE WHEN rn = 64 THEN h END) AS kth_hash FROM r_${tag}_$c GROUP BY 1),
+         |s_${tag}_$c AS (SELECT hr, count($c) AS nn, $minN AS minn, $maxN AS maxn,
+         |         $minS AS mins, $maxS AS maxs FROM hrs_$tag GROUP BY 1),
+         |p_${tag}_$c AS (SELECT b.hr, '$c' AS "column", '$kind' AS kind,
+         |  b.n_rows, b.n_rows - s.nn AS n_nulls,
+         |  CAST(CASE WHEN coalesce(k.nd, 0) < 64 THEN coalesce(k.nd, 0)
+         |       ELSE floor(63.0 / (CAST(greatest(${kmvDigitSum}, 1) AS DOUBLE)
+         |                          / 4503599627370496.0)) END AS BIGINT) AS n_distinct_est,
+         |  s.minn AS min_num, s.maxn AS max_num,
+         |  s.mins AS min_str, s.maxs AS max_str
+         |  FROM base_$tag b LEFT JOIN k_${tag}_$c k USING (hr) JOIN s_${tag}_$c s USING (hr))""".stripMargin
+    }
+  }
+
+  private val g12 = Q(
+    "g12_stream_drift",
+    // The DEPLOYABLE monitoring composition: each arriving hour's profile
+    // (g11's windowed aggregate, streaming-legal) drifted against a STATIC
+    // baseline profile (b48 over the reference period) — per (hour, column)
+    // ppm null-rate delta, ppm distinct ratio, and canonical-repr range
+    // escape. Everything downstream of the two profile aggregates is a
+    // stateless broadcast join on the |columns| axis, so the composition
+    // stays legal after the streaming aggregation (StreamingSpec parity);
+    // baseline = morning traffic (hour < 12), current = each afternoon
+    // hour — the "today vs trailing baseline" alerting shape with a
+    // deterministic, SQL-mirrorable split.
+    (s, dir) => {
+      val log = httpLog(s, dir)
+      val baseline = operators.Profile.profile(
+        log.filter(hour(col("ts")) < 12), streamProfileCols)
+      val cur = operators.Profile.hourlyProfile(
+        log.filter(hour(col("ts")) >= 12), "ts", streamProfileCols)
+      operators.Profile.driftAgainst(cur, baseline, Seq("hr"))
+    },
+    Some {
+      s"""${HttpLog.cte}
+         |, hrs_d AS (SELECT date_trunc('hour', ts) AS hr, *
+         |            FROM http_log WHERE hour(ts) >= 12),
+         |base_d AS (SELECT hr, count(*) AS n_rows FROM hrs_d GROUP BY 1),
+         |${hourlyProfileSqlBlocks("d", streamProfileCols).mkString(",\n")},
+         |am AS (SELECT * FROM http_log WHERE hour(ts) < 12),
+         |${profileSqlBlocks("am", "m", streamProfileCols).mkString(",\n")},
+         |profc AS (${profileUnion("d", streamProfileCols)}),
+         |profm AS (${profileUnion("m", streamProfileCols)})
+         |SELECT c.hr, c."column", c.kind,
+         |  c.n_rows AS n_rows_cur, p.n_rows AS n_rows_base,
+         |  CAST(floor(c.n_nulls * 1000000 / c.n_rows)
+         |       - floor(p.n_nulls * 1000000 / p.n_rows) AS BIGINT) AS null_rate_delta_e6,
+         |  CAST(floor(c.n_distinct_est * 1000000
+         |             / greatest(p.n_distinct_est, 1)) AS BIGINT) AS distinct_ratio_e6,
+         |  (coalesce(c.min_num < p.min_num, FALSE)
+         |   OR coalesce(c.max_num > p.max_num, FALSE)
+         |   OR coalesce(c.min_str < p.min_str, FALSE)
+         |   OR coalesce(c.max_str > p.max_str, FALSE)) AS range_widened
+         |FROM profc c JOIN profm p ON c."column" = p."column"""".stripMargin
     })
 
   private val g03 = Q(
@@ -5741,5 +5794,5 @@ object Queries {
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13,
-    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11)
+    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12)
 }

@@ -119,15 +119,29 @@ object Profile {
     * Both inputs are [[profile]] outputs (6-row-ish frames): the join is
     * broadcast-trivial; at scale the cost is the two single-scan profiles.
     */
-  def drift(cur: DataFrame, prev: DataFrame): DataFrame = {
+  def drift(cur: DataFrame, prev: DataFrame): DataFrame =
+    driftAgainst(cur, prev, Nil, "prev")
+
+  /** [[drift]] generalized to a KEYED current side — the continuous
+    * monitoring shape: each of `cur`'s key groups (an event hour from
+    * [[hourlyProfile]], a source, a shard) drifts independently against
+    * ONE baseline profile. The baseline is broadcast (|columns| rows), the
+    * join is on the column axis only, and everything downstream of the
+    * profile aggregates is a stateless projection — so the composition
+    * stays legal in Structured Streaming (g12; parity in StreamingSpec):
+    * profile each closed hour, drift it against yesterday's baseline,
+    * alert on `range_widened` / ppm spikes.
+    */
+  def driftAgainst(cur: DataFrame, baseline: DataFrame,
+                   keys: Seq[String], baseName: String = "base"): DataFrame = {
     val c = cur.as("c")
-    val p = prev.as("p")
+    val p = baseline.as("p")
     def rate(side: String): Column =
       floor(col(s"$side.n_nulls") * 1000000L / col(s"$side.n_rows")).cast("long")
-    c.join(p, col("c.column") === col("p.column"))
-      .select(
+    c.join(broadcast(p), col("c.column") === col("p.column"))
+      .select(keys.map(k => col(s"c.$k").as(k)) ++ Seq(
         col("c.column").as("column"), col("c.kind").as("kind"),
-        col("c.n_rows").as("n_rows_cur"), col("p.n_rows").as("n_rows_prev"),
+        col("c.n_rows").as("n_rows_cur"), col("p.n_rows").as(s"n_rows_$baseName"),
         (rate("c") - rate("p")).as("null_rate_delta_e6"),
         floor(col("c.n_distinct_est") * 1000000L /
           greatest(col("p.n_distinct_est"), lit(1L))).cast("long")
@@ -136,6 +150,6 @@ object Profile {
          coalesce(col("c.max_num") > col("p.max_num"), lit(false)) ||
          coalesce(col("c.min_str") < col("p.min_str"), lit(false)) ||
          coalesce(col("c.max_str") > col("p.max_str"), lit(false)))
-          .as("range_widened"))
+          .as("range_widened")): _*)
   }
 }

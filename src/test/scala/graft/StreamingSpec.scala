@@ -578,6 +578,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("drift against a static baseline composes onto the streaming profile (g12)") {
+    // the g12 claim: driftAgainst is a stateless broadcast join on the
+    // column axis, so it is legal DOWNSTREAM of the streaming windowed
+    // profile and the composed stream equals the composed batch
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val cols = Seq(("v", "int"), ("s", "str"))
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-02 $h%02d:$m%02d:00")
+    val baseRows = (0 until 40).map(i => (t(8, i % 60), i.toLong, s"u${i % 4}"))
+    val baseline = graft.operators.Profile.profile(
+      baseRows.toDF("ts", "v", "s").select(col("v"), col("s")), cols)
+      .persist()
+    baseline.count()
+    def composed(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profile.driftAgainst(
+        graft.operators.Profile.hourlyProfile(df.toDF("ts", "v", "s"), "ts", cols, k = 8),
+        baseline, Seq("hr"))
+    val q = composed(ms.toDF()).writeStream.format("memory")
+      .queryName("drift_stream").outputMode("complete").start()
+    try {
+      val arriving = (0 until 25).map(i => (t(14, i % 59), 1000L + i, s"w${i % 9}"))
+      ms.addData(arriving.take(12)); q.processAllAvailable()
+      ms.addData(arriving.drop(12)); q.processAllAvailable()
+      val streamed = spark.table("drift_stream").collect().map(_.toSeq).toSet
+      val batch = composed(arriving.toDF("ts", "v", "s")).collect().map(_.toSeq).toSet
+      assert(streamed == batch, "stream/batch divergence in composed drift")
+      // the planted shift fires: new id range escapes the baseline envelope
+      val vRow = streamed.find(r => r.contains("v")).get
+      assert(vRow.last == true, s"id-range escape not flagged: $vRow")
+    } finally { q.stop(); baseline.unpersist(blocking = false) }
+  }
+
   test("sessionsOfBatch: gap split, boundary, trailing close, stream parity") {
     import graft.streaming.StatefulSessionize._
     val gapMs = 30L * 60 * 1000
