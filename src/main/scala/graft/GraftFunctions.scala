@@ -25,10 +25,17 @@ object GraftFunctions {
     // k must be a literal (folded before the sketch is constructed) — a
     // column reference or non-numeric k would otherwise surface as an NPE
     // or ClassCastException from inside the builder
-    "heavy_hitters"          -> ((es: Seq[Expression]) =>
-      HeavyHitters(es(0), literalK(es, "heavy_hitters(value, k)"))),
-    "kmv_distinct"           -> ((es: Seq[Expression]) =>
-      KmvDistinct(es(0), literalK(es, "kmv_distinct(md5_hex, k)"))))
+    // literalK runs FIRST: it validates arity before anything indexes
+    // es(0), so a zero-arg call reports the analysis error instead of an
+    // IndexOutOfBoundsException out of the builder lambda
+    "heavy_hitters"          -> ((es: Seq[Expression]) => {
+      val k = literalK(es, "heavy_hitters(value, k)")
+      HeavyHitters(es(0), k)
+    }),
+    "kmv_distinct"           -> ((es: Seq[Expression]) => {
+      val k = literalK(es, "kmv_distinct(hash, k)")
+      KmvDistinct(es(0), k)
+    }))
 
   /** Shared literal-k gate for the sketch aggregates' SQL surface. */
   private def literalK(es: Seq[Expression], sig: String): Int = {

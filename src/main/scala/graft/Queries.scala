@@ -691,8 +691,7 @@ object Queries {
     // rows and the stats match the closed-form file counts; crash-safety
     // and idempotence of the rename protocol stay pinned in LayoutSpec.
     (s, dir) => {
-      val tmp =
-        java.nio.file.Files.createTempDirectory("graft_a22").toString + "/totals"
+      val tmp = operators.Scratch.dir("a22") + "/totals"
       a04.fn(s, dir).repartition(32)
         .write.mode("overwrite").parquet(tmp)
       val stats = operators.Layout.compact(s, tmp, targetBytes = 1L << 30)
@@ -712,6 +711,112 @@ object Queries {
       |       CAST(32 AS INT) AS files_rewritten,
       |       count(*) AS rows_after, CAST(sum(requests) AS BIGINT) AS requests_total
       |FROM agg""".stripMargin))
+
+  /** Physical nodes of a plan, descending through AQE wrappers. */
+  private def physicalNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => physicalNodes(a.executedPlan)
+      case q: QueryStageExec => physicalNodes(q.plan)
+      case other => other.children.flatMap(physicalNodes)
+    })
+  }
+
+  private val a23 = Q(
+    "a23_totals_partitioned",
+    // The reference's serving-table layout as a registered row (r9 verdict
+    // task #4): totals written PARTITION BY toYYYYMM + sorted by the
+    // serving key (http_log.rs:105-107 → TotalsTable.write), then ONE
+    // month re-read. The testdata spans a single month, so a second month
+    // is PLANTED (every total re-dated +1 month) to make the pruning
+    // real: the gate asserts ≥2 ym partitions exist on disk AND that the
+    // month predicate reaches the scan as a PartitionFilter — file-
+    // listing-level skipping, the property that makes "seconds at best"
+    // hold at 100 TB. A broken pruning filter would also leak the planted
+    // February rows into the output and redden the hash. The `observe`
+    // metrics (reference telemetry.rs's processed-rows/bytes counters)
+    // ride the same read — no side channel, no extra pass — and are
+    // emitted as columns the oracle checks against its own counts.
+    (s, dir) => {
+      val path = operators.Scratch.dir("a23") + "/totals"
+      val totals = a04.fn(s, dir)
+      val planted = totals.unionByName(
+        totals.withColumn("ts_hour", expr("timestampadd(MONTH, 1, ts_hour)")))
+      operators.TotalsTable.write(planted, path)
+      val yms = new java.io.File(path).list().filter(_.startsWith("ym=")).sorted
+      require(yms.length >= 2,
+        s"planted month missing: partitions ${yms.mkString(",")}")
+      val ym0 = yms.head.stripPrefix("ym=")
+      val month = operators.TotalsTable.readMonth(s, path, ym0)
+      val scans = physicalNodes(month.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty && scans.forall(
+        _.partitionFilters.exists(_.references.exists(_.name == "ym"))),
+        s"ym must prune at the listing level, plan:\n${month.queryExecution.executedPlan}")
+      val obs = org.apache.spark.sql.Observation()
+      month.observe(obs, count(lit(1)).as("rows"), sum("total_bytes").as("bytes"))
+        .write.format("noop").mode("overwrite").save()
+      month.select(
+        col("resource_id"), col("response_status"), col("cache_status"),
+        col("remote_addr"), col("ts_hour"), col("requests"),
+        col("total_bytes"), col("total_time_milli"),
+        col("ym").cast("string").as("ym"),
+        lit(obs.get("rows").asInstanceOf[Long]).as("obs_rows"),
+        lit(obs.get("bytes").asInstanceOf[Long]).as("obs_bytes"))
+    },
+    Some(s"""${HttpLog.cte}
+      |, agg AS (
+      |  SELECT resource_id, response_status, cache_status, remote_addr,
+      |         date_trunc('hour', ts) AS ts_hour,
+      |         count(*) AS requests,
+      |         CAST(sum(bytes_sent) AS BIGINT) AS total_bytes,
+      |         CAST(sum(request_time_milli) AS BIGINT) AS total_time_milli
+      |  FROM http_log GROUP BY 1, 2, 3, 4, 5),
+      |t AS (SELECT *, strftime(ts_hour, '%Y%m') AS ym FROM agg),
+      |m0 AS (SELECT min(ym) AS ym0 FROM t),
+      |mt AS (SELECT t.* FROM t, m0 WHERE t.ym = m0.ym0)
+      |SELECT resource_id, response_status, cache_status, remote_addr,
+      |       ts_hour, requests, total_bytes, total_time_milli, ym,
+      |       (SELECT count(*) FROM mt) AS obs_rows,
+      |       (SELECT sum(total_bytes) FROM mt) AS obs_bytes
+      |FROM mt""".stripMargin))
+
+  private val a24 = Q(
+    "a24_idempotent_collapse",
+    // The CollapseIdempotent optimizer rule through a gated row (r9
+    // verdict task #8, the a22 promotion pattern): the flagship's
+    // anonymize-on-ingest composed with a defensive downstream re-apply —
+    // the redundancy the rule exists to delete (at 100 TB the second pass
+    // is a full extra string scan per row for a provable no-op). The gate
+    // asserts the rule FIRED: the optimized plan carries exactly ONE
+    // AnonymizeIp and no nested application; the hash then certifies the
+    // collapsed plan computes the right answer (idempotence means the
+    // single-application oracle is exact).
+    (s, dir) => {
+      GraftFunctions.register(s) // installs the optimizer rule (idempotent)
+      val df = httpLog(s, dir)
+        .withColumn("remote_addr", graft.functions.anonymize_ip(col("remote_addr")))
+        .withColumn("remote_addr", graft.functions.anonymize_ip(col("remote_addr")))
+        .groupBy(col("remote_addr"))
+        .agg(count(lit(1)).as("requests"), sum("bytes_sent").as("total_bytes"))
+      import org.apache.spark.sql.graft.AnonymizeIp
+      var total = 0; var nested = 0
+      df.queryExecution.optimizedPlan.foreach(_.expressions.foreach(_.foreach {
+        case AnonymizeIp(inner) =>
+          total += 1
+          if (inner.isInstanceOf[AnonymizeIp]) nested += 1
+        case _ =>
+      }))
+      require(total == 1 && nested == 0,
+        s"CollapseIdempotent must fire: $total applications, $nested nested")
+      df
+    },
+    Some(s"""${HttpLog.cte}
+      |SELECT $anonV4Sql AS remote_addr, count(*) AS requests,
+      |       CAST(sum(bytes_sent) AS BIGINT) AS total_bytes
+      |FROM http_log GROUP BY 1""".stripMargin))
 
   private val a16 = Q(
     "a16_gapfill_timeseries",
@@ -2303,6 +2408,132 @@ object Queries {
            |FROM profc c JOIN profp p ON c."column" = p."column"""".stripMargin
     })
 
+  private val b50 = Q(
+    "b50_bucketed_colocated_join",
+    // Bucketed fact⋈fact join as a gated row (r9 verdict task #5, the last
+    // unregistered query-capability claim): both tables written bucketed+
+    // sorted by the join key (operators/Bucketing.scala — the batch analog
+    // of the reference's pre-partitioned ClickHouse sort key), then joined
+    // AND aggregated on the bucket key with a ZERO-Exchange plan asserted
+    // inside the gate. At 100 TB the two shuffles this deletes ARE the
+    // join's cost; the bucket-key groupBy downstream rides the same
+    // partitioning for free (HashPartitioning(okey) satisfies the
+    // (okey, priority) clustering). The hash certifies the bucketed path
+    // computes exactly what the shuffled path would.
+    (s, dir) => {
+      val base = operators.Scratch.dir("b50")
+      s.sql("DROP TABLE IF EXISTS b50_lineitem")
+      s.sql("DROP TABLE IF EXISTS b50_orders")
+      operators.Bucketing.writeBucketed(s,
+        Tables.lineitem(s, dir).select(col("l_orderkey").as("okey"),
+          col("l_extendedprice"), col("l_discount")),
+        "b50_lineitem", base + "/lineitem", Seq("okey"), buckets = 8)
+      operators.Bucketing.writeBucketed(s,
+        Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+          col("o_orderpriority")),
+        "b50_orders", base + "/orders", Seq("okey"), buckets = 8)
+      // revenue in exact integer cents: the per-line product is ONE IEEE
+      // multiply chain identical in both engines, rounded once; the SUM is
+      // then order-free BIGINT — bucket-file read order vs the oracle's
+      // row order flipped low-bit cents under a double sum (measured: 4 of
+      // 1473 groups at sf0.001)
+      val lineCents = expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+      val joined = operators.Bucketing
+        .colocatedJoin(s, "b50_lineitem", "b50_orders", Seq("okey"))
+        .groupBy(col("okey"), col("o_orderpriority"))
+        .agg(sum(lineCents).as("revenue_cents"))
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val shuffles = physicalNodes(joined.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeLike => e }
+      require(shuffles.isEmpty,
+        s"bucketed join+agg must be shuffle-free, found ${shuffles.length}:\n" +
+          joined.queryExecution.executedPlan)
+      joined
+    },
+    Some("""SELECT l_orderkey AS okey, o_orderpriority,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin))
+
+  private val b51 = Q(
+    "b51_kmv_xxhash64",
+    // The PRODUCTION sketch configuration as a registered row (r9 verdict
+    // task #2): the same KmvDistinct/HashSample aggregates every md5-gated
+    // sketch row certifies, fed xxhash64 LONGS — no per-row hex
+    // materialization, no parse, the path a 100 TB run should use (b48's
+    // probe showed md5 hashing itself is the dominant per-row profile
+    // cost). DuckDB has no xxhash64, so this row is rows-only by design —
+    // b52 is the hash-checked known-answer companion (the b44/b45
+    // pattern), and KmvSpec pins the xxhash64 merge law + a brute-force
+    // known answer for both aggregates.
+    (s, dir) => {
+      val hl = httpLog(s, dir)
+      hl.groupBy(col("cache_status"))
+        .agg(
+          // log_id is the one high-cardinality column (unique per row), so
+          // the estimator genuinely runs — every other http_log column
+          // derives from the small user domain and would sit in the
+          // sub-k exact regime
+          operators.Kmv.kmv_distinct(64)(xxhash64(col("log_id"))).as("k"),
+          operators.Kmv.hash_sample(4)(
+            xxhash64(col("remote_addr")), col("log_id")).as("smp"))
+        .select(col("cache_status"),
+          col("k.est_distinct").as("est_distinct_logs"),
+          posexplode(col("smp")).as(Seq("pos", "e")))
+        .select(col("cache_status"), col("est_distinct_logs"),
+          (col("pos") + 1).cast("int").as("sample_rank"),
+          col("e.h").as("sample_hash"), col("e.payload").as("sample_log_id"))
+    },
+    None)
+
+  private val b52 = Q(
+    "b52_kmv_xxhash64_known",
+    // b51's hash-checked companion. Two planted regimes:
+    //  - `sub_k`: 32 distinct values < k=64 ⇒ the sketch is provably in
+    //    its EXACT regime — est_distinct must equal the true distinct
+    //    count regardless of which hash fed it. A corrupted long-input
+    //    path (mis-ordered insertions, dropped values) breaks the
+    //    equality and reddens the hash.
+    //  - `super_k`: |log_ids| = |rows| ≫ k=256 ⇒ the estimator runs for
+    //    real; the
+    //    emitted band check (±40% ≈ 6σ at k=256, se = 1/√254 ≈ 6.3%) is
+    //    computed IN Spark against the exact count the oracle verifies —
+    //    order-statistic corruption throws the estimate far outside the
+    //    band and flips the boolean.
+    // Every emitted column is engine-mirrorable: exact counts, the
+    // sub-k estimate (= exact), and the band booleans.
+    (s, dir) => {
+      val hl = httpLog(s, dir)
+      val sub = hl.agg(
+          operators.Kmv.kmv_distinct(64)(
+            xxhash64(pmod(col("resource_id"), lit(32)))).as("k"),
+          countDistinct(pmod(col("resource_id"), lit(32))).as("exact"))
+        .select(lit("sub_k").as("bucket"),
+          col("exact").as("exact_distinct"),
+          col("k.est_distinct").as("est_if_exact"),
+          (col("k.est_distinct") === col("exact")).as("est_in_band"))
+      val sup = hl.agg(
+          operators.Kmv.kmv_distinct(256)(xxhash64(col("log_id"))).as("k"),
+          countDistinct(col("log_id")).as("exact"))
+        .select(lit("super_k").as("bucket"),
+          col("exact").as("exact_distinct"),
+          lit(null).cast("long").as("est_if_exact"),
+          (col("k.est_distinct") >= col("exact") * 0.6 &&
+           col("k.est_distinct") <= col("exact") * 1.4).as("est_in_band"))
+      sub.unionByName(sup)
+    },
+    Some(s"""${HttpLog.cte}
+      |SELECT 'sub_k' AS bucket,
+      |       count(DISTINCT resource_id % 32) AS exact_distinct,
+      |       count(DISTINCT resource_id % 32) AS est_if_exact,
+      |       TRUE AS est_in_band
+      |FROM http_log
+      |UNION ALL
+      |SELECT 'super_k', count(DISTINCT log_id), CAST(NULL AS BIGINT), TRUE
+      |FROM http_log""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -3503,8 +3734,7 @@ object Queries {
         .select((col("doc_id") + 100000).as("qid"),
           (col("vec_id") + 800000).as("qtok"), col("embedding"))
       val centroids = Similarity.ivfCentroids(emb, nCells = 16, refineIters = 1)
-      val idxDir =
-        java.nio.file.Files.createTempDirectory("graft_d15_idx").toString + "/idx"
+      val idxDir = operators.Scratch.dir("d15") + "/idx"
       Similarity.writeIndex(emb, centroids, idxDir)
       val tokenProbes = twins.select(col("qtok").as("qid"), col("embedding").as("qv"))
       val hits = Similarity.probeIndex(s, idxDir, tokenProbes, centroids,
@@ -5535,8 +5765,7 @@ object Queries {
           val dead = if (id % 20 == 15) Seq((id + 700000, orig.take(5))) else Seq.empty
           re ++ pert ++ dead
         }.toDF("doc_id", "payload"), "doc_id", "payload")
-      val idxDir =
-        java.nio.file.Files.createTempDirectory("graft_g10_idx").toString + "/idx"
+      val idxDir = operators.Scratch.dir("g10") + "/idx"
       operators.Multimodal.writeHashIndex(archive, idxDir)
       operators.Multimodal.probeHashIndex(s, idxDir, batch)
     },
@@ -5783,11 +6012,11 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     a00, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13, a14, a15,
-    a16, a17, a18, a19, a20, a21, a22,
+    a16, a17, a18, a19, a20, a21, a22, a23, a24,
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42, b43, b44, b45,
-    b46, b47, b48, b49,
+    b46, b47, b48, b49, b50, b51, b52,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17, c18,
     c19, c20,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,

@@ -54,8 +54,14 @@ object Kmv {
     * profile probe (~4 µs/row/column). Output schema, ordering, k-th hash
     * rendering, and the top-52-bit estimate are bit-identical — every KMV
     * oracle (b23/b35/b48/g11) hash-checks unchanged, and KmvSpec pins the
-    * sketch laws against the new implementation. Input must be 32-char
-    * hex (an md5) — enforced loudly, the c19/b42 guard discipline.
+    * sketch laws against the new implementation. Input is either 32-char
+    * hex (an md5 — enforced loudly, the c19/b42 guard discipline) or,
+    * since r10, a LongType 64-bit hash — the PRODUCTION configuration
+    * (`kmv_distinct(k)(xxhash64(x))`): no per-row hex materialization or
+    * parse, same estimator (uniform 64-bit hash ⇒ the same top-52-bit θ).
+    * md5 exists so the DuckDB oracle can replay the permutation; xxhash64
+    * is what a 100 TB run should feed (b51/b52 + KmvSpec certify it; the
+    * b48-shape probe measures the md5→xxhash64 per-row delta, SURVEY §6).
     */
   def kmv_distinct(k: Int): Column => Column = {
     import org.apache.spark.sql.graft.{Bridge, KmvDistinct}
@@ -78,7 +84,8 @@ object Kmv {
     * the complement of the rate-based domain-mix sampler (e10): exact-k per
     * group vs global rates. Since r9: the native `sql.graft.HashSample`
     * (packed-long buffer, the [[kmv_distinct]] treatment) — null hash or
-    * payload rows skip; non-md5 hashes fail loudly.
+    * payload rows skip; non-md5 hashes fail loudly. Since r10 a LongType
+    * hash column is the production xxhash64 path, as for [[kmv_distinct]].
     */
   def hash_sample(k: Int): (Column, Column) => Column = {
     import org.apache.spark.sql.graft.{Bridge, HashSample}

@@ -136,15 +136,40 @@ object Profile {
                    keys: Seq[String], baseName: String = "base"): DataFrame = {
     val c = cur.as("c")
     val p = baseline.as("p")
+    // Loud-failure discipline (the b42/c19 pattern) on the ppm arithmetic:
+    //  - a zero-row profile (empty baseline table, empty keyed group) would
+    //    silently null every ppm metric — the WRONG failure mode for an
+    //    alerting path, and a divergence from the DuckDB mirror, whose
+    //    integer division by zero errors natively;
+    //  - `n_nulls * 1000000` wraps silently as a Long above ~9.2e12 rows
+    //    while the mirror's BIGINT multiply errors — the 100 TB regime this
+    //    module targets. Both now raise in BOTH engines instead.
+    val MaxE6Input = Long.MaxValue / 1000000L
+    def e6Guarded(num: Column, denom: Column, what: String): Column =
+      when(denom === 0L, raise_error(format_string(
+        s"driftAgainst: zero-row profile for column %s ($what)", col("c.column")))
+        .cast("long"))
+        .when(num > MaxE6Input, raise_error(format_string(
+          s"driftAgainst: $what %d overflows the ppm multiply (max ${MaxE6Input})",
+          num)).cast("long"))
+        .otherwise(floor(num * 1000000L / denom).cast("long"))
     def rate(side: String): Column =
-      floor(col(s"$side.n_nulls") * 1000000L / col(s"$side.n_rows")).cast("long")
-    c.join(broadcast(p), col("c.column") === col("p.column"))
+      e6Guarded(col(s"$side.n_nulls"), col(s"$side.n_rows"), "null rate")
+    // A cur column MISSING from the baseline would silently vanish through
+    // an inner join — a monitoring report that drops the drifted column is
+    // worse than one that fails. Left join + loud guard instead.
+    val baseRows = when(col("p.column").isNull,
+      raise_error(format_string(
+        "driftAgainst: baseline has no profile row for column %s",
+        col("c.column"))).cast("long"))
+      .otherwise(col("p.n_rows"))
+    c.join(broadcast(p), col("c.column") === col("p.column"), "left_outer")
       .select(keys.map(k => col(s"c.$k").as(k)) ++ Seq(
         col("c.column").as("column"), col("c.kind").as("kind"),
-        col("c.n_rows").as("n_rows_cur"), col("p.n_rows").as(s"n_rows_$baseName"),
+        col("c.n_rows").as("n_rows_cur"), baseRows.as(s"n_rows_$baseName"),
         (rate("c") - rate("p")).as("null_rate_delta_e6"),
-        floor(col("c.n_distinct_est") * 1000000L /
-          greatest(col("p.n_distinct_est"), lit(1L))).cast("long")
+        e6Guarded(col("c.n_distinct_est"),
+          greatest(col("p.n_distinct_est"), lit(1L)), "distinct estimate")
           .as("distinct_ratio_e6"),
         (coalesce(col("c.min_num") < col("p.min_num"), lit(false)) ||
          coalesce(col("c.max_num") > col("p.max_num"), lit(false)) ||

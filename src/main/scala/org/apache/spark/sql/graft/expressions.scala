@@ -725,18 +725,33 @@ final class KmvBuf(val k: Int) {
   * hash-checks unchanged. Input contract: 32-char hex (an md5), enforced
   * loudly — the b42/c19 guard discipline, since a silently mis-parsed
   * hash would corrupt the order statistics.
+  *
+  * PRODUCTION hash path (r10): a LongType child is treated as a 64-bit
+  * hash directly — `kmv_distinct(xxhash64(x), k)` — with (hash, 0) taking
+  * the md5 pair's place in the unsigned order and the k-th hash rendered
+  * as 16-char hex. No per-row string materialization, no hex parse; the
+  * estimator's top-52-bit formula is unchanged (uniform 64-bit hash ⇒ the
+  * same θ statistics). md5 exists so DuckDB can replay the permutation
+  * (the oracle gate); xxhash64 is what a 100 TB run should feed. Certified
+  * by the b51/b52 rows + KmvSpec's xxhash64 merge-law and known-answer
+  * runs. Non-long, non-string children resolve to the StringType slot via
+  * ImplicitCastInputTypes (preserving the pre-r9 udaf surface, where
+  * encoder conversion accepted any input castable to string).
   */
 case class KmvDistinct(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KmvBuf] with ExpectsInputTypes {
+    extends TypedImperativeAggregate[KmvBuf] with ImplicitCastInputTypes {
 
   require(k >= 2 && k <= (1 << 20), "kmv_distinct k out of range")
 
+  private def longInput: Boolean = child.dataType == LongType
+
   override def children: Seq[Expression] = Seq(child)
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(if (longInput) LongType else StringType)
   override def dataType: DataType = StructType(Seq(
     StructField("n_tracked", LongType, nullable = false),
     StructField("kth_hash", StringType, nullable = true),
@@ -757,13 +772,16 @@ case class KmvDistinct(
   override def update(buf: KmvBuf, input: InternalRow): KmvBuf = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].getBytes
-      if (s.length != 32) throw new IllegalArgumentException(
-        s"kmv_distinct expects 32-char hex (md5) input, got length ${s.length}")
-      var h = 0L; var l = 0L; var i = 0
-      while (i < 16) { h = (h << 4) | hexNibble(s(i)); i += 1 }
-      while (i < 32) { l = (l << 4) | hexNibble(s(i)); i += 1 }
-      buf.insert(h, l)
+      if (longInput) buf.insert(v.asInstanceOf[Long], 0L)
+      else {
+        val s = v.asInstanceOf[UTF8String].getBytes
+        if (s.length != 32) throw new IllegalArgumentException(
+          s"kmv_distinct expects 32-char hex (md5) input, got length ${s.length}")
+        var h = 0L; var l = 0L; var i = 0
+        while (i < 16) { h = (h << 4) | hexNibble(s(i)); i += 1 }
+        while (i < 32) { l = (l << 4) | hexNibble(s(i)); i += 1 }
+        buf.insert(h, l)
+      }
     }
     buf
   }
@@ -778,7 +796,8 @@ case class KmvDistinct(
     if (buf.n < k) InternalRow(buf.n.toLong, null, buf.n.toLong)
     else {
       val h = buf.hi(k - 1); val l = buf.lo(k - 1)
-      val hex = UTF8String.fromString(f"$h%016x$l%016x")
+      val hex = UTF8String.fromString(
+        if (longInput) f"$h%016x" else f"$h%016x$l%016x")
       // first 13 hex chars = the top 52 bits of hi — fits a double exactly
       val v = math.max(h >>> 12, 1L)
       val est = math.floor((k - 1).toDouble / (v.toDouble / 4503599627370496.0)).toLong
@@ -864,6 +883,12 @@ final class BottomKBuf(val k: Int) {
   * no per-row serialization). Semantics identical: one entry per hash
   * keeping the MINIMUM payload (merge-order-invariant under collisions),
   * ascending output, nulls skipped, 32-hex input enforced loudly.
+  *
+  * Like [[KmvDistinct]] (r10): a LongType hash child is the production
+  * xxhash64 path — `(hash, 0)` in the unsigned order, `h` rendered as
+  * 16-char hex — and ImplicitCastInputTypes restores the pre-r9 payload
+  * surface (INT/SHORT payloads implicitly cast to LongType, as the old
+  * udaf's encoder conversion did).
   */
 case class HashSample(
     hash: Expression,
@@ -871,12 +896,15 @@ case class HashSample(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[BottomKBuf] with ExpectsInputTypes {
+    extends TypedImperativeAggregate[BottomKBuf] with ImplicitCastInputTypes {
 
   require(k >= 1 && k <= (1 << 20), "hash_sample k out of range")
 
+  private def longInput: Boolean = hash.dataType == LongType
+
   override def children: Seq[Expression] = Seq(hash, payload)
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(if (longInput) LongType else StringType, LongType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("h", StringType, nullable = false),
@@ -899,13 +927,16 @@ case class HashSample(
     val hv = hash.eval(input)
     val pv = payload.eval(input)
     if (hv != null && pv != null) {
-      val s = hv.asInstanceOf[UTF8String].getBytes
-      if (s.length != 32) throw new IllegalArgumentException(
-        s"hash_sample expects 32-char hex (md5) input, got length ${s.length}")
-      var h = 0L; var l = 0L; var i = 0
-      while (i < 16) { h = (h << 4) | hexNibble(s(i)); i += 1 }
-      while (i < 32) { l = (l << 4) | hexNibble(s(i)); i += 1 }
-      buf.insert(h, l, pv.asInstanceOf[Long])
+      if (longInput) buf.insert(hv.asInstanceOf[Long], 0L, pv.asInstanceOf[Long])
+      else {
+        val s = hv.asInstanceOf[UTF8String].getBytes
+        if (s.length != 32) throw new IllegalArgumentException(
+          s"hash_sample expects 32-char hex (md5) input, got length ${s.length}")
+        var h = 0L; var l = 0L; var i = 0
+        while (i < 16) { h = (h << 4) | hexNibble(s(i)); i += 1 }
+        while (i < 32) { l = (l << 4) | hexNibble(s(i)); i += 1 }
+        buf.insert(h, l, pv.asInstanceOf[Long])
+      }
     }
     buf
   }
@@ -920,7 +951,9 @@ case class HashSample(
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       (0 until buf.n).map { i =>
         InternalRow(
-          UTF8String.fromString(f"${buf.hi(i)}%016x${buf.lo(i)}%016x"),
+          UTF8String.fromString(
+            if (longInput) f"${buf.hi(i)}%016x"
+            else f"${buf.hi(i)}%016x${buf.lo(i)}%016x"),
           buf.pay(i))
       })
 

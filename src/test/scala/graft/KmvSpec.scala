@@ -155,4 +155,84 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
     assert(Kmv.estimate(64, "0000000000001" + "0" * 19) == 63L * (1L << 52))
     assert(Kmv.estimate(64, "8" + "0" * 31) == 126) // θ = 1/2 → floor(63/0.5)
   }
+
+  // ------------------------------------------------------- xxhash64 path
+  // The PRODUCTION hash configuration (b51/b52): a LongType child feeds
+  // the same aggregates directly — no hex materialization. These pin the
+  // laws the md5 rows certify, under the hash users actually run at scale.
+
+  private def xxSketch(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.agg(Kmv.kmv_distinct(k)(xxhash64(col("v"))).as("r"))
+      .select("r.n_tracked", "r.kth_hash", "r.est_distinct")
+      .collect().head
+
+  test("xxhash64 path: exact below k, partitioning-invariant, in-band above k") {
+    val small = xxSketch((1 to 40).toDF("v"), k = 64)
+    assert(small.getLong(0) == 40 && small.isNullAt(1) && small.getLong(2) == 40)
+    val n = 10000
+    val df = (1 to n).toDF("v")
+    val a = xxSketch(df.repartition(1), k = 256)
+    val b = xxSketch(df.repartition(13), k = 256)
+    assert(a == b, "merge law must hold under the long-input path")
+    assert(math.abs(a.getLong(2).toDouble - n) / n < 0.25,
+      s"estimate ${a.getLong(2)} too far from $n")
+  }
+
+  test("xxhash64 path: known answer — kth hash IS the kth-smallest unsigned xxhash64") {
+    // brute force the permutation with Spark's own xxhash64, compare the
+    // sketch's order statistic and estimate bit-for-bit
+    val k = 16
+    val df = (1 to 500).toDF("v")
+    val hashes = df.select(xxhash64(col("v")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted(Ordering.fromLessThan[Long](
+        (a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+    val kth = hashes(k - 1)
+    val r = xxSketch(df, k)
+    assert(r.getString(1) == f"$kth%016x")
+    val v = math.max(kth >>> 12, 1L)
+    val expectEst = math.floor((k - 1).toDouble / (v.toDouble / 4503599627370496.0)).toLong
+    assert(r.getLong(2) == expectEst)
+  }
+
+  test("xxhash64 path: hash_sample keeps the bottom-k by unsigned hash with min payload") {
+    val df = (1 to 500).toDF("v")
+      .select(col("v"), xxhash64(col("v") % 100).as("h")) // 5 payloads per hash
+    val got = df.agg(Kmv.hash_sample(8)(col("h"), col("v")).as("s"))
+      .select(explode(col("s")).as("e")).select("e.h", "e.payload")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vh = df.select(col("v"), col("h")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val byHash = (1 to 500).groupBy(_ % 100).map { case (_, vs) =>
+      (vh(vs.head), vs.min.toLong)
+    }.toSeq
+    val expect = byHash.sortWith((a, b) =>
+      java.lang.Long.compareUnsigned(a._1, b._1) < 0).take(8)
+      .map { case (h, p) => (f"$h%016x", p) }
+    assert(got.toSeq == expect)
+    // and partition-invariance of the whole array
+    val again = df.repartition(13)
+      .agg(Kmv.hash_sample(8)(col("h"), col("v")).as("s"))
+      .select(explode(col("s")).as("e")).select("e.h", "e.payload")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSeq == expect)
+  }
+
+  test("integral payloads implicitly widen to long (pre-r9 surface preserved)") {
+    val df = (1 to 50).toDF("v")
+      .select(md5(col("v").cast("string").cast("binary")).as("h"),
+        (col("v") % 7).cast("int").as("p"))
+    val out = df.agg(Kmv.hash_sample(4)(col("h"), col("p")).as("s"))
+      .select(explode(col("s.payload"))).collect()
+    assert(out.length == 4)
+  }
+
+  test("SQL surface: wrong arity reports the analysis error, not an index crash") {
+    GraftFunctions.register(spark)
+    for (sql <- Seq("SELECT heavy_hitters()", "SELECT kmv_distinct()",
+                    "SELECT heavy_hitters(1)", "SELECT kmv_distinct('a', 'b')")) {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains("k must be an integer literal"),
+        s"$sql → ${e.getMessage}")
+    }
+  }
 }

@@ -100,4 +100,55 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       assert(!r.getAs[Boolean]("range_widened"))
     }
   }
+
+  // ------------------------------------------------ loud-failure guards
+  // An alerting report must FAIL on degenerate inputs, not go quietly
+  // null (r9 verdict #1 / ADVICE overflow): the DuckDB mirror errors on
+  // integer division by zero and on BIGINT overflow natively, so the
+  // Spark side raises too — engine-aligned loud failure.
+
+  import spark.implicits._
+
+  /** A hand-built profile frame (driftAgainst only reads the schema). */
+  private def fakeProfile(rows: (String, Long, Long, Long)*) =
+    rows.toSeq.toDF("column", "n_rows", "n_nulls", "n_distinct_est")
+      .select(col("column"), lit("int").as("kind"), col("n_rows"),
+        col("n_nulls"), col("n_distinct_est"),
+        lit(1L).as("min_num"), lit(2L).as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+
+  test("drift against a zero-row baseline raises instead of nulling the report") {
+    val cur = fakeProfile(("v", 100L, 5L, 10L))
+    val empty = fakeProfile(("v", 0L, 0L, 0L))
+    val e = intercept[Exception](
+      Profile.driftAgainst(cur, empty, Nil).collect())
+    assert(e.getMessage.contains("zero-row profile"), e.getMessage)
+    // and symmetrically for an empty current side
+    val e2 = intercept[Exception](
+      Profile.driftAgainst(empty, cur, Nil).collect())
+    assert(e2.getMessage.contains("zero-row profile"), e2.getMessage)
+  }
+
+  test("drift with a column missing from the baseline raises, not silently drops") {
+    val cur = fakeProfile(("v", 100L, 5L, 10L), ("w", 100L, 0L, 3L))
+    val base = fakeProfile(("v", 100L, 5L, 10L))
+    val e = intercept[Exception](
+      Profile.driftAgainst(cur, base, Nil).collect())
+    assert(e.getMessage.contains("baseline has no profile row for column w"),
+      e.getMessage)
+  }
+
+  test("ppm multiply past the long bound raises in lockstep with the BIGINT mirror") {
+    val huge = Long.MaxValue / 1000000L + 1
+    val cur = fakeProfile(("v", huge * 2, huge, 10L))
+    val base = fakeProfile(("v", 100L, 5L, 10L))
+    val e = intercept[Exception](
+      Profile.driftAgainst(cur, base, Nil).collect())
+    assert(e.getMessage.contains("overflows the ppm multiply"), e.getMessage)
+    // in-bounds values still report (the guard is a guard, not a cap)
+    val ok = Profile.driftAgainst(
+      fakeProfile(("v", 200L, 10L, 10L)), base, Nil).collect()
+    assert(ok.length == 1 && ok.head.getAs[Long]("null_rate_delta_e6") == 0L)
+  }
 }
