@@ -63,8 +63,14 @@ object KafkaShaped {
   }
 
   /** Streaming file source with the same downstream shape (parquet dir of
-    * frames); useful where Kafka isn't reachable.
+    * frames); useful where Kafka isn't reachable. `maxFilesPerTrigger`
+    * bounds each micro-batch to that many files (oldest first) — the
+    * replay harness (g13) uses 1 so each frame file IS one micro-batch.
     */
-  def fileStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(frameSchema).parquet(dir)
+  def fileStream(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(frameSchema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    reader.parquet(dir)
+  }
 }

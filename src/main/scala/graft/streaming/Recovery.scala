@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.KafkaShaped
+
+/** The reference's ACTUAL deployment posture as a runnable composition:
+  * the streaming run loop with exactly-once delivery
+  * (`/root/reference/anonymizer/src/lib.rs` run loop: consume → decode →
+  * anonymize → batch insert; `sink.rs` replay + manual offset commit
+  * AFTER the insert). Here: Kafka-shaped frames → decode with dead-letter
+  * split → anonymize → offset-keyed watermark dedup → per-micro-batch
+  * partial totals through the idempotent replace-partition sink — plus
+  * the crash window the idempotent sink exists for, made inducible so the
+  * gated row (g13) can certify recovery, not just describe it.
+  *
+  * Exactly-once argument, piece by piece (each half pinned separately in
+  * StreamingSpec, the composition hash-gated end-to-end in g13):
+  *  - at-least-once REDELIVERY (the broker re-sending a committed-but-
+  *    unacked message) is removed by [[offsetKeyedLogs]]'s
+  *    `dropDuplicatesWithinWatermark` on the frame OFFSET — the
+  *    reference's own dedup key (source.rs manual offsets; its
+  *    ReplacingMergeTree collapses replayed rows the same way). State is
+  *    bounded by the watermark, exactly like g02.
+  *  - at-least-once REPROCESSING (crash after the sink write, before the
+  *    checkpoint's offset commit — [[crashBeforeCommit]] induces it) is
+  *    absorbed by [[Sinks.idempotentParquet]]: the replayed micro-batch
+  *    dynamically overwrites its OWN batch_id partition and no other.
+  *  - the totals themselves commute: each micro-batch writes PARTIAL
+  *    hourly totals (count/sum per key), and the final re-aggregation
+  *    sums partials — exact integer arithmetic, any batch split.
+  */
+object Recovery {
+
+  val totalKeys: Seq[String] =
+    Seq("ts_hour", "resource_id", "response_status", "cache_status", "remote_addr")
+
+  /** Frames → decoded/dead-letter-split → anonymized → watermarked →
+    * offset-deduped logs. Works identically on a batch frame table (the
+    * oracle posture) and a streaming one (the deployment posture) — the
+    * g01/g11 one-function-both-postures discipline.
+    */
+  def offsetKeyedLogs(frames: DataFrame): DataFrame = {
+    val (good, _) = KafkaShaped.decodeSplit(frames)
+    val logs = HttpLogPipeline.anonymize(good.select(
+      col("offset"),
+      expr("timestamp_millis(r.ts_milli)").as("ts"),
+      col("r.resource_id").as("resource_id"),
+      col("r.bytes_sent").as("bytes_sent"),
+      col("r.request_time_milli").as("request_time_milli"),
+      col("r.response_status").as("response_status"),
+      col("r.cache_status").as("cache_status"),
+      col("r.remote_addr").as("remote_addr")))
+    HttpLogPipeline.dedupReplayed(
+      HttpLogPipeline.withEventTimeBounds(logs), Seq("offset"))
+  }
+
+  /** foreachBatch sink: this micro-batch's PARTIAL hourly totals into its
+    * own batch_id partition (idempotent under replay). */
+  def totalsBatchSink(sinkDir: String): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val partial = HttpLogPipeline.windowedTotals(batch.drop("offset"))
+        .select(col("window.start").as("ts_hour"),
+          col("resource_id"), col("response_status"), col("cache_status"),
+          col("remote_addr"),
+          col("requests"), col("total_bytes"), col("total_time_milli"))
+      Sinks.idempotentParquet(sinkDir, totalKeys)(partial, batchId)
+  }
+
+  /** Run the pipeline over every frame file currently in `framesDir`,
+    * one file per micro-batch, draining then stopping — one "process
+    * lifetime" between crashes.
+    */
+  def runUntilDrained(spark: SparkSession, framesDir: String, ckptDir: String,
+                      sinkDir: String): Unit = {
+    val q = offsetKeyedLogs(
+        KafkaShaped.fileStream(spark, framesDir, maxFilesPerTrigger = Some(1)))
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch(totalsBatchSink(sinkDir))
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    q.awaitTermination()
+  }
+
+  /** Induce the crash the exactly-once contract is about: delete the
+    * NEWEST commit marker, so the sink's write for that batch survives but
+    * the offset commit does not — on restart, Structured Streaming replays
+    * the batch from `offsets/` (same files, same watermark, same state
+    * version) and the idempotent sink overwrites exactly itself. This is
+    * the reference's failure window between ClickHouse insert and manual
+    * Kafka offset commit (lib.rs:99-116), file-checkpoint edition.
+    *
+    * `batches` > 1 widens the window: the newest N batches all replay.
+    * g13 uses 2 so a DATA batch replays, not just the trailing no-data
+    * watermark-advance batch Spark appends to stateful queries.
+    *
+    * @return the oldest batch id that will replay
+    */
+  def crashBeforeCommit(ckptDir: String, batches: Int = 1): Long = {
+    val dir = new java.io.File(s"$ckptDir/commits")
+    val ids = Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).sorted
+    require(ids.length >= batches, s"only ${ids.length} committed batches under $dir")
+    val replayed = ids.takeRight(batches)
+    replayed.foreach { id =>
+      require(new java.io.File(dir, id.toString).delete(),
+        s"could not delete commit marker $id")
+      // the local-FS checksum sibling would otherwise block the replayed
+      // commit's rename (FileAlreadyExistsException on .N.crc)
+      new java.io.File(dir, s".$id.crc").delete()
+    }
+    replayed.head
+  }
+
+  /** The serving-side view: re-aggregate the sink's per-batch partials
+    * into final totals (what the reference's ClickHouse does at merge /
+    * query time for its ReplacingMergeTree inserts).
+    */
+  def finalTotals(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir)
+      .groupBy(totalKeys.map(col): _*)
+      .agg(sum("requests").as("requests"),
+        sum("total_bytes").as("total_bytes"),
+        sum("total_time_milli").as("total_time_milli"))
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{HttpLogPipeline, RateLimiter, Sinks}
+import graft.streaming.{HttpLogPipeline, RateLimiter, Recovery, Sinks}
 import graft.sources.KafkaShaped
 
 case class StreamLog(ts: Timestamp, resource_id: Long, response_status: Int,
@@ -205,6 +205,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val out = spark.read.parquet(outDir)
     assert(out.count() == 30, "loss or duplication across restart")
     assert(out.select("remote_addr").collect().forall(_.getString(0).endsWith(".x")))
+  }
+
+  test("induced crash between sink write and offset commit: replay overwrites itself") {
+    // the g13 contract at component grain: after Recovery.crashBeforeCommit
+    // the restarted query REPLAYS the uncommitted batches, and the
+    // idempotent sink makes that replay invisible — byte-identical final
+    // totals with zero new data, exactly-once accumulation once new data
+    // lands. This pins the mechanism the gated row certifies end-to-end.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recovery2")
+    val framesDir = s"$tmp/frames"; val ckpt = s"$tmp/ckpt"; val sink = s"$tmp/sink"
+    val frames = KafkaShaped.framesFromPayloads(encodedPayloads(30), "value", "log_id")
+    def writeChunk(lo: Int, hi: Int): Unit =
+      frames.filter(col("offset") >= lo && col("offset") < hi)
+        .coalesce(1).write.mode("append").parquet(framesDir)
+    def snapshot() = Recovery.finalTotals(spark, sink).collect()
+      .map(_.toString).sorted.toSeq
+
+    writeChunk(0, 10); writeChunk(10, 20)
+    Recovery.runUntilDrained(spark, framesDir, ckpt, sink)
+    val before = snapshot()
+    assert(before.nonEmpty)
+
+    val replayFrom = Recovery.crashBeforeCommit(ckpt, batches = 2)
+    // restart with NOTHING new: the replayed batches must rewrite exactly
+    // their own partitions — any duplication would change the totals
+    Recovery.runUntilDrained(spark, framesDir, ckpt, sink)
+    assert(snapshot() == before, s"replay from batch $replayFrom duplicated rows")
+
+    // new data after recovery accumulates exactly once
+    writeChunk(20, 30)
+    Recovery.runUntilDrained(spark, framesDir, ckpt, sink)
+    val after = Recovery.finalTotals(spark, sink)
+      .agg(sum("requests")).collect().head.getLong(0)
+    assert(after == 30, s"expected 30 total requests, got $after")
   }
 
   test("built-in session_window: streaming sessions equal the batch operator") {
