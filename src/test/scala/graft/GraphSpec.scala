@@ -111,4 +111,42 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() == 0)
     assert(spark.sharedState.cacheManager.isEmpty, "empty-input path leaked a cache")
   }
+
+  test("pageRankUntil: stops on rank-delta tolerance, bit-equal to fixed-iteration at that count") {
+    spark.sharedState.cacheManager.clearCache()
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    // loose tolerance so convergence lands well inside the cap (hub
+    // suppliers carry ~1e12/|suppliers| rank mass, so early deltas are
+    // ~1e10 and shrink by the 0.85 damping per round); the probe is
+    // |nodes|-bounded per round so the extra rounds are cheap
+    val tol = 10000000000L // 1e-2 in rank units
+    val (ranks, iters) = graft.operators.Graph.pageRankUntil(
+      spark, li, ord, tolE12 = tol, maxIterations = 25)
+    try {
+      assert(iters >= 1 && iters < 25, s"expected convergence before the cap, ran $iters")
+      // determinism: stopping at k must equal the certified fixed-k shape
+      val fixed = graft.operators.Graph.pageRank(spark, li, ord, iterations = iters)
+      try {
+        val a = ranks.orderBy("kind", "key").collect().toSeq
+        val b = fixed.orderBy("kind", "key").collect().toSeq
+        assert(a == b, "until-tolerance result must be bit-equal to fixed-iteration")
+      } finally fixed.unpersist(blocking = true)
+      // the stop was genuine: one MORE round moves every rank by ≤ tol.
+      // (re-derive round k+1 from the returned vector via the same step)
+      val (ranksNext, _) = graft.operators.Graph.pageRankUntil(
+        spark, li, ord, tolE12 = tol / 2, maxIterations = iters + 1)
+      try {
+        val moved = ranksNext.select(
+            col("kind"), col("key"), col("rank_e12").as("r1"))
+          .join(ranks, Seq("kind", "key"))
+          .agg(max(abs(col("r1") - col("rank_e12")))).collect().head.getLong(0)
+        assert(moved <= tol, s"claimed convergence but next round moved $moved > $tol")
+      } finally ranksNext.unpersist(blocking = true)
+    } finally ranks.unpersist(blocking = true)
+    // empty input: mode-specific guard path
+    val (empty, n0) = graft.operators.Graph.pageRankUntil(
+      spark, li.filter(lit(false)), ord.filter(lit(false)))
+    assert(n0 == 0 && empty.count() == 0)
+  }
 }
