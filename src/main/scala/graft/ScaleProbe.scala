@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
@@ -470,6 +470,35 @@ object ScaleProbe {
             () => operators.Bpe.encodeCorpus(spark, docs(), "text",
               "doc_id", merges)
           })
+      } else if (mode == "profile") {
+        // b48's width claim measured: profile cost must grow ∝ columns·rows
+        // with O(k·columns) flat state (ProfileSpec asserts the one-scan
+        // plan at any width; this measures the constant). 4-col = the g11
+        // ingest set; 32-col = the same base columns widened 8× with
+        // distinct-bearing variants. The _xx twins run the PRODUCTION
+        // xxhash64 hash (Kmv long-input path) against the oracle-replayable
+        // md5 on identical shapes — the per-row hashing delta, isolated.
+        val baseCols = Seq(("resource_id", "int"), ("bytes_sent", "int"),
+          ("remote_addr", "str"), ("cache_status", "str"))
+        val wideSpecs = (0 until 8).flatMap { i =>
+          Seq[(String, String, Column)](
+            (s"resource_id_$i", "int", col("resource_id") * 8 + lit(i)),
+            (s"bytes_sent_$i", "int", col("bytes_sent") * 8 + lit(i)),
+            (s"remote_addr_$i", "str", concat(col("remote_addr"), lit("#" + i))),
+            (s"cache_status_$i", "str", concat(col("cache_status"), lit("#" + i))))
+        }
+        val hl = () => operators.HttpLog.view(Tables.events(spark, out))
+        val wide = () => wideSpecs.foldLeft(hl()) {
+          case (d, (n, _, e)) => d.withColumn(n, e)
+        }
+        val wideCols = wideSpecs.map(s => (s._1, s._2))
+        Seq(
+          "profile_4col_md5" -> (() => operators.Profile.profile(hl(), baseCols)),
+          "profile_4col_xx" -> (() =>
+            operators.Profile.profile(hl(), baseCols, hashKind = "xx")),
+          "profile_32col_md5" -> (() => operators.Profile.profile(wide(), wideCols)),
+          "profile_32col_xx" -> (() =>
+            operators.Profile.profile(wide(), wideCols, hashKind = "xx")))
       } else {
         val names = if (mode == "etl")
           Seq("a00_pipeline_e2e", "a03_dedup_replacing", "a04_traffic_totals")
@@ -494,7 +523,8 @@ object ScaleProbe {
     // already consumed their args as query names above
     val wanted = args.drop(2).toSet
     val selected =
-      if (mode == "dedup" || mode == "serve" || mode == "text" || mode == "sketch")
+      if (mode == "dedup" || mode == "serve" || mode == "text" ||
+          mode == "sketch" || mode == "profile")
         probes.filter(p => wanted.isEmpty || wanted.contains(p._1))
       else probes
     val results = selected.map { case (name, mk) =>

@@ -42,17 +42,33 @@ object Profile {
     case _     => lit(null).cast("long")
   }
 
-  private def hashOf(c: String, kind: String): Column = kind match {
-    case "str" => md5(col(c).cast("binary"))
-    case _     => md5(reprNum(c, kind).cast("string").cast("binary"))
+  /** Per-column KMV input hash. `hashKind`:
+    *  - "md5" (default): 32-hex strings — what the ORACLE can replay in
+    *    SQL, so every registered profile row (b48/b49/g11/g12) uses it.
+    *  - "xx": xxhash64 LONGS straight into the sketch's long-input path —
+    *    the PRODUCTION configuration (no per-row hex materialization or
+    *    parse; b48's probe showed md5 as the dominant per-row cost).
+    *    Same null semantics: null input rows are skipped by the sketch
+    *    either way, so we hash the value only (xxhash64 of a null column
+    *    would fold the seed in, not null out — hence the explicit
+    *    null-preserving `when`).
+    */
+  private def hashOf(c: String, kind: String, hashKind: String): Column = {
+    val v: Column = if (kind == "str") col(c) else reprNum(c, kind)
+    hashKind match {
+      case "md5" => md5(v.cast("string").cast("binary"))
+      case "xx"  => when(v.isNotNull, xxhash64(v))
+      case other => throw new IllegalArgumentException(s"hashKind $other")
+    }
   }
 
-  private def aggExprs(cols: Seq[(String, String)], k: Int): Seq[Column] = {
+  private def aggExprs(cols: Seq[(String, String)], k: Int,
+                       hashKind: String): Seq[Column] = {
     val kmv = Kmv.kmv_distinct(k)
     cols.flatMap { case (c, kind) =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
-        kmv(hashOf(c, kind)).as(s"${c}__kmv"),
+        kmv(hashOf(c, kind, hashKind)).as(s"${c}__kmv"),
         min(reprNum(c, kind)).as(s"${c}__minn"),
         max(reprNum(c, kind)).as(s"${c}__maxn"),
         min(if (kind == "str") col(c).cast("string")
@@ -76,8 +92,9 @@ object Profile {
   private val fields = Seq("column", "kind", "n_rows", "n_nulls",
     "n_distinct_est", "min_num", "max_num", "min_str", "max_str")
 
-  def profile(df: DataFrame, cols: Seq[(String, String)], k: Int = 64): DataFrame = {
-    val aggs = aggExprs(cols, k)
+  def profile(df: DataFrame, cols: Seq[(String, String)], k: Int = 64,
+              hashKind: String = "md5"): DataFrame = {
+    val aggs = aggExprs(cols, k, hashKind)
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(entryStructs(cols): _*)).as("p")).select("p.*")
   }
@@ -93,9 +110,10 @@ object Profile {
     * each arriving hour, drift it against yesterday's profile.
     */
   def hourlyProfile(df: DataFrame, tsCol: String, cols: Seq[(String, String)],
-                    k: Int = 64, watermark: String = "2 hours"): DataFrame = {
+                    k: Int = 64, watermark: String = "2 hours",
+                    hashKind: String = "md5"): DataFrame = {
     val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
-    val aggs = aggExprs(cols, k)
+    val aggs = aggExprs(cols, k, hashKind)
     src.groupBy(window(col(tsCol), "1 hour"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("window").getField("start").as("hr") +:
