@@ -2439,16 +2439,32 @@ object Queries {
       // 1473 groups at sf0.001)
       val lineCents = expr(
         "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
-      val joined = operators.Bucketing
+      def joinAgg() = operators.Bucketing
         .colocatedJoin(s, "b50_lineitem", "b50_orders", Seq("okey"))
         .groupBy(col("okey"), col("o_orderpriority"))
         .agg(sum(lineCents).as("revenue_cents"))
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val joined = joinAgg()
+      import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeLike}
       val shuffles = physicalNodes(joined.queryExecution.executedPlan)
         .collect { case e: ShuffleExchangeLike => e }
       require(shuffles.isEmpty,
         s"bucketed join+agg must be shuffle-free, found ${shuffles.length}:\n" +
           joined.queryExecution.executedPlan)
+      // ...and in the 100 TB regime, where a fact side never broadcasts
+      // (at the test SF Catalyst correctly prefers a broadcast join for
+      // the tiny orders side), the CO-LOCATED shape must carry the whole
+      // plan: with broadcast priced out, zero exchanges of ANY kind —
+      // the buckets are the partitions on both sides, and the bucket-key
+      // aggregate rides the same partitioning. Plan-only check; the
+      // returned frame keeps the cost-based plan.
+      val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val strictPlan = try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joinAgg().queryExecution.executedPlan
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      val exchanges = physicalNodes(strictPlan).collect { case e: Exchange => e }
+      require(exchanges.isEmpty,
+        s"co-located plan must be exchange-free with broadcast off:\n$strictPlan")
       joined
     },
     Some("""SELECT l_orderkey AS okey, o_orderpriority,

@@ -27,7 +27,10 @@ class SourceDisciplineSpec extends AnyFunSuite {
     "Similarity.scala" -> 4,   // probed cells ×2, frozen centroids, codebooks
     "NearDupScreen.scala" -> 1, // pb routing set (|batch|·bands ints)
     "Multimodal.scala" -> 1,   // pb routing set (|batch|·nBands ints)
-    "Bpe.scala" -> 1)          // per-round 1-row argmax (the documented seam)
+    "Bpe.scala" -> 1,          // per-round 1-row argmax (the documented seam)
+    "Graph.scala" -> 1)        // pageRankUntil convergence scalar: ONE row
+                               // (max |Δr| reduced distributedly; only the
+                               // Long crosses to the driver per round)
 
   test("operator code collects only at the documented bounded-routing sites") {
     val root = Paths.get("src/main/scala")
