@@ -6018,6 +6018,65 @@ object Queries {
       |FROM http_log
       |GROUP BY 1, 2, 3, 4, 5""".stripMargin))
 
+  private val g14 = Q(
+    "g14_stream_quality_gate",
+    // The stream-vs-static LM ADMISSION gate registered (promoted from
+    // spec-only — the r9 promotion pattern): incoming docs scored against
+    // a unigram LM trained on the static corpus (stream-static equi-join,
+    // stateless; per-(window, doc) agg bounded by the watermark), admitted
+    // by cross-entropy threshold — the "is this prose?" sibling of g03's
+    // "have we seen this?". ONE function serves both postures (watermark
+    // is a no-op on batch; StreamingSpec proves stream==batch AND
+    // salad-rejection through MemoryStream); this batch twin is the
+    // oracle gate. Arrival mix: the full corpus (ce ∈ [3.38, 3.72] at
+    // both SFs — admitted) + every 7th doc re-arriving as 12-token
+    // all-OOV salad (ce = ln(2·total_tokens) ≈ 13 — rejected); threshold
+    // 6.0 sits ≥ 2.3 nats from either population, so the verdict is
+    // rounding-immune. The oracle replays the LM (exact counts), the
+    // OOV smoothing, and the per-token avg under the e18 4-dp round
+    // discipline.
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (lm, oovLogp) = streaming.QualityGate.trainLm(docs, "text")
+      val junk = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), expr(
+          "concat_ws(' ', transform(sequence(1, 12), " +
+            "i -> concat('zzq', CAST(doc_id AS STRING), 'x', CAST(i AS STRING))))")
+          .as("text"))
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      val arriving = docs.select(col("doc_id"), col("text")).unionByName(junk)
+        .withColumn("ts", expr("timestamp_millis(1700000000000 + doc_id * 60000)"))
+      streaming.QualityGate.gate(
+        arriving, "ts", "doc_id", "text", lm, oovLogp, maxCe = 6.0)
+    },
+    Some("""WITH lm0 AS (
+      |  SELECT term, count(*) AS cnt FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |    FROM documents)
+      |  WHERE length(term) > 0 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM lm0),
+      |arriving AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000,
+      |         concat_ws(' ', list_transform(range(1, 13),
+      |                                       i -> 'zzq' || doc_id || 'x' || i))
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |t AS (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id,
+      |           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |    FROM arriving)
+      |  WHERE length(term) > 0),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens,
+      |         round(-avg(coalesce(ln(lm0.cnt / tot.tot), ln(0.5 / tot.tot))), 4) AS ce
+      |  FROM t LEFT JOIN lm0 USING (term) CROSS JOIN tot
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, ce,
+      |       ce <= 6.0 AS admit
+      |FROM scored""".stripMargin))
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -6113,5 +6172,5 @@ object Queries {
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13,
-    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13)
+    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14)
 }
