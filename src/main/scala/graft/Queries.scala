@@ -6077,6 +6077,50 @@ object Queries {
       |       ce <= 6.0 AS admit
       |FROM scored""".stripMargin))
 
+  private val g15 = Q(
+    "g15_stream_lm_maintenance",
+    // Incremental LM maintenance registered (promoted from spec-only —
+    // the model-state sibling of g13's totals): the corpus arrives as 4
+    // micro-batches, each writing only its own PARTIAL (term, cnt)
+    // aggregate into its batch_id partition (mergeable aggregation state
+    // through the idempotent-sink argument), with one batch REPLAYED
+    // inside the gate (failure between write and checkpoint commit) —
+    // the replay must overwrite exactly itself. The snapshot merge
+    // (LmMaintenance.currentLm, one vocab-sized groupBy sum) must then
+    // equal the one-shot full-corpus counts — any double-count from the
+    // replay, lost partial, or partition clobber reddens the hash. The
+    // emitted model surface (logp + OOV smoothing at 4 dp, exact counts,
+    // exact token total) is what QualityGate (g14) consumes, so this row
+    // certifies the gate's model stays correct as the corpus grows.
+    (s, dir) => {
+      val path = operators.Scratch.dir("g15") + "/counts"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sink = streaming.LmMaintenance.countsSink(path, "text")
+      (0 until 4).foreach { b =>
+        sink(docs.filter(pmod(col("doc_id"), lit(4)) === b), b.toLong)
+      }
+      sink(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 2L) // forced replay
+      val (lm, oovLogp) = streaming.LmMaintenance.currentLm(s, path)
+      val counts = s.read.parquet(path).groupBy("term").agg(sum("cnt").as("cnt"))
+      val tot = counts.agg(sum("cnt")).head().getLong(0)
+      counts.join(lm, "term")
+        .select(col("term"), col("cnt"),
+          round(col("logp"), 4).as("logp_4"),
+          lit(tot).as("total_tokens"),
+          round(lit(oovLogp), 4).as("oov_logp_4"))
+    },
+    Some("""WITH c AS (
+      |  SELECT term, count(*) AS cnt FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |    FROM documents)
+      |  WHERE length(term) > 0 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c)
+      |SELECT term, CAST(cnt AS BIGINT) AS cnt,
+      |       round(ln(cnt / tot.tot), 4) AS logp_4,
+      |       CAST(tot.tot AS BIGINT) AS total_tokens,
+      |       round(ln(0.5 / tot.tot), 4) AS oov_logp_4
+      |FROM c CROSS JOIN tot""".stripMargin))
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -6172,5 +6216,5 @@ object Queries {
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13,
-    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14)
+    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, g15)
 }
