@@ -231,6 +231,87 @@ object ScaleProbe {
       return
     }
 
+    if (mode == "recovery") {
+      // The g13 deployment pipeline probed at scale: capnp frames →
+      // decode → anonymize → offset-keyed watermark dedup → per-batch
+      // partial totals through the idempotent sink. Reports (a) sustained
+      // msg/s through a full drain (the reference's core throughput
+      // claim, measured on the REGISTERED exactly-once posture, dedup
+      // state and sink included), (b) peak dedup-state rows (must track
+      // the watermark horizon, not stream history), and (c) the cost of
+      // a crash+recovery — the two replayed batches after
+      // crashBeforeCommit, which should cost ~2/16 of a drain, not a
+      // re-run. Frames are ts-range-partitioned with ascending mtimes so
+      // maxFilesPerTrigger=1 replays in event-time order (the g13/stream
+      // discipline).
+      val framesDir = s"$out/recovery_frames"
+      if (!Files.exists(Paths.get(s"$out/_recovery_done"))) {
+        val hl = operators.HttpLog.view(Tables.events(spark, out))
+          .withColumn("ts_milli", expr("unix_millis(ts)"))
+        val msg = graft.functions.capnp_encode_http_log(
+          col("ts_milli"), col("resource_id"), col("bytes_sent"),
+          col("request_time_milli"), col("response_status"),
+          col("cache_status"), col("method"), col("remote_addr"), col("url"))
+        hl.withColumn("value", msg)
+          .repartitionByRange(16, col("ts"))
+          .select(
+            lit(null).cast("binary").as("key"), col("value"),
+            lit("http_log").as("topic"),
+            pmod(col("log_id"), lit(8)).cast("int").as("partition"),
+            col("log_id").as("offset"),
+            current_timestamp().as("timestamp"), lit(0).as("timestampType"))
+          .write.mode("overwrite").parquet(framesDir)
+        val partRe = "part-(\\d+)".r
+        val listing = Files.list(Paths.get(framesDir))
+        try listing.forEach { p =>
+          partRe.findFirstMatchIn(p.getFileName.toString).foreach { m =>
+            Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+              .fromMillis(1_600_000_000_000L + m.group(1).toLong * 60_000L))
+          }
+        } finally listing.close()
+        Files.createFile(Paths.get(s"$out/_recovery_done"))
+      }
+      def drain(ckpt: String, sink: String)
+          : (Double, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+        val t0 = System.nanoTime()
+        val q = streaming.Recovery.offsetKeyedLogs(
+            sources.KafkaShaped.fileStream(spark, framesDir, Some(1)))
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch(streaming.Recovery.totalsBatchSink(sink))
+          .start()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val prog = q.recentProgress
+        q.stop()
+        (sec, prog)
+      }
+      def freshDirs(tag: String): (String, String) = {
+        val root = Files.createTempDirectory(s"graft_recovery_probe_$tag")
+        (s"$root/ckpt", s"$root/sink")
+      }
+      { val (c, s) = freshDirs("warm"); drain(c, s) } // cold-start warm-up
+      val (ckpt, sink) = freshDirs("timed")
+      val (sec, prog) = drain(ckpt, sink)
+      val inRows = prog.map(_.numInputRows).sum
+      val peakState = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .maxOption.getOrElse(0L)
+      val rps = if (sec > 0) (inRows / sec).toLong else 0L
+      // induced crash: the newest data batch + trailing no-data batch
+      // replay; recovery cost ≈ that replay, NOT a re-drain
+      streaming.Recovery.crashBeforeCommit(ckpt, batches = 2)
+      val t1 = System.nanoTime()
+      streaming.Recovery.runUntilDrained(spark, framesDir, ckpt, sink)
+      val recSec = (System.nanoTime() - t1) / 1e9
+      val total = spark.read.parquet(sink)
+        .agg(sum("requests")).head().getLong(0)
+      println(s"""{"metric":"scale_probe","mode":"recovery","rows":$inRows,"mult":$mult,""" +
+        s""""queries":{"g13_drain":{"sec":${math.rint(sec * 100) / 100},"msgs_per_sec":$rps,""" +
+        s""""peak_state_rows":$peakState},"g13_crash_recover":{"sec":${math.rint(recSec * 100) / 100}}},""" +
+        s""""sink_requests":$total}""")
+      spark.stop()
+      return
+    }
+
     if (mode == "ann") {
       // recall@10 vs exact, plus wall time, per variant. The result sets
       // are 50 queries × 10 rows — the collects are probe bookkeeping, not
