@@ -6121,6 +6121,72 @@ object Queries {
       |       round(ln(0.5 / tot.tot), 4) AS oov_logp_4
       |FROM c CROSS JOIN tot""".stripMargin))
 
+  private val g16 = Q(
+    "g16_stream_ivf_maintenance",
+    // Incremental IVF index maintenance registered (promoted from
+    // spec-only — the INDEX-state sibling of g15's model counts):
+    // vectors arrive in 3 micro-batches, each assigned to the FROZEN
+    // trained quantizer by the stateless per-row argmax
+    // (IvfMaintenance.attach — no shuffle, no retrain) and appended
+    // under dual (batch_id, cell) partitioning: dynamic overwrite on
+    // batch_id makes a replayed batch overwrite exactly itself (forced
+    // inside the gate), while the cell subdirectories keep the index
+    // PROBE partition-pruned (asserted in-gate: a cell-filtered read
+    // carries the cell PartitionFilter). The final index contents hash
+    // against the d03-discipline oracle: the ENTIRE quantizer replayed
+    // in SQL (seed centroids, one Lloyd round with the float-cast
+    // quantization, cosine argmax with the cid-DESC tie-break) over the
+    // arrivals — a replay duplicate, lost batch, or drifted assignment
+    // reddens it.
+    (s, dir) => {
+      val path = operators.Scratch.dir("g16") + "/index"
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.ivfCentroids(emb, nCells = 16, refineIters = 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      centroids.count() // train ONCE; every micro-batch reuses the frozen set
+      val arrivals = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      def sink(b: DataFrame, id: Long): Unit =
+        streaming.IvfMaintenance.attach(b, centroids)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "cell").parquet(path)
+      (0 until 3).foreach { b =>
+        sink(arrivals.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+      }
+      sink(arrivals.filter(pmod(col("vec_id"), lit(3)) === 1), 1L) // forced replay
+      centroids.unpersist(blocking = false)
+      val idx = s.read.parquet(path)
+      val someCell = idx.select(col("cell")).limit(1).head().get(0)
+      val probed = idx.filter(col("cell") === someCell)
+      val scans = physicalNodes(probed.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty && scans.forall(
+        _.partitionFilters.exists(_.references.exists(_.name == "cell"))),
+        "maintained index must stay cell-prunable")
+      idx.select(col("vec_id"), col("cell").cast("bigint").as("cell"))
+    },
+    Some("""WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, e AS cv FROM emb WHERE vec_id < 16),
+      |r0 AS (SELECT a.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY a.vec_id
+      |           ORDER BY list_cosine_similarity(a.e, c.cv) DESC, c.cid DESC) AS rn
+      |       FROM emb a CROSS JOIN c0 c),
+      |a0 AS (SELECT vec_id, cid AS cell FROM r0 WHERE rn = 1),
+      |m1 AS (SELECT a0.cell, s.i,
+      |         CAST(CAST(avg(round(a.e[s.i] * 1048576) / 1048576) AS REAL) AS DOUBLE) AS v
+      |       FROM a0 JOIN emb a USING (vec_id), generate_series(1, 64) s(i)
+      |       GROUP BY a0.cell, s.i),
+      |c1 AS (SELECT cell AS cid, list(v ORDER BY i) AS cv FROM m1 GROUP BY cell),
+      |arr AS (SELECT vec_id + 100000 AS vec_id, e FROM emb WHERE vec_id % 25 = 0),
+      |asg AS (SELECT a.vec_id, c.cid AS cell,
+      |          row_number() OVER (PARTITION BY a.vec_id
+      |            ORDER BY list_cosine_similarity(a.e, c.cv) DESC, c.cid DESC) AS rn
+      |        FROM arr a CROSS JOIN c1 c)
+      |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg WHERE rn = 1""".stripMargin))
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -6216,5 +6282,6 @@ object Queries {
     e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14, e15, e16, e17,
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13,
-    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, g15)
+    g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, g15,
+    g16)
 }
