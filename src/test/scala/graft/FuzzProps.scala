@@ -290,4 +290,71 @@ object FuzzProps extends Properties("graft.kernels") {
       // (d, 2^24) packs identically to (d+1, 0): a silent misorder
       ((d << 24) + (1 << 24)) == ((d + 1) << 24)
     }
+
+  // the r10 LONG-input (xxhash64 production) path of the KMV sketch: the
+  // same laws the md5 path certifies, fuzzed — split/merge/serialize
+  // invariance over arbitrary long multisets (the property that makes the
+  // sketch safe under ANY partitioning), and exactness below k
+  property("kmv long path: split+merge+serde invariant; exact below k") = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val k = 16
+    val agg = org.apache.spark.sql.graft.KmvDistinct(
+      BoundReference(0, LongType, nullable = true), k)
+    def bufOf(s: Seq[Long]) = {
+      val b = agg.createAggregationBuffer()
+      s.foreach(x => agg.update(b, InternalRow(x)))
+      b
+    }
+    forAll(Gen.listOf(Gen.long), Gen.chooseNum(1, 5)) { (xs, pieces) =>
+      val whole = agg.eval(bufOf(xs))
+      val chunk = math.max(1, (xs.size + pieces - 1) / pieces)
+      val merged = xs.grouped(chunk).map(bufOf)
+        .reduceOption((a, b) => agg.merge(a, agg.deserialize(agg.serialize(b))))
+        .getOrElse(agg.createAggregationBuffer())
+      val mergedEval = agg.eval(merged).asInstanceOf[InternalRow]
+      val nd = xs.distinct.size
+      val exactBelowK = nd >= k ||
+        (mergedEval.getLong(0) == nd && mergedEval.getLong(2) == nd)
+      whole == agg.eval(merged) && exactBelowK
+    }
+  }
+
+  property("hash_sample long path == brute-force bottom-k by unsigned hash, min payload") = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val k = 8
+    val agg = org.apache.spark.sql.graft.HashSample(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true), k)
+    // hashes from a small domain so collisions (the min-payload rule) and
+    // the sign boundary (unsigned order) are both exercised
+    val pairGen = Gen.zip(
+      Gen.oneOf(Gen.chooseNum(-5L, 5L), Gen.long), Gen.long)
+    forAll(Gen.listOf(pairGen), Gen.chooseNum(1, 4)) { (pairs, pieces) =>
+      def bufOf(s: Seq[(Long, Long)]) = {
+        val b = agg.createAggregationBuffer()
+        s.foreach { case (h, p) => agg.update(b, InternalRow(h, p)) }
+        b
+      }
+      val chunk = math.max(1, (pairs.size + pieces - 1) / pieces)
+      val merged = pairs.grouped(chunk).map(bufOf)
+        .reduceOption((a, b) => agg.merge(a, agg.deserialize(agg.serialize(b))))
+        .getOrElse(agg.createAggregationBuffer())
+      val got = {
+        val a = agg.eval(merged)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        (0 until a.numElements()).map { i =>
+          val r = a.getStruct(i, 2); (r.getUTF8String(0).toString, r.getLong(1))
+        }
+      }
+      val model = pairs.groupBy(_._1)
+        .map { case (h, g) => (h, g.map(_._2).min) }.toSeq
+        .sortWith((a, b) => java.lang.Long.compareUnsigned(a._1, b._1) < 0)
+        .take(k).map { case (h, p) => (f"$h%016x", p) }
+      got == model
+    }
+  }
 }
