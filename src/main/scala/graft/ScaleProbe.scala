@@ -110,7 +110,7 @@ object ScaleProbe {
               else d.withColumn("embedding", expr(
                 s"transform(embedding, (x, i) -> CAST(IF(pmod(hash(i, $r), 2) = 0, -x, x) AS FLOAT))")))
             .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      } else if (mode == "graph") {
+      } else if (mode == "graph" || mode == "bucketed") {
         // disjoint key offsets per replica → structurally identical
         // components; the probe measures b43's per-iteration edge shuffle
         // growing with the graph (nodes AND edges both ×mult)
@@ -580,6 +580,49 @@ object ScaleProbe {
           "profile_32col_md5" -> (() => operators.Profile.profile(wide(), wideCols)),
           "profile_32col_xx" -> (() =>
             operators.Profile.profile(wide(), wideCols, hashKind = "xx")))
+      } else if (mode == "bucketed") {
+        // b50's claim measured: at fact⋈fact scale the shuffles of BOTH
+        // sides are the join's cost. The same join+agg (per-order revenue
+        // by priority) timed two ways over the graph-mode inflated
+        // lineitem/orders: from raw parquet (SortMergeJoin shuffles both
+        // sides + the agg exchange) vs from tables written bucketed+sorted
+        // by okey (zero exchanges — the b50 in-gate shape). The bucketed
+        // WRITE is one-time layout investment (reported on stderr, not
+        // timed into the probe — the a22/serve prebuilt-index convention).
+        val li = () => spark.read.parquet(s"$out/lineitem.parquet")
+          .select(col("l_orderkey").as("okey"),
+            col("l_extendedprice"), col("l_discount"))
+        val ord = () => spark.read.parquet(s"$out/orders.parquet")
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        spark.sql("DROP TABLE IF EXISTS probe_bli")
+        spark.sql("DROP TABLE IF EXISTS probe_bord")
+        if (!Files.exists(Paths.get(s"$out/_bucketed_done"))) {
+          val t0 = System.nanoTime()
+          operators.Bucketing.writeBucketed(spark, li(), "probe_bli",
+            s"$out/bucketed_li", Seq("okey"), buckets = 32)
+          operators.Bucketing.writeBucketed(spark, ord(), "probe_bord",
+            s"$out/bucketed_ord", Seq("okey"), buckets = 32)
+          System.err.println(
+            f"[bucketed] one-time layout write: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          Files.createFile(Paths.get(s"$out/_bucketed_done"))
+        } else {
+          // fresh session, existing files: re-register the bucketed layout
+          spark.sql(s"""CREATE TABLE probe_bli
+            (okey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
+            USING parquet CLUSTERED BY (okey) SORTED BY (okey) INTO 32 BUCKETS
+            LOCATION '$out/bucketed_li'""")
+          spark.sql(s"""CREATE TABLE probe_bord
+            (okey BIGINT, o_orderpriority STRING)
+            USING parquet CLUSTERED BY (okey) SORTED BY (okey) INTO 32 BUCKETS
+            LOCATION '$out/bucketed_ord'""")
+        }
+        def revAgg(j: DataFrame): DataFrame = j
+          .groupBy(col("okey"), col("o_orderpriority"))
+          .agg(sum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"))
+        Seq(
+          "shuffle_join" -> (() => revAgg(li().join(ord(), "okey"))),
+          "bucketed_join" -> (() => revAgg(operators.Bucketing
+            .colocatedJoin(spark, "probe_bli", "probe_bord", Seq("okey")))))
       } else {
         val names = if (mode == "etl")
           Seq("a00_pipeline_e2e", "a03_dedup_replacing", "a04_traffic_totals")
@@ -595,7 +638,7 @@ object ScaleProbe {
         spark.read.parquet(s"$out/documents.parquet").count()
       else if (mode == "index")
         spark.read.parquet(s"$out/embeddings.parquet").count()
-      else if (mode == "graph")
+      else if (mode == "graph" || mode == "bucketed")
         spark.read.parquet(s"$out/lineitem.parquet").count()
       else spark.read.parquet(s"$out/events.parquet").count()
 
