@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog, HeavyHitters, KeepLatest, KmvDistinct, NfcNormalize}
+import org.apache.spark.sql.graft.{AnonymizeIp, CapnpDecodeHttpLog, CapnpEncodeHttpLog, HashSample, HeavyHitters, KeepLatest, KmvDistinct, NfcNormalize}
 
 /** SQL-surface registration of the engine's native expressions, so
   * `spark.sql("SELECT anonymize_ip(addr) ...")` works. Idempotent; usable on
@@ -35,12 +35,21 @@ object GraftFunctions {
     "kmv_distinct"           -> ((es: Seq[Expression]) => {
       val k = literalK(es, "kmv_distinct(hash, k)")
       KmvDistinct(es(0), k)
+    }),
+    "hash_sample"            -> ((es: Seq[Expression]) => {
+      val k = literalK(es, "hash_sample(hash, payload, k)", arity = 3)
+      HashSample(es(0), es(1), k)
     }))
 
-  /** Shared literal-k gate for the sketch aggregates' SQL surface. */
-  private def literalK(es: Seq[Expression], sig: String): Int = {
-    val kOk = es.length == 2 && es(1).foldable &&
-      (es(1).eval() match {
+  /** Shared literal-k gate for the sketch aggregates' SQL surface: k is
+    * the LAST argument and must be an integer literal (folded before the
+    * sketch is constructed). Validates arity FIRST so wrong-arity calls
+    * get this analysis error, never an index crash.
+    */
+  private def literalK(es: Seq[Expression], sig: String, arity: Int = 2): Int = {
+    val kExpr = if (es.length == arity) es(arity - 1) else null
+    val kOk = kExpr != null && kExpr.foldable &&
+      (kExpr.eval() match {
         case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
              _: java.lang.Byte => true
         case _ => false
@@ -48,7 +57,7 @@ object GraftFunctions {
     if (!kOk) throw new org.apache.spark.sql.AnalysisException(
       "_LEGACY_ERROR_TEMP_3071",
       Map("msg" -> s"$sig: k must be an integer literal"))
-    es(1).eval().asInstanceOf[Number].intValue()
+    kExpr.eval().asInstanceOf[Number].intValue()
   }
 
   def register(spark: SparkSession): Unit = {

@@ -229,10 +229,24 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
   test("SQL surface: wrong arity reports the analysis error, not an index crash") {
     GraftFunctions.register(spark)
     for (sql <- Seq("SELECT heavy_hitters()", "SELECT kmv_distinct()",
-                    "SELECT heavy_hitters(1)", "SELECT kmv_distinct('a', 'b')")) {
+                    "SELECT heavy_hitters(1)", "SELECT kmv_distinct('a', 'b')",
+                    "SELECT hash_sample()", "SELECT hash_sample(1, 2)",
+                    "SELECT hash_sample(1, 2, 'x')")) {
       val e = intercept[Exception](spark.sql(sql).collect())
       assert(e.getMessage.contains("k must be an integer literal"),
         s"$sql → ${e.getMessage}")
     }
+  }
+
+  test("hash_sample on the SQL surface: md5 and xxhash64 paths both serve") {
+    GraftFunctions.register(spark)
+    spark.range(1, 101).toDF("v").createOrReplaceTempView("ks_vals")
+    val md5Out = spark.sql(
+      """SELECT hash_sample(md5(CAST(CAST(v AS STRING) AS BINARY)), v, 4) AS s
+        |FROM ks_vals""".stripMargin).select(size(col("s"))).head().getInt(0)
+    val xxOut = spark.sql(
+      "SELECT hash_sample(xxhash64(v), v, 4) AS s FROM ks_vals")
+      .select(size(col("s"))).head().getInt(0)
+    assert(md5Out == 4 && xxOut == 4)
   }
 }
