@@ -32,6 +32,13 @@ object GraftFunctions {
       val k = literalK(es, "heavy_hitters(value, k)")
       HeavyHitters(es(0), k)
     }),
+    // hash slot contract (strict at analysis): a STRING hash is an md5
+    // hex (`md5(CAST(x AS BINARY))`); a BIGINT hash MUST be a uniform
+    // 64-bit hash such as `xxhash64(x)` — NEVER a raw id column. The
+    // sketch cannot tell a sequential id from a hash: feeding ids makes
+    // the k-th "hash" tiny and the distinct estimate wildly inflated,
+    // silently. Other types (int/double/decimal — e.g. Spark's 32-bit
+    // `hash()`) are rejected by the analyzer.
     "kmv_distinct"           -> ((es: Seq[Expression]) => {
       val k = literalK(es, "kmv_distinct(hash, k)")
       KmvDistinct(es(0), k)

@@ -296,9 +296,9 @@ object ScaleProbe {
       val peakState = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
         .maxOption.getOrElse(0L)
       val rps = if (sec > 0) (inRows / sec).toLong else 0L
-      // induced crash: the newest data batch + trailing no-data batch
-      // replay; recovery cost ≈ that replay, NOT a re-drain
-      streaming.Recovery.crashBeforeCommit(ckpt, batches = 2)
+      // induced crash cut at the newest data batch (later no-data batch
+      // erased); recovery cost ≈ that one replay, NOT a re-drain
+      streaming.Recovery.crashBeforeCommit(ckpt)
       val t1 = System.nanoTime()
       streaming.Recovery.runUntilDrained(spark, framesDir, ckpt, sink)
       val recSec = (System.nanoTime() - t1) / 1e9

@@ -62,6 +62,14 @@ object Kmv {
     * md5 exists so the DuckDB oracle can replay the permutation; xxhash64
     * is what a 100 TB run should feed (b51/b52 + KmvSpec certify it; the
     * b48-shape probe measures the md5→xxhash64 per-row delta, SURVEY §6).
+    *
+    * Since r11 the input type is STRICT at analysis time: exactly a
+    * string or a bigint — an int/double/decimal child (e.g. Spark's
+    * 32-bit `hash()`) fails the analyzer, not a job hours in. The one
+    * hazard no type system catches: the LongType form MUST be a uniform
+    * 64-bit hash — `kmv_distinct(k)(col("user_id"))` over raw sequential
+    * ids makes the k-th "hash" tiny and the estimate wildly inflated,
+    * with no error. Always wrap in `xxhash64`.
     */
   def kmv_distinct(k: Int): Column => Column = {
     import org.apache.spark.sql.graft.{Bridge, KmvDistinct}

@@ -175,24 +175,32 @@ object Profile {
       e6Guarded(col(s"$side.n_nulls"), col(s"$side.n_rows"), "null rate")
     // A cur column MISSING from the baseline would silently vanish through
     // an inner join — a monitoring report that drops the drifted column is
-    // worse than one that fails. Left join + loud guard instead.
-    val baseRows = when(col("p.column").isNull,
-      raise_error(format_string(
-        "driftAgainst: baseline has no profile row for column %s",
-        col("c.column"))).cast("long"))
-      .otherwise(col("p.n_rows"))
+    // worse than one that fails. Left join + loud guard instead, folded
+    // into EVERY baseline-derived metric (not just n_rows_<base>): a
+    // caller projecting a subset of this report would otherwise let
+    // Catalyst prune the one guarded column away and flow a
+    // plausible-looking null/false through the alerting path (r10 ADVICE).
+    def baseGuarded(value: Column, castTo: String): Column =
+      when(col("p.column").isNull,
+        raise_error(format_string(
+          "driftAgainst: baseline has no profile row for column %s",
+          col("c.column"))).cast(castTo))
+        .otherwise(value)
     c.join(broadcast(p), col("c.column") === col("p.column"), "left_outer")
       .select(keys.map(k => col(s"c.$k").as(k)) ++ Seq(
         col("c.column").as("column"), col("c.kind").as("kind"),
-        col("c.n_rows").as("n_rows_cur"), baseRows.as(s"n_rows_$baseName"),
-        (rate("c") - rate("p")).as("null_rate_delta_e6"),
+        col("c.n_rows").as("n_rows_cur"),
+        baseGuarded(col("p.n_rows"), "long").as(s"n_rows_$baseName"),
+        (rate("c") - baseGuarded(rate("p"), "long")).as("null_rate_delta_e6"),
         e6Guarded(col("c.n_distinct_est"),
-          greatest(col("p.n_distinct_est"), lit(1L)), "distinct estimate")
+          baseGuarded(greatest(col("p.n_distinct_est"), lit(1L)), "long"),
+          "distinct estimate")
           .as("distinct_ratio_e6"),
-        (coalesce(col("c.min_num") < col("p.min_num"), lit(false)) ||
-         coalesce(col("c.max_num") > col("p.max_num"), lit(false)) ||
-         coalesce(col("c.min_str") < col("p.min_str"), lit(false)) ||
-         coalesce(col("c.max_str") > col("p.max_str"), lit(false)))
+        baseGuarded(
+          coalesce(col("c.min_num") < col("p.min_num"), lit(false)) ||
+          coalesce(col("c.max_num") > col("p.max_num"), lit(false)) ||
+          coalesce(col("c.min_str") < col("p.min_str"), lit(false)) ||
+          coalesce(col("c.max_str") > col("p.max_str"), lit(false)), "boolean")
           .as("range_widened")): _*)
   }
 }

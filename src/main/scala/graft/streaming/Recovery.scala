@@ -84,34 +84,73 @@ object Recovery {
     q.awaitTermination()
   }
 
-  /** Induce the crash the exactly-once contract is about: delete the
-    * NEWEST commit marker, so the sink's write for that batch survives but
-    * the offset commit does not — on restart, Structured Streaming replays
-    * the batch from `offsets/` (same files, same watermark, same state
-    * version) and the idempotent sink overwrites exactly itself. This is
-    * the reference's failure window between ClickHouse insert and manual
-    * Kafka offset commit (lib.rs:99-116), file-checkpoint edition.
+  /** Induce the crash the exactly-once contract is about, such that a
+    * DATA batch genuinely replays. This is the reference's failure window
+    * between ClickHouse insert and manual Kafka offset commit
+    * (lib.rs:99-116), file-checkpoint edition: the sink's write for the
+    * batch survives, its offset commit does not.
     *
-    * `batches` > 1 widens the window: the newest N batches all replay.
-    * g13 uses 2 so a DATA batch replays, not just the trailing no-data
-    * watermark-advance batch Spark appends to stateful queries.
+    * Spark's `MicroBatchExecution.populateStartOffsets` re-executes ONLY
+    * the single newest batch in the offset log — deleting N commit
+    * markers does NOT replay N batches (the r10 version's mistake, caught
+    * by the round's advisor): with a trailing no-data watermark-advance
+    * batch on top, only that empty batch would re-run and the "replay
+    * overwrites itself" property would pass vacuously. So the crash is
+    * cut at the newest DATA batch D (source offsets advanced vs the
+    * previous entry): every later batch is erased from the checkpoint
+    * entirely (offsets + commit + per-source file log — as if the
+    * process died before writing them), then D's commit alone is deleted.
+    * On restart the offset log's head IS D, its commit is missing, and
+    * Structured Streaming reconstructs and re-executes D from its
+    * recorded offsets — same files, same watermark, same state version —
+    * into the idempotent sink, which overwrites exactly itself. Callers
+    * assert the rewrite happened for real by comparing the sink's
+    * `batch_id=D` partition files before/after restart (g13 does this
+    * in-gate; StreamingSpec at component grain).
     *
-    * @return the oldest batch id that will replay
+    * @return the id of the data batch that will replay
     */
-  def crashBeforeCommit(ckptDir: String, batches: Int = 1): Long = {
-    val dir = new java.io.File(s"$ckptDir/commits")
-    val ids = Option(dir.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).sorted
-    require(ids.length >= batches, s"only ${ids.length} committed batches under $dir")
-    val replayed = ids.takeRight(batches)
-    replayed.foreach { id =>
-      require(new java.io.File(dir, id.toString).delete(),
-        s"could not delete commit marker $id")
-      // the local-FS checksum sibling would otherwise block the replayed
-      // commit's rename (FileAlreadyExistsException on .N.crc)
-      new java.io.File(dir, s".$id.crc").delete()
+  def crashBeforeCommit(ckptDir: String): Long = {
+    def ids(sub: String): Seq[Long] =
+      Option(new java.io.File(s"$ckptDir/$sub").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toLong).sorted.toSeq
+    // an offsets entry's lines 3.. are the per-source offsets; a no-data
+    // batch repeats the previous entry's source lines (only the line-2
+    // watermark metadata moves)
+    def sourceLines(id: Long): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$ckptDir/offsets/$id"))
+        .asScala.toSeq.drop(2)
     }
-    replayed.head
+    val all = ids("offsets")
+    require(all.nonEmpty, s"no offset log under $ckptDir")
+    val dataBatch = all.reverse
+      .find { id =>
+        val prev = all.filter(_ < id).lastOption
+        prev.forall(p => sourceLines(id) != sourceLines(p))
+      }
+      .getOrElse(throw new IllegalStateException(
+        s"no data batch found in offset log under $ckptDir"))
+    def del(sub: String, id: Long): Boolean = {
+      val dir = new java.io.File(s"$ckptDir/$sub")
+      val gone = new java.io.File(dir, id.toString).delete()
+      // the local-FS checksum sibling would otherwise block the replayed
+      // entry's rename (FileAlreadyExistsException on .N.crc)
+      new java.io.File(dir, s".$id.crc").delete()
+      gone
+    }
+    all.filter(_ > dataBatch).foreach { id =>
+      require(del("offsets", id), s"could not erase offsets entry $id")
+      del("commits", id) // may already be absent
+      Option(new java.io.File(s"$ckptDir/sources").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory)
+        .foreach(d => del(s"sources/${d.getName}", id))
+    }
+    require(del("commits", dataBatch),
+      s"could not delete commit marker $dataBatch")
+    dataBatch
   }
 
   /** The serving-side view: re-aggregate the sink's per-batch partials

@@ -734,16 +734,25 @@ final class KmvBuf(val k: Int) {
   * same θ statistics). md5 exists so DuckDB can replay the permutation
   * (the oracle gate); xxhash64 is what a 100 TB run should feed. Certified
   * by the b51/b52 rows + KmvSpec's xxhash64 merge-law and known-answer
-  * runs. Non-long, non-string children resolve to the StringType slot via
-  * ImplicitCastInputTypes (preserving the pre-r9 udaf surface, where
-  * encoder conversion accepted any input castable to string).
+  * runs.
+  *
+  * Input contract is STRICT at analysis time (r10 ADVICE): exactly
+  * StringType (an md5 hex) or LongType (a 64-bit hash) — no implicit
+  * casts, so `kmv_distinct(hash(x), k)` (Spark's 32-bit int hash) or a
+  * double child fails the ANALYZER instead of dying mid-job on a hex
+  * parse. What no type system can catch: a LongType child that is a raw
+  * id rather than a uniform 64-bit hash — `kmv_distinct(user_id, 64)`
+  * over small sequential ids yields a tiny θ and a wildly inflated
+  * estimate with no error. The LongType form MUST be fed a real hash
+  * (xxhash64); documented on every surface (graft.operators.Kmv, the SQL
+  * registration in GraftFunctions).
   */
 case class KmvDistinct(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KmvBuf] with ImplicitCastInputTypes {
+    extends TypedImperativeAggregate[KmvBuf] with ExpectsInputTypes {
 
   require(k >= 2 && k <= (1 << 20), "kmv_distinct k out of range")
 
@@ -751,7 +760,7 @@ case class KmvDistinct(
 
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(if (longInput) LongType else StringType)
+    Seq(TypeCollection(StringType, LongType))
   override def dataType: DataType = StructType(Seq(
     StructField("n_tracked", LongType, nullable = false),
     StructField("kth_hash", StringType, nullable = true),
@@ -886,9 +895,12 @@ final class BottomKBuf(val k: Int) {
   *
   * Like [[KmvDistinct]] (r10): a LongType hash child is the production
   * xxhash64 path — `(hash, 0)` in the unsigned order, `h` rendered as
-  * 16-char hex — and ImplicitCastInputTypes restores the pre-r9 payload
-  * surface (INT/SHORT payloads implicitly cast to LongType, as the old
-  * udaf's encoder conversion did).
+  * 16-char hex. The hash slot is STRICT at analysis time (r10 ADVICE):
+  * exactly StringType or LongType, no implicit casts — and the LongType
+  * form must be a real 64-bit hash (xxhash64), never a raw id. The
+  * payload slot accepts any integral type (widened exactly in update —
+  * the pre-r9 INT/SHORT surface) but rejects fractional types at
+  * analysis instead of silently truncating.
   */
 case class HashSample(
     hash: Expression,
@@ -896,7 +908,7 @@ case class HashSample(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[BottomKBuf] with ImplicitCastInputTypes {
+    extends TypedImperativeAggregate[BottomKBuf] with ExpectsInputTypes {
 
   require(k >= 1 && k <= (1 << 20), "hash_sample k out of range")
 
@@ -904,7 +916,8 @@ case class HashSample(
 
   override def children: Seq[Expression] = Seq(hash, payload)
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(if (longInput) LongType else StringType, LongType)
+    Seq(TypeCollection(StringType, LongType),
+      TypeCollection(LongType, IntegerType, ShortType, ByteType))
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("h", StringType, nullable = false),
@@ -923,11 +936,20 @@ case class HashSample(
       s"hash_sample expects 32-char hex (md5) input, got byte '${b.toChar}'")
   }
 
+  private def payloadLong(pv: Any): Long = pv match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"hash_sample payload must be integral, got ${other.getClass.getSimpleName}")
+  }
+
   override def update(buf: BottomKBuf, input: InternalRow): BottomKBuf = {
     val hv = hash.eval(input)
     val pv = payload.eval(input)
     if (hv != null && pv != null) {
-      if (longInput) buf.insert(hv.asInstanceOf[Long], 0L, pv.asInstanceOf[Long])
+      if (longInput) buf.insert(hv.asInstanceOf[Long], 0L, payloadLong(pv))
       else {
         val s = hv.asInstanceOf[UTF8String].getBytes
         if (s.length != 32) throw new IllegalArgumentException(
@@ -935,7 +957,7 @@ case class HashSample(
         var h = 0L; var l = 0L; var i = 0
         while (i < 16) { h = (h << 4) | hexNibble(s(i)); i += 1 }
         while (i < 32) { l = (l << 4) | hexNibble(s(i)); i += 1 }
-        buf.insert(h, l, pv.asInstanceOf[Long])
+        buf.insert(h, l, payloadLong(pv))
       }
     }
     buf

@@ -227,10 +227,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val before = snapshot()
     assert(before.nonEmpty)
 
-    val replayFrom = Recovery.crashBeforeCommit(ckpt, batches = 2)
-    // restart with NOTHING new: the replayed batches must rewrite exactly
-    // their own partitions — any duplication would change the totals
+    val replayFrom = Recovery.crashBeforeCommit(ckpt)
+    // the cut must land on a DATA batch — its sink partition exists and
+    // holds rows (a no-data watermark batch would have no partition)
+    def partFiles() = Option(
+      new java.io.File(s"$sink/batch_id=$replayFrom").list()).toSeq.flatten
+      .filter(_.endsWith(".parquet")).sorted
+    val filesBefore = partFiles()
+    assert(filesBefore.nonEmpty, s"crash cut at non-data batch $replayFrom")
+    // restart with NOTHING new: the replayed batch must rewrite exactly
+    // its own partition — any duplication would change the totals, and
+    // an un-executed "replay" would leave the part files untouched
     Recovery.runUntilDrained(spark, framesDir, ckpt, sink)
+    assert(partFiles().nonEmpty && partFiles() != filesBefore,
+      s"batch $replayFrom not genuinely re-executed: partition untouched")
     assert(snapshot() == before, s"replay from batch $replayFrom duplicated rows")
 
     // new data after recovery accumulates exactly once
