@@ -738,6 +738,17 @@ object Queries {
     // metrics (reference telemetry.rs's processed-rows/bytes counters)
     // ride the same read — no side channel, no extra pass — and are
     // emitted as columns the oracle checks against its own counts.
+    //
+    // Disk-trust discipline (the r10 driver-red lesson): this is the one
+    // gate whose output spans two Spark actions linked only by the
+    // on-disk table, so nothing read back from disk is trusted silently —
+    // (1) the emitted `ym` is re-derived IN-QUERY from ts_hour
+    // (date_format), never the partition-directory value round-tripped
+    // through schema inference; (2) the observed (rows, bytes) of the
+    // re-read month must equal the pre-write frame's own (rows, bytes) —
+    // a swapped, stale, or clobbered scratch table fails LOUDLY with a
+    // message instead of reddening a hash. Scratch roots are additionally
+    // per-process since r11, removing the cross-process aliasing window.
     (s, dir) => {
       val path = operators.Scratch.dir("a23") + "/totals"
       val totals = a04.fn(s, dir)
@@ -748,6 +759,11 @@ object Queries {
       require(yms.length >= 2,
         s"planted month missing: partitions ${yms.mkString(",")}")
       val ym0 = yms.head.stripPrefix("ym=")
+      // what the serving read MUST contain, computed from the pre-write
+      // frame (1-row scalar; no disk in the loop)
+      val expect = totals
+        .filter(date_format(col("ts_hour"), "yyyyMM") === ym0)
+        .agg(count(lit(1)), sum("total_bytes")).head()
       val month = operators.TotalsTable.readMonth(s, path, ym0)
       val scans = physicalNodes(month.queryExecution.executedPlan).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -758,13 +774,19 @@ object Queries {
       val obs = org.apache.spark.sql.Observation()
       month.observe(obs, count(lit(1)).as("rows"), sum("total_bytes").as("bytes"))
         .write.format("noop").mode("overwrite").save()
+      val (obsRows, obsBytes) =
+        (obs.get("rows").asInstanceOf[Long], obs.get("bytes").asInstanceOf[Long])
+      require(obsRows == expect.getLong(0) && obsBytes == expect.getLong(1),
+        s"a23 scratch table diverged from the frame that wrote it: " +
+          s"re-read (rows=$obsRows, bytes=$obsBytes) vs " +
+          s"expected (rows=${expect.getLong(0)}, bytes=${expect.getLong(1)}) at $path")
       month.select(
         col("resource_id"), col("response_status"), col("cache_status"),
         col("remote_addr"), col("ts_hour"), col("requests"),
         col("total_bytes"), col("total_time_milli"),
-        col("ym").cast("string").as("ym"),
-        lit(obs.get("rows").asInstanceOf[Long]).as("obs_rows"),
-        lit(obs.get("bytes").asInstanceOf[Long]).as("obs_bytes"))
+        date_format(col("ts_hour"), "yyyyMM").as("ym"),
+        lit(obsRows).as("obs_rows"),
+        lit(obsBytes).as("obs_bytes"))
     },
     Some(s"""${HttpLog.cte}
       |, agg AS (
@@ -1483,24 +1505,12 @@ object Queries {
 
   private val kmvDigitSum: String = kmvDigitSumOf("kth_hash")
 
-  private val b23 = Q(
-    "b23_kmv_distinct",
-    (s, dir) => {
-      // KMV bottom-k distinct sketch vs b06's exact countDistinct: O(k)
-      // state per group through normal partial aggregation instead of
-      // shuffling every distinct value — the 100 TB distinct-count posture.
-      // Fully deterministic (md5 order + exact 52-bit θ arithmetic), so the
-      // oracle mirrors the entire sketch INCLUDING the estimate.
-      val agg = operators.Kmv.kmv_distinct(64)
-      Tables.events(s, dir)
-        .select(col("event_type"),
-          md5(col("user_id").cast("string").cast("binary")).as("h"))
-        .groupBy("event_type")
-        .agg(agg(col("h")).as("r"))
-        .select(col("event_type"), col("r.n_tracked").as("n_tracked"),
-          col("r.kth_hash").as("kth_hash"), col("r.est_distinct").as("est_distinct"))
-    },
-    Some(s"""WITH hashes AS (
+  /** Oracle for the per-event-type KMV sketch over md5(user_id) — shared
+    * verbatim by b23 (batch) and g17 (streamed): the sketch is
+    * set-deterministic, so stream == batch IS the registered claim.
+    */
+  private def kmvUserByTypeOracle: String =
+    s"""WITH hashes AS (
       |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
       |  FROM events),
       |ranked AS (
@@ -1519,7 +1529,47 @@ object Queries {
       |            ELSE floor(63.0 / (CAST(greatest($kmvDigitSum, 1) AS DOUBLE)
       |                               / 4503599627370496.0))
       |            END AS BIGINT) AS est_distinct
-      |FROM grp""".stripMargin))
+      |FROM grp""".stripMargin
+
+  /** Oracle for the per-event-type planted-top heavy hitter — shared
+    * verbatim by b47 (batch) and g18 (streamed): the planted separation
+    * makes the rank-1 identity merge-order-invariant, so the same exact
+    * SQL adjudicates both postures.
+    */
+  private def hhPlantedTopOracle: String =
+    """WITH vals AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_id % 2 = 0
+      |              THEN -(CAST(length(event_type) AS BIGINT) * 1000
+      |                     + ascii(event_type))
+      |              ELSE user_id END AS v
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, v,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY count(*) DESC, v) AS rn
+      |  FROM vals GROUP BY event_type, v)
+      |SELECT event_type, v AS top_value, CAST(8 AS INT) AS n_tracked
+      |FROM ranked WHERE rn = 1""".stripMargin
+
+  private val b23 = Q(
+    "b23_kmv_distinct",
+    (s, dir) => {
+      // KMV bottom-k distinct sketch vs b06's exact countDistinct: O(k)
+      // state per group through normal partial aggregation instead of
+      // shuffling every distinct value — the 100 TB distinct-count posture.
+      // Fully deterministic (md5 order + exact 52-bit θ arithmetic), so the
+      // oracle mirrors the entire sketch INCLUDING the estimate.
+      val agg = operators.Kmv.kmv_distinct(64)
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          md5(col("user_id").cast("string").cast("binary")).as("h"))
+        .groupBy("event_type")
+        .agg(agg(col("h")).as("r"))
+        .select(col("event_type"), col("r.n_tracked").as("n_tracked"),
+          col("r.kth_hash").as("kth_hash"), col("r.est_distinct").as("est_distinct"))
+    },
+    Some(kmvUserByTypeOracle))
 
   private val b24 = Q(
     "b24_hash_sample",
@@ -2290,20 +2340,7 @@ object Queries {
           element_at(col("hh"), 1).getField("value").as("top_value"),
           size(col("hh")).cast("int").as("n_tracked"))
     },
-    Some("""WITH vals AS (
-      |  SELECT event_type,
-      |         CASE WHEN event_id % 2 = 0
-      |              THEN -(CAST(length(event_type) AS BIGINT) * 1000
-      |                     + ascii(event_type))
-      |              ELSE user_id END AS v
-      |  FROM events),
-      |ranked AS (
-      |  SELECT event_type, v,
-      |         row_number() OVER (PARTITION BY event_type
-      |           ORDER BY count(*) DESC, v) AS rn
-      |  FROM vals GROUP BY event_type, v)
-      |SELECT event_type, v AS top_value, CAST(8 AS INT) AS n_tracked
-      |FROM ranked WHERE rn = 1""".stripMargin))
+    Some(hhPlantedTopOracle))
 
   private val profileCols = Seq(
     ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
@@ -6013,11 +6050,13 @@ object Queries {
     // partition sink (streaming/Recovery.scala documents the exactly-once
     // argument piece by piece). The gated run is TWO process lifetimes:
     // half the replay drains, then the pipeline "crashes" in the
-    // reference's failure window — sink write landed, offset commit
-    // didn't (Recovery.crashBeforeCommit deletes the newest commit
-    // marker) — then restarts from checkpoint, REPLAYS the uncommitted
-    // batch into its own partition, survives 100 cross-restart
-    // redeliveries against the restored dedup state, and drains the rest.
+    // reference's failure window — the newest DATA batch's sink write
+    // landed, its offset commit didn't (Recovery.crashBeforeCommit cuts
+    // the checkpoint at that batch) — then restarts from checkpoint,
+    // REPLAYS that data batch into its own partition (asserted in-gate:
+    // the partition's part files are provably rewritten), survives 100
+    // cross-restart redeliveries against the restored dedup state, and
+    // drains the rest.
     // The at-least-once arrival mix: every 5th log redelivered within its
     // file, every 97th also delivered truncated (dead-letters at decode),
     // the 100 newest lifetime-1 logs redelivered AFTER the restart. The
@@ -6032,11 +6071,28 @@ object Queries {
       // file boundaries respect ts order, so no original is ever below
       // the 2-hour watermark when its batch runs (dups ride adjacent to
       // their originals and stay above it too — and a late DUP dropping
-      // would be correct anyway)
+      // would be correct anyway). The global position is the e24
+      // two-level scheme (rank within hour buckets + prefix-summed
+      // bucket offsets broadcast back), NOT a global Window.orderBy —
+      // even harness data prep must have no single-partition stage, or
+      // the gate itself stops scaling (r10 verdict task #4). The hour
+      // bucket is a prefix of the (ts, log_id) order, so positions are
+      // identical to the global rank.
       val n = httpLogMs(s, dir).count()
-      val base = httpLogMs(s, dir)
-        .withColumn("pos",
-          row_number().over(Window.orderBy(col("ts"), col("log_id"))).cast("long"))
+      val keyed = httpLogMs(s, dir)
+        .withColumn("bkt", date_trunc("hour", col("ts")))
+      val perBkt = keyed.withColumn("pos_in_bkt",
+        row_number().over(
+          Window.partitionBy("bkt").orderBy(col("ts"), col("log_id"))).cast("long"))
+      val bktOffsets = keyed.groupBy("bkt").agg(count(lit(1)).as("nb"))
+        .withColumn("off",
+          coalesce(
+            sum("nb").over(Window.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("bkt", "off")
+      val base = perBkt.join(broadcast(bktOffsets), "bkt")
+        .withColumn("pos", col("off") + col("pos_in_bkt"))
         .withColumn("file_no", floor((col("pos") - 1) * 8 / n).cast("int"))
         .withColumn("value", capnpMsg)
         .select(col("value"), col("pos"), col("file_no"), col("log_id"))
@@ -6060,11 +6116,25 @@ object Queries {
       }
       writeFiles(0 to 3) // lifetime 1: half the stream arrives and drains
       streaming.Recovery.runUntilDrained(s, framesDir, ckpt, sink)
-      // ...then the crash: the newest DATA batch and the trailing no-data
-      // watermark batch both lose their offset commits — sink writes stay
-      streaming.Recovery.crashBeforeCommit(ckpt, batches = 2)
+      // ...then the crash, cut so the newest surviving checkpoint entry
+      // is a DATA batch whose sink write landed but whose offset commit
+      // didn't (trailing no-data watermark batch erased — r10 ADVICE:
+      // Spark replays only the offset log's head, so anything else would
+      // replay an empty batch and prove nothing)
+      val replayId = streaming.Recovery.crashBeforeCommit(ckpt)
+      def partFiles(): Set[String] = Option(
+        new java.io.File(s"$sink/batch_id=$replayId").list()).toSet.flatten
+          .filter(_.endsWith(".parquet"))
+      val filesBeforeReplay = partFiles()
+      require(filesBeforeReplay.nonEmpty,
+        s"crash cut at batch $replayId but its sink partition is missing")
       writeFiles(4 to 7) // more data lands while the pipeline is down
       streaming.Recovery.runUntilDrained(s, framesDir, ckpt, sink)
+      // the replay must have actually re-executed batch `replayId` and
+      // rewritten its own partition (fresh part files), not just found
+      // totals that happen to match
+      require(partFiles().nonEmpty && partFiles() != filesBeforeReplay,
+        s"batch $replayId was not genuinely replayed: partition untouched")
       deliveries.unpersist(blocking = false)
       streaming.Recovery.finalTotals(s, sink)
     },
@@ -6247,6 +6317,101 @@ object Queries {
       |        FROM arr a CROSS JOIN c1 c)
       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg WHERE rn = 1""".stripMargin))
 
+  /** Shared harness for the streamed-sketch rows (g17/g18): replay `src`
+    * through a REAL streaming groupBy in 4 file-per-trigger micro-batches
+    * (the state store in the loop between every pair), capture the final
+    * complete-mode result on disk, and assert in-gate that (a) the replay
+    * genuinely crossed ≥4 batch boundaries and (b) the state store held
+    * O(|groups|) sketch rows — the bounded-state property that makes
+    * these sketches the 100 TB streaming posture (an exact
+    * countDistinct/top-k would checkpoint O(|distinct values|) rows).
+    */
+  private def streamedSketch(s: SparkSession, tag: String, src: DataFrame,
+                             chunkOf: Column,
+                             aggOf: DataFrame => DataFrame): DataFrame = {
+    val root = operators.Scratch.dir(tag)
+    val chunks = s"$root/chunks"; val ckpt = s"$root/ckpt"
+    val outP = s"$root/final"
+    val chunked = src.withColumn("chunk", chunkOf)
+    (0 until 4).foreach { c =>
+      chunked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(chunks)
+    }
+    val sinkFn: (DataFrame, Long) => Unit =
+      (b, _) => b.write.mode("overwrite").parquet(outP)
+    val q = aggOf(
+        s.readStream.schema(s.read.parquet(chunks).schema)
+          .option("maxFilesPerTrigger", 1).parquet(chunks))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .foreachBatch(sinkFn)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val progress = q.recentProgress
+    val dataBatches = progress.count(_.numInputRows > 0)
+    require(dataBatches >= 4,
+      s"$tag: chunked replay collapsed to $dataBatches micro-batches")
+    val peakState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .maxOption.getOrElse(0L)
+    require(peakState > 0 && peakState <= 16,
+      s"$tag: streaming sketch state must be O(|groups|) rows, got $peakState")
+    s.read.parquet(outP)
+  }
+
+  private val g17 = Q(
+    "g17_stream_kmv_distinct",
+    // The streaming-KMV promotion (r10 verdict task #2): b23's distinct
+    // sketch through a REAL streaming groupBy — 4 file-replay
+    // micro-batches, the O(k) sketch buffer (not every distinct value)
+    // being what the state store checkpoints between them (both
+    // properties asserted in-gate via [[streamedSketch]]). The sketch is
+    // SET-deterministic (merge law pinned in KmvSpec), so the streamed
+    // final state hash-gates against b23's EXACT batch oracle — same SQL,
+    // same columns: stream == batch IS the registered claim, not a
+    // weaker contract check.
+    (s, dir) => {
+      val agg = operators.Kmv.kmv_distinct(64)
+      streamedSketch(s, "g17",
+        Tables.events(s, dir).select(col("event_type"),
+          md5(col("user_id").cast("string").cast("binary")).as("h"),
+          col("event_id")),
+        pmod(col("event_id"), lit(4)),
+        df => df.groupBy("event_type").agg(agg(col("h")).as("r")))
+        .select(col("event_type"), col("r.n_tracked").as("n_tracked"),
+          col("r.kth_hash").as("kth_hash"),
+          col("r.est_distinct").as("est_distinct"))
+    },
+    Some(kmvUserByTypeOracle))
+
+  private val g18 = Q(
+    "g18_stream_heavy_hitters_top",
+    // The streaming-SpaceSaving promotion (r10 verdict task #2), under
+    // the b45/b47 "planted separation" discipline ACROSS batch
+    // boundaries: within each event_type half of all events land on a
+    // group-specific planted value, so its estimate's lower bound beats
+    // every real user's upper bound under ANY merge order — including
+    // the state-store merges between the 4 replayed micro-batches —
+    // making the per-group rank-1 identity hash-checkable even though
+    // the estimates legitimately vary with batching. Same exact oracle
+    // as the batch twin (b47); StreamingSpec additionally pins the full
+    // [true, true+err] estimation contract across batches.
+    (s, dir) => {
+      val planted = when(col("event_id") % 2 === 0,
+        -(length(col("event_type")).cast("long") * 1000 +
+          ascii(col("event_type")).cast("long")))
+        .otherwise(col("user_id"))
+      streamedSketch(s, "g18",
+        Tables.events(s, dir).select(col("event_type"), planted.as("v"),
+          col("event_id")),
+        pmod(col("event_id"), lit(4)),
+        df => df.groupBy("event_type")
+          .agg(graft.functions.heavy_hitters(col("v"), 8).as("hh")))
+        .select(col("event_type"),
+          element_at(col("hh"), 1).getField("value").as("top_value"),
+          size(col("hh")).cast("int").as("n_tracked"))
+    },
+    Some(hhPlantedTopOracle))
+
   private val g03 = Q(
     "g03_stream_neardup_screen",
     // stream-vs-static admission screen, batch twin: every 10th document
@@ -6343,5 +6508,5 @@ object Queries {
     e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13,
     g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, g15,
-    g16)
+    g16, g17, g18)
 }
