@@ -2647,6 +2647,65 @@ object Queries {
                .map { case (c, k) => block(c, k) }.mkString("\nUNION ALL\n")}""".stripMargin
     })
 
+  private val b54 = Q(
+    "b54_bloom_filter_join",
+    // The runtime bloom-filter join registered (r10 verdict task #3 —
+    // the one §4 scale claim whose enforcement was spec-only): a
+    // selective dim predicate is turned by Spark's InjectRuntimeFilter
+    // into a bloom `might_contain` applied to the FACT side BEFORE its
+    // shuffle write, so non-matching fact rows never cross the wire —
+    // at 100 TB that pre-shuffle prune IS the join's cost. The bloom
+    // gates (10 GB application-side scan threshold) are sized for real
+    // clusters and unreachable at test SF, so the gate forces them
+    // in-gate (b50's forced-regime pattern, confs restored before
+    // return), asserts the `bloom_filter_might_contain` sits BELOW the
+    // fact side's ShuffleExchange in the executed plan, materializes the
+    // bloomed result under those confs (handed back persisted — the
+    // documented Bm25/TextLm cache contract), and hash-checks it against
+    // the plain-join oracle: a false-negative bloom (dropped rows) or a
+    // mis-scoped filter reddens the hash.
+    (s, dir) => {
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1", // fact never broadcasts at scale
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val lineCents = expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+        val out = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(count(lit(1)).as("n_items"), sum(lineCents).as("revenue_cents"))
+        val factShuffles = physicalNodes(out.queryExecution.executedPlan)
+          .collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+                if e.toString.contains("lineitem") => e
+          }
+        require(factShuffles.nonEmpty &&
+          factShuffles.exists(_.toString.toLowerCase.contains("bloom")),
+          "bloom filter must prune the fact side BEFORE its exchange, plan:\n" +
+            out.queryExecution.executedPlan)
+        out.persist()
+        out.count() // materialize under the forced-bloom confs
+        out
+      } finally {
+        confs.foreach { case (k, _) => s.conf.unset(k) }
+        saved.foreach { case (k, v) => v.foreach(s.conf.set(k, _)) }
+      }
+    },
+    Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------- group C
 
   /** documents + planted duplicates: doc_id%20==0 → exact copy at id+100000,
@@ -6500,7 +6559,7 @@ object Queries {
     b01, b02, b03, b04, b05, b06, b07, b08, b09, b10, b11, b12, b13, b14, b15, b16,
     b17, b18, b19, b20, b21, b22, b23, b24, b25, b26, b27, b28, b29, b30,
     b31, b32, b33, b34, b35, b36, b37, b38, b39, b40, b41, b42, b43, b44, b45,
-    b46, b47, b48, b49, b50, b51, b52, b53,
+    b46, b47, b48, b49, b50, b51, b52, b53, b54,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13, c14, c15, c16, c17, c18,
     c19, c20,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
