@@ -8,11 +8,123 @@ import org.apache.spark.sql.SparkSession
   * Results are forced through the `noop` sink (full materialization of every
   * output column) rather than `count()`, which would let Catalyst prune the
   * aggregates away and under-report.
+  *
+  * A/B guard rail (r11, after two rounds of box-speed drift made raw
+  * round-over-round totals uninterpretable): when `bench_ab.ref` exists at
+  * the repo root (or SPARK_GRAFT_AB_REF is set to a git ref; "off"
+  * disables), the PREVIOUS round's tree is checked out into a throwaway
+  * git worktree, compiled, and benched in a subprocess in the SAME
+  * wall-clock window, immediately BEFORE the current tree's in-process
+  * run — so the emitted JSON carries both `value` (cur) and
+  * `prev_tree_same_box`, and a regression is adjudicable from the
+  * artifact alone (prev-first ordering slightly favors prev on a warming
+  * box, i.e. it is conservative against the current tree). Every A/B step
+  * is failure-isolated: a missing ref, failed compile, or timed-out run
+  * records an `ab.error` field and never blocks the primary benchmark.
   */
 object Bench {
+
+  /** Run `cmd` in `cwd`, stdout captured, stderr inherited; kills on
+    * timeout. Returns (exitCode, stdout) with exitCode −1 on timeout.
+    */
+  private def runCmd(cmd: Seq[String], cwd: java.io.File,
+                     env: Map[String, String], timeoutSec: Long): (Int, String) = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(cwd)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val outF = java.io.File.createTempFile("graft_ab", ".out")
+    pb.redirectOutput(outF)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) { p.destroyForcibly(); p.waitFor() }
+    val out = new String(java.nio.file.Files.readAllBytes(outF.toPath), "UTF-8")
+    outF.delete()
+    (if (done) p.exitValue() else -1, out)
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  // Matches build.sbt's jdk17AddOpens (spark-submit would inject these;
+  // the bare `java` subprocess needs them spelled out).
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Bench the previous round's tree in this wall-clock window. Returns
+    * the JSON fragment to splice into the emitted line, or None when A/B
+    * is disabled (no ref configured).
+    */
+  private def abFragment(repoRoot: java.io.File, sfDir: String,
+                         cpus: String): Option[String] = {
+    val ref = sys.env.get("SPARK_GRAFT_AB_REF")
+      .orElse {
+        val f = new java.io.File(repoRoot, "bench_ab.ref")
+        if (f.exists)
+          Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+        else None
+      }
+      .filter(r => r.nonEmpty && r != "off" && r != "none")
+      .getOrElse { return None }
+    def fail(stage: String, detail: String): Option[String] = Some(
+      s""""prev_tree_same_box":-1,"ab":{"ref":"${jsonEscape(ref)}",""" +
+        s""""error":"${jsonEscape(s"$stage: ${detail.take(300)}")}"}""")
+    val (rcSha, shaOut) =
+      runCmd(Seq("git", "rev-parse", ref), repoRoot, Map.empty, 60)
+    if (rcSha != 0) return fail("rev-parse", shaOut)
+    val sha = shaOut.trim
+    val wt = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ab_${ProcessHandle.current().pid()}")
+    try {
+      val (rcWt, wtOut) = runCmd(
+        Seq("git", "worktree", "add", "--detach", wt.getAbsolutePath, sha),
+        repoRoot, Map.empty, 120)
+      if (rcWt != 0) return fail("worktree", wtOut)
+      val (rcC, cOut) = runCmd(Seq("sbt", "-batch", "compile"), wt, Map.empty, 900)
+      if (rcC != 0) return fail("compile", cOut.linesIterator.toSeq.takeRight(5).mkString(" | "))
+      val cp = s"${wt.getAbsolutePath}/target/scala-2.13/classes:/opt/spark/jars/*"
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      val cmd = Seq("java") ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        s"-Xmx$mem", "-cp", cp, "graft.Bench")
+      val (rcB, bOut) = runCmd(cmd, wt,
+        Map("SPARK_GRAFT_SF_DIR" -> sfDir, "SPARK_GRAFT_CPUS" -> cpus,
+          "SPARK_GRAFT_AB_REF" -> "off"), 1800)
+      val line = bOut.linesIterator.find(_.contains("\"metric\""))
+        .getOrElse { return fail("bench", s"exit $rcB, no metric line") }
+      val total = "\"value\":([-0-9.eE+]+)".r.findFirstMatchIn(line)
+        .map(_.group(1).toDouble)
+        .getOrElse { return fail("bench", "no value field") }
+      val prevQueries = "\"queries\":\\{[^}]*\\}".r.findFirstIn(line).getOrElse("\"queries\":{}")
+      Some(s""""prev_tree_same_box":$total,"ab":{"ref":"${sha.take(12)}",""" +
+        s""""total":$total,$prevQueries}""")
+    } finally {
+      runCmd(Seq("git", "worktree", "remove", "--force", wt.getAbsolutePath),
+        repoRoot, Map.empty, 120)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the previous tree runs FIRST, before this JVM's SparkSession exists,
+    // so the two measurements share the box but not a process
+    val ab = try abFragment(new java.io.File(".").getCanonicalFile, sfDir, cpus)
+      catch { case e: Throwable =>
+        Some(s""""prev_tree_same_box":-1,"ab":{"error":"${jsonEscape(e.toString.take(300))}"}""")
+      }
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -76,7 +188,8 @@ object Bench {
       "\"" + k + "\":" + fmt(m)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val abPart = ab.map(f => f + ",").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$abPart"queries":$qs,""" +
       s""""samples":$sampleJson,"median":$medianJson,"sf":"$sfDir"}""")
     spark.stop()
   }
