@@ -226,6 +226,25 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length == 4)
   }
 
+  test("non-hash children fail at ANALYSIS time, not mid-job (r10 ADVICE)") {
+    // int (e.g. Spark's 32-bit hash()) and fractional children must be
+    // rejected by the analyzer — the old implicit cast to string died on a
+    // hex parse hours into a job instead
+    val df = (1 to 10).toDF("v")
+      .select(hash(col("v")).as("h32"), col("v").cast("double").as("d"),
+        md5(col("v").cast("string").cast("binary")).as("h"),
+        col("v").cast("long").as("p"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.agg(Kmv.kmv_distinct(8)(col("h32"))).collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.agg(Kmv.kmv_distinct(8)(col("d"))).collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.agg(Kmv.hash_sample(4)(col("h32"), col("p"))).collect())
+    // fractional payloads no longer silently truncate
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.agg(Kmv.hash_sample(4)(col("h"), col("d"))).collect())
+  }
+
   test("SQL surface: wrong arity reports the analysis error, not an index crash") {
     GraftFunctions.register(spark)
     for (sql <- Seq("SELECT heavy_hitters()", "SELECT kmv_distinct()",

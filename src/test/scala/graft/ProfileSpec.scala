@@ -139,6 +139,22 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       e.getMessage)
   }
 
+  test("missing-baseline guard survives column pruning of the report (r10 ADVICE)") {
+    // the guard must live inside EVERY derived metric, not in one column a
+    // downstream projection can prune away — otherwise an alerting caller
+    // selecting only a metric subset silently receives null/false for the
+    // unmatched column
+    val cur = fakeProfile(("v", 100L, 5L, 10L), ("w", 100L, 0L, 3L))
+    val base = fakeProfile(("v", 100L, 5L, 10L))
+    for (metric <- Seq("null_rate_delta_e6", "distinct_ratio_e6", "range_widened")) {
+      val e = intercept[Exception](
+        Profile.driftAgainst(cur, base, Nil)
+          .select("column", metric).collect())
+      assert(e.getMessage.contains("baseline has no profile row for column w"),
+        s"$metric pruned the guard: ${e.getMessage}")
+    }
+  }
+
   test("ppm multiply past the long bound raises in lockstep with the BIGINT mirror") {
     val huge = Long.MaxValue / 1000000L + 1
     val cur = fakeProfile(("v", huge * 2, huge, 10L))
