@@ -15,12 +15,18 @@ import org.apache.spark.sql.SparkSession
   * disables), the PREVIOUS round's tree is checked out into a throwaway
   * git worktree, compiled, and benched in a subprocess in the SAME
   * wall-clock window, immediately BEFORE the current tree's in-process
-  * run — so the emitted JSON carries both `value` (cur) and
-  * `prev_tree_same_box`, and a regression is adjudicable from the
-  * artifact alone (prev-first ordering slightly favors prev on a warming
-  * box, i.e. it is conservative against the current tree). Every A/B step
-  * is failure-isolated: a missing ref, failed compile, or timed-out run
-  * records an `ab.error` field and never blocks the primary benchmark.
+  * run — and the result is emitted as its OWN self-contained
+  * `{"metric":"ab",...}` JSON line immediately BEFORE the primary
+  * `{"metric":"total",...}` line, which stays in exactly the r10 shape
+  * and is always the LAST line printed. (r11 spliced the A/B fragment
+  * into the middle of the single metric line; that pushed the line head
+  * past the driver's bounded tail-capture window and BENCH_r11 came back
+  * `parsed: null` — the primary line must be terminal and short, per the
+  * r11 verdict task #2 / ADVICE high finding.) Prev-first ordering
+  * slightly favors prev on a warming box, i.e. it is conservative
+  * against the current tree. Every A/B step is failure-isolated: a
+  * missing ref, failed compile, or timed-out run records an `error`
+  * field on the ab line and never blocks the primary benchmark.
   */
 object Bench {
 
@@ -64,8 +70,8 @@ object Bench {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   /** Bench the previous round's tree in this wall-clock window. Returns
-    * the JSON fragment to splice into the emitted line, or None when A/B
-    * is disabled (no ref configured).
+    * the inner fields of the standalone `{"metric":"ab",...}` line, or
+    * None when A/B is disabled (no ref configured).
     */
   private def abFragment(repoRoot: java.io.File, sfDir: String,
                          cpus: String): Option[String] = {
@@ -79,8 +85,8 @@ object Bench {
       .filter(r => r.nonEmpty && r != "off" && r != "none")
       .getOrElse { return None }
     def fail(stage: String, detail: String): Option[String] = Some(
-      s""""prev_tree_same_box":-1,"ab":{"ref":"${jsonEscape(ref)}",""" +
-        s""""error":"${jsonEscape(s"$stage: ${detail.take(300)}")}"}""")
+      s""""ref":"${jsonEscape(ref)}",""" +
+        s""""error":"${jsonEscape(s"$stage: ${detail.take(300)}")}"""")
     val (rcSha, shaOut) =
       runCmd(Seq("git", "rev-parse", ref), repoRoot, Map.empty, 60)
     if (rcSha != 0) return fail("rev-parse", shaOut)
@@ -102,14 +108,18 @@ object Bench {
       val (rcB, bOut) = runCmd(cmd, wt,
         Map("SPARK_GRAFT_SF_DIR" -> sfDir, "SPARK_GRAFT_CPUS" -> cpus,
           "SPARK_GRAFT_AB_REF" -> "off"), 1800)
-      val line = bOut.linesIterator.find(_.contains("\"metric\""))
+      val line = bOut.linesIterator.find(_.contains("\"metric\":\"total\""))
         .getOrElse { return fail("bench", s"exit $rcB, no metric line") }
       val total = "\"value\":([-0-9.eE+]+)".r.findFirstMatchIn(line)
         .map(_.group(1).toDouble)
         .getOrElse { return fail("bench", "no value field") }
       val prevQueries = "\"queries\":\\{[^}]*\\}".r.findFirstIn(line).getOrElse("\"queries\":{}")
-      Some(s""""prev_tree_same_box":$total,"ab":{"ref":"${sha.take(12)}",""" +
-        s""""total":$total,$prevQueries}""")
+      // the per-query prev map goes out IMMEDIATELY on its own line — it is
+      // too long to share the driver's 2000-char tail window with the
+      // primary line, so the tail-adjacent ab line (emitted later, just
+      // before the primary) carries ref+total only
+      println(s"""{"metric":"ab_detail","ref":"${sha.take(12)}","prev_tree_same_box":$total,$prevQueries}""")
+      Some(s""""ref":"${sha.take(12)}","prev_tree_same_box":$total""")
     } finally {
       runCmd(Seq("git", "worktree", "remove", "--force", wt.getAbsolutePath),
         repoRoot, Map.empty, 120)
@@ -123,7 +133,7 @@ object Bench {
     // so the two measurements share the box but not a process
     val ab = try abFragment(new java.io.File(".").getCanonicalFile, sfDir, cpus)
       catch { case e: Throwable =>
-        Some(s""""prev_tree_same_box":-1,"ab":{"error":"${jsonEscape(e.toString.take(300))}"}""")
+        Some(s""""error":"${jsonEscape(e.toString.take(300))}"""")
       }
     val spark = GraftSession.configure(
       SparkSession.builder()
@@ -188,8 +198,14 @@ object Bench {
       "\"" + k + "\":" + fmt(m)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val abPart = ab.map(f => f + ",").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$abPart"queries":$qs,""" +
+    // the compact A/B line first, the primary line LAST and in exactly the
+    // r10 shape — the driver parses a bounded 2000-char log tail (r11
+    // verdict task #2), and the pair must fit it TOGETHER: the primary
+    // measured 1779 chars on the 14-query set, so the ab line here stays
+    // ref+total only (~90 chars; the full per-query prev map went out
+    // earlier on its own ab_detail line)
+    ab.foreach(f => println(s"""{"metric":"ab",$f}"""))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""samples":$sampleJson,"median":$medianJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -723,6 +723,45 @@ object Queries {
     })
   }
 
+  /** a23's forensic sidecar (r11 verdict task #4): per-column min/max and an
+    * order-insensitive `bit_xor(xxhash64(col))` checksum of the pre-write
+    * frame AND the disk readback (plus one whole-row checksum each and the
+    * environment facts a driver-side divergence would hinge on: tmpdir,
+    * session/JVM time zone, the ym partition listing), written next to the
+    * Verify output (`graft.verify.out`, set by [[Verify]]) so a driver red
+    * localizes the divergent column from the artifact alone, without a
+    * reproduction. Cost: one aggregate pass per frame over a ≤10k-row month;
+    * the dumped frame is tens of rows. `.head()` here is a 1-row scalar.
+    */
+  private def forensicSidecar(s: SparkSession, frames: Seq[(String, DataFrame)],
+                              meta: Seq[(String, String)]): Unit = {
+    val outRoot = sys.props.getOrElse("graft.verify.out", sys.props("java.io.tmpdir"))
+    val statRows = frames.flatMap { case (tag, df) =>
+      val cols = df.columns.toSeq
+      val perCol = cols.flatMap { c =>
+        Seq(min(col(c)).cast("string"), max(col(c)).cast("string"),
+          expr(s"bit_xor(xxhash64(`$c`))").cast("string"))
+      }
+      val rowHash = expr(
+        s"bit_xor(xxhash64(${cols.map(c => s"`$c`").mkString(", ")}))").cast("string")
+      val aggs = perCol ++ Seq(rowHash, count(lit(1)).cast("string"))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      cols.zipWithIndex.map { case (c, i) =>
+        (tag, c, row.getString(3 * i), row.getString(3 * i + 1), row.getString(3 * i + 2))
+      } ++ Seq(
+        (tag, "__row__", null: String, null: String, row.getString(3 * cols.length)),
+        (tag, "__count__", row.getString(3 * cols.length + 1), null: String, null: String))
+    }
+    val metaRows = meta.map { case (k, v) =>
+      ("env", k, v, null: String, null: String)
+    }
+    import s.implicits._
+    (statRows ++ metaRows)
+      .toDF("frame", "column", "min_or_value", "max", "xor_xxhash64")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outRoot/a23_forensics_sidecar")
+  }
+
   private val a23 = Q(
     "a23_totals_partitioned",
     // The reference's serving-table layout as a registered row (r9 verdict
@@ -739,16 +778,33 @@ object Queries {
     // ride the same read — no side channel, no extra pass — and are
     // emitted as columns the oracle checks against its own counts.
     //
-    // Disk-trust discipline (the r10 driver-red lesson): this is the one
-    // gate whose output spans two Spark actions linked only by the
-    // on-disk table, so nothing read back from disk is trusted silently —
-    // (1) the emitted `ym` is re-derived IN-QUERY from ts_hour
-    // (date_format), never the partition-directory value round-tripped
-    // through schema inference; (2) the observed (rows, bytes) of the
-    // re-read month must equal the pre-write frame's own (rows, bytes) —
-    // a swapped, stale, or clobbered scratch table fails LOUDLY with a
-    // message instead of reddening a hash. Scratch roots are additionally
-    // per-process since r11, removing the cross-process aliasing window.
+    // Disk-trust discipline (the r10/r11 driver-red lesson — this was the
+    // one gate whose EMITTED values round-tripped through a self-written
+    // table, and it hash-reddened in the driver twice while staying green
+    // locally; the r11 (rows, bytes) require never fired, so count+sum
+    // granularity was proven too coarse): since r12 nothing read back from
+    // disk reaches the dumped parquet AT ALL —
+    // (1) the readback must be multiset-EQUAL to the pre-write frame over
+    //     ALL columns (EXCEPT ALL both ways, empty both ways); a future
+    //     divergence names its rows in the error or is impossible;
+    // (2) `ym` is re-derived IN-QUERY from ts_hour on BOTH sides, never
+    //     the partition-directory value round-tripped through schema
+    //     inference, so a rendering skew (the one session-TZ-sensitive
+    //     surface) surfaces as an inequality, not a silent agreement;
+    // (3) the RETURNED frame is the pre-write month frame (+ the verified
+    //     observe scalars) — the same purely-deterministic lineage as
+    //     hash-green a04. The layout claims (≥2 ym partitions on disk,
+    //     PartitionFilters pruning at the listing level, observe counters
+    //     riding the disk read) stay certified by in-gate requires; a
+    //     driver-side disk/readback anomaly can only raise a NAMED error,
+    //     never redden a hash.
+    // (4) a forensic sidecar (per-column min/max + order-insensitive
+    //     xxhash64 checksums of BOTH frames, plus tmpdir/TZ/partition
+    //     listing) is written next to the Verify output before the
+    //     equality asserts run, so any future red localizes the divergent
+    //     column from the artifact alone.
+    // Scratch roots are per-(user, process) since r11, removing the
+    // cross-process aliasing window.
     (s, dir) => {
       val path = operators.Scratch.dir("a23") + "/totals"
       val totals = a04.fn(s, dir)
@@ -759,11 +815,11 @@ object Queries {
       require(yms.length >= 2,
         s"planted month missing: partitions ${yms.mkString(",")}")
       val ym0 = yms.head.stripPrefix("ym=")
-      // what the serving read MUST contain, computed from the pre-write
-      // frame (1-row scalar; no disk in the loop)
-      val expect = totals
-        .filter(date_format(col("ts_hour"), "yyyyMM") === ym0)
-        .agg(count(lit(1)), sum("total_bytes")).head()
+      // the pre-write month frame: a04's deterministic lineage + in-query ym
+      val expected = totals
+        .withColumn("ym", date_format(col("ts_hour"), "yyyyMM"))
+        .filter(col("ym") === ym0)
+        .persist()
       val month = operators.TotalsTable.readMonth(s, path, ym0)
       val scans = physicalNodes(month.queryExecution.executedPlan).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -771,22 +827,37 @@ object Queries {
       require(scans.nonEmpty && scans.forall(
         _.partitionFilters.exists(_.references.exists(_.name == "ym"))),
         s"ym must prune at the listing level, plan:\n${month.queryExecution.executedPlan}")
+      // readback aligned to the pre-write shape, ym re-derived in-query
+      val readback = month.select(totals.columns.map(col).toSeq :+
+        date_format(col("ts_hour"), "yyyyMM").as("ym"): _*)
+      forensicSidecar(s, Seq("pre_write" -> expected, "readback" -> readback),
+        Seq("scratch_path" -> path, "ym_partitions" -> yms.mkString(","),
+          "ym0" -> ym0,
+          "java.io.tmpdir" -> sys.props("java.io.tmpdir"),
+          "session_timeZone" -> s.conf.get("spark.sql.session.timeZone"),
+          "jvm_default_tz" -> java.util.TimeZone.getDefault.getID))
+      // r11 verdict task #1a: FULL-content multiset round-trip equality.
+      // take(5) = bounded 5-row diagnostic sample, never corpus-sized.
+      val extraRows   = readback.exceptAll(expected).take(5)
+      val missingRows = expected.exceptAll(readback).take(5)
+      require(extraRows.isEmpty && missingRows.isEmpty,
+        s"a23 disk round-trip diverged from the frame that wrote it at $path — " +
+          s"rows only in readback: ${extraRows.mkString("; ")} | " +
+          s"rows only in pre-write frame: ${missingRows.mkString("; ")}")
+      // the observe counters (reference telemetry.rs's processed-rows/bytes)
+      // still ride the DISK read — the telemetry claim stays on the readback
       val obs = org.apache.spark.sql.Observation()
-      month.observe(obs, count(lit(1)).as("rows"), sum("total_bytes").as("bytes"))
+      readback.observe(obs, count(lit(1)).as("rows"), sum("total_bytes").as("bytes"))
         .write.format("noop").mode("overwrite").save()
       val (obsRows, obsBytes) =
         (obs.get("rows").asInstanceOf[Long], obs.get("bytes").asInstanceOf[Long])
+      val expect = expected.agg(count(lit(1)), sum("total_bytes")).head()
       require(obsRows == expect.getLong(0) && obsBytes == expect.getLong(1),
-        s"a23 scratch table diverged from the frame that wrote it: " +
-          s"re-read (rows=$obsRows, bytes=$obsBytes) vs " +
-          s"expected (rows=${expect.getLong(0)}, bytes=${expect.getLong(1)}) at $path")
-      month.select(
-        col("resource_id"), col("response_status"), col("cache_status"),
-        col("remote_addr"), col("ts_hour"), col("requests"),
-        col("total_bytes"), col("total_time_milli"),
-        date_format(col("ts_hour"), "yyyyMM").as("ym"),
-        lit(obsRows).as("obs_rows"),
-        lit(obsBytes).as("obs_bytes"))
+        s"a23 observed counters diverged: re-read (rows=$obsRows, bytes=$obsBytes) " +
+          s"vs pre-write (rows=${expect.getLong(0)}, bytes=${expect.getLong(1)}) at $path")
+      // r11 verdict task #1b: emit the PRE-WRITE lineage (proven equal above)
+      expected.select(col("*"),
+        lit(obsRows).as("obs_rows"), lit(obsBytes).as("obs_bytes"))
     },
     Some(s"""${HttpLog.cte}
       |, agg AS (
@@ -6412,9 +6483,15 @@ object Queries {
       s"$tag: chunked replay collapsed to $dataBatches micro-batches")
     val peakState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
       .maxOption.getOrElse(0L)
-    require(peakState > 0 && peakState <= 16,
-      s"$tag: streaming sketch state must be O(|groups|) rows, got $peakState")
-    s.read.parquet(outP)
+    // |groups| = the complete-mode result's row count (one sketch row per
+    // group is the whole contract) — computed from the data, not hard-coded,
+    // so a testdata cardinality change can't spuriously redden the gate
+    val out = s.read.parquet(outP)
+    val groups = out.count()
+    require(peakState > 0 && peakState <= groups,
+      s"$tag: streaming sketch state must be O(|groups|) rows " +
+        s"(|groups|=$groups), got $peakState")
+    out
   }
 
   private val g17 = Q(

@@ -11,6 +11,10 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the one session-TZ-sensitive surface is date_format rendering
+    // (a23/b54); pin the zone like GraftSession does so a foreign host
+    // session can't skew it (r11 verdict task #1c)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // epoch-micros identity for the NTZ events vintage regardless of the
     // host session's zone (see GraftSession)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -16,6 +16,8 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a23's forensic sidecar lands next to the dumps (r11 verdict task #4)
+    sys.props("graft.verify.out") = outDir
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -251,6 +251,60 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(after == 30, s"expected 30 total requests, got $after")
   }
 
+  test("crashBeforeCommit cuts source logs loudly: compacted entries refuse, plain entries must delete") {
+    // r12 ADVICE: erased trailing batches' per-source file-log entries used
+    // a discarded del(...) that matched only plain numeric names — a
+    // compacted entry (<id>.compact, default every 10th batch, which folds
+    // ALL history) silently survived, leaving the source log AHEAD of the
+    // truncated offset log on restart. The cut must now fail loudly on a
+    // compacted entry and require success on a plain one.
+    def scaffold(): java.nio.file.Path = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cut")
+      def put(rel: String, content: String): Unit = {
+        val p = tmp.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, content)
+      }
+      // batch 1 advances the source offset (DATA), batch 2 repeats it
+      // (no-data watermark batch) → the cut lands at 1 and erases 2
+      put("offsets/0", "v1\n{\"watermark\":0}\n{\"logOffset\":0}")
+      put("offsets/1", "v1\n{\"watermark\":1}\n{\"logOffset\":1}")
+      put("offsets/2", "v1\n{\"watermark\":2}\n{\"logOffset\":1}")
+      Seq(0, 1, 2).foreach(i => put(s"commits/$i", "v1\n{}"))
+      tmp
+    }
+
+    // RED: the to-be-erased entry was compacted — refuse the half-cut
+    val red = scaffold()
+    java.nio.file.Files.createDirectories(red.resolve("sources/0"))
+    java.nio.file.Files.writeString(red.resolve("sources/0/2.compact"), "v1\n{}")
+    val e = intercept[IllegalArgumentException] {
+      Recovery.crashBeforeCommit(red.toString)
+    }
+    assert(e.getMessage.contains("compacted"), e.getMessage)
+    // and the refusal left no half-cut state behind it: offsets/2 is the
+    // first thing erased, so assert the failure happened BEFORE source work
+    // only in message terms (offsets/2 is legitimately gone by then)
+
+    // GREEN: a plain entry is erased with the offsets entry, and the cut
+    // returns the data batch
+    val green = scaffold()
+    java.nio.file.Files.createDirectories(green.resolve("sources/0"))
+    Seq("0", "1", "2").foreach(i =>
+      java.nio.file.Files.writeString(green.resolve(s"sources/0/$i"), "v1\n{}"))
+    val cutAt = Recovery.crashBeforeCommit(green.toString)
+    assert(cutAt == 1L)
+    assert(!java.nio.file.Files.exists(green.resolve("sources/0/2")),
+      "trailing source-log entry must be erased with its offsets entry")
+    assert(java.nio.file.Files.exists(green.resolve("sources/0/1")) &&
+      java.nio.file.Files.exists(green.resolve("sources/0/0")),
+      "entries at and below the cut must survive")
+    assert(!java.nio.file.Files.exists(green.resolve("offsets/2")) &&
+      java.nio.file.Files.exists(green.resolve("offsets/1")))
+    assert(!java.nio.file.Files.exists(green.resolve("commits/1")),
+      "the data batch's own commit marker must be deleted so it replays")
+  }
+
   test("built-in session_window: streaming sessions equal the batch operator") {
     // the streaming half of a18: session_window under a watermark emits a
     // session once the watermark passes its end; with the watermark advanced
