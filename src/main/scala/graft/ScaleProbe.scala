@@ -589,6 +589,15 @@ object ScaleProbe {
         // by okey (zero exchanges — the b50 in-gate shape). The bucketed
         // WRITE is one-time layout investment (reported on stderr, not
         // timed into the probe — the a22/serve prebuilt-index convention).
+        // optional 3rd arg = bucket count (default 32). The r12 1000× run
+        // showed WHY this is a knob and not a constant: at 600M rows the
+        // 32-bucket layout leaves each bucket a ~19M-row file that ONE task
+        // must scan+join whole (bucketed files never split), and the 4.4×
+        // win measured at 100× collapsed to 1.4× — bucket count must be
+        // provisioned for the TARGET data volume (≈100-500 MB/bucket), the
+        // same sizing rule as shuffle partitions.
+        val buckets = args.drop(2).headOption.map(_.toInt).getOrElse(32)
+        val sfx = if (buckets == 32) "" else s"_$buckets"
         val li = () => spark.read.parquet(s"$out/lineitem.parquet")
           .select(col("l_orderkey").as("okey"),
             col("l_extendedprice"), col("l_discount"))
@@ -596,25 +605,25 @@ object ScaleProbe {
           .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
         spark.sql("DROP TABLE IF EXISTS probe_bli")
         spark.sql("DROP TABLE IF EXISTS probe_bord")
-        if (!Files.exists(Paths.get(s"$out/_bucketed_done"))) {
+        if (!Files.exists(Paths.get(s"$out/_bucketed_done$sfx"))) {
           val t0 = System.nanoTime()
           operators.Bucketing.writeBucketed(spark, li(), "probe_bli",
-            s"$out/bucketed_li", Seq("okey"), buckets = 32)
+            s"$out/bucketed_li$sfx", Seq("okey"), buckets = buckets)
           operators.Bucketing.writeBucketed(spark, ord(), "probe_bord",
-            s"$out/bucketed_ord", Seq("okey"), buckets = 32)
+            s"$out/bucketed_ord$sfx", Seq("okey"), buckets = buckets)
           System.err.println(
-            f"[bucketed] one-time layout write: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-          Files.createFile(Paths.get(s"$out/_bucketed_done"))
+            f"[bucketed] one-time layout write ($buckets buckets): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          Files.createFile(Paths.get(s"$out/_bucketed_done$sfx"))
         } else {
           // fresh session, existing files: re-register the bucketed layout
           spark.sql(s"""CREATE TABLE probe_bli
             (okey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
-            USING parquet CLUSTERED BY (okey) SORTED BY (okey) INTO 32 BUCKETS
-            LOCATION '$out/bucketed_li'""")
+            USING parquet CLUSTERED BY (okey) SORTED BY (okey) INTO $buckets BUCKETS
+            LOCATION '$out/bucketed_li$sfx'""")
           spark.sql(s"""CREATE TABLE probe_bord
             (okey BIGINT, o_orderpriority STRING)
-            USING parquet CLUSTERED BY (okey) SORTED BY (okey) INTO 32 BUCKETS
-            LOCATION '$out/bucketed_ord'""")
+            USING parquet CLUSTERED BY (okey) SORTED BY (okey) INTO $buckets BUCKETS
+            LOCATION '$out/bucketed_ord$sfx'""")
         }
         def revAgg(j: DataFrame): DataFrame = j
           .groupBy(col("okey"), col("o_orderpriority"))
