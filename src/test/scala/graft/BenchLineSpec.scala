@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-artifact tail contract (r11 verdict task #2): the driver
+  * captures the LAST 2000 characters of the build log and parses the metric
+  * line out of them — BENCH_r11 came back `parsed: null` because the A/B
+  * fragment pushed the line's head past that window. The contract since r12:
+  * Bench prints a compact `{"metric":"ab",...}` line immediately before the
+  * primary `{"metric":"total",...}` line, the primary is LAST, and the PAIR
+  * fits the window together. This spec re-derives the worst-case emitted
+  * lengths from the CURRENT `bench = true` set, so adding a headline query
+  * that would overflow the window fails here instead of silently zeroing a
+  * round's benchmark artifact.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val tailWindow = 2000
+
+  /** Worst widths under the adaptive rendering (≤7 chars per number up to
+    * 27 hours): 99.9999 maximizes the sub-100 s branch; a second pass with
+    * 99999.9 covers the %.1f branch. 5 reps (the default
+    * SPARK_GRAFT_BENCH_REPS).
+    */
+  private def worstResults(v: Double): Seq[(String, Double, List[Double])] =
+    Queries.all.filter(_.bench).map(q => (q.name, v, List.fill(5)(v)))
+
+  // the compact ab SUCCESS fragment: 12-char sha + 7-char total
+  private val abSuccess =
+    s""""ref":"aaaaaaaaaaaa","prev_tree_same_box":99999.9"""
+  // the compact ab ERROR fragment: stage prefix + the 120-char capped detail
+  private val abError =
+    s""""ref":"aaaaaaaaaaaa","error":"compile: ${"x" * 120}""""
+
+  test("compact ab + primary line fit the driver's 2000-char tail together") {
+    for {
+      v    <- Seq(99.9999, 99999.9)
+      frag <- Seq(abSuccess, abError)
+    } {
+      val rs = worstResults(v)
+      val lines = Bench.tailLines(rs, Some(frag), "/root/testdata/sf0.1")
+      assert(lines.length == 2)
+      val budget = lines.map(_.length + 1).sum // +1 per newline
+      assert(budget <= tailWindow,
+        s"tail lines need $budget chars > $tailWindow window at v=$v — the " +
+          s"`bench = true` set (${rs.length} queries) has outgrown " +
+          "the driver's tail capture; shrink the set or the line format")
+    }
+  }
+
+  test("the primary line is last, r10-shaped, and the ab line is self-contained") {
+    val lines = Bench.tailLines(worstResults(99.9999), Some(abSuccess), "sfdir")
+    val primary = lines.last
+    assert(primary.startsWith("""{"metric":"total","value":"""))
+    assert(primary.endsWith(""","sf":"sfdir"}"""))
+    // field order is part of the r10 shape the driver proved parseable
+    val fields = Seq("\"metric\"", "\"value\"", "\"unit\"", "\"queries\"",
+      "\"samples\"", "\"median\"", "\"sf\"")
+    assert(fields.map(primary.indexOf) == fields.map(primary.indexOf).sorted)
+    val ab = lines.head
+    assert(ab.startsWith("""{"metric":"ab","ref":""") && ab.endsWith("}"))
+    // without an ab fragment (SPARK_GRAFT_AB_REF=off) only the primary prints
+    assert(Bench.tailLines(worstResults(99.9999), None, "sfdir") == Seq(primary))
+  }
+
+  test("a failed query renders as -1 everywhere, never a flattering near-zero") {
+    val rs = Seq(("q_fail", -1.0, List(0.5, -1.0, 0.7)))
+    val line = Bench.tailLines(rs, None, "sf").last
+    assert(line.contains(""""queries":{"q_fail":-1}"""))
+    assert(line.contains("""'"q_fail":[0.5000,-1,0.7000]""".stripPrefix("'")))
+    assert(line.contains(""""median":{"q_fail":-1}"""))
+  }
+}
