@@ -723,45 +723,6 @@ object Queries {
     })
   }
 
-  /** a23's forensic sidecar (r11 verdict task #4): per-column min/max and an
-    * order-insensitive `bit_xor(xxhash64(col))` checksum of the pre-write
-    * frame AND the disk readback (plus one whole-row checksum each and the
-    * environment facts a driver-side divergence would hinge on: tmpdir,
-    * session/JVM time zone, the ym partition listing), written next to the
-    * Verify output (`graft.verify.out`, set by [[Verify]]) so a driver red
-    * localizes the divergent column from the artifact alone, without a
-    * reproduction. Cost: one aggregate pass per frame over a ≤10k-row month;
-    * the dumped frame is tens of rows. `.head()` here is a 1-row scalar.
-    */
-  private def forensicSidecar(s: SparkSession, frames: Seq[(String, DataFrame)],
-                              meta: Seq[(String, String)]): Unit = {
-    val outRoot = sys.props.getOrElse("graft.verify.out", sys.props("java.io.tmpdir"))
-    val statRows = frames.flatMap { case (tag, df) =>
-      val cols = df.columns.toSeq
-      val perCol = cols.flatMap { c =>
-        Seq(min(col(c)).cast("string"), max(col(c)).cast("string"),
-          expr(s"bit_xor(xxhash64(`$c`))").cast("string"))
-      }
-      val rowHash = expr(
-        s"bit_xor(xxhash64(${cols.map(c => s"`$c`").mkString(", ")}))").cast("string")
-      val aggs = perCol ++ Seq(rowHash, count(lit(1)).cast("string"))
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      cols.zipWithIndex.map { case (c, i) =>
-        (tag, c, row.getString(3 * i), row.getString(3 * i + 1), row.getString(3 * i + 2))
-      } ++ Seq(
-        (tag, "__row__", null: String, null: String, row.getString(3 * cols.length)),
-        (tag, "__count__", row.getString(3 * cols.length + 1), null: String, null: String))
-    }
-    val metaRows = meta.map { case (k, v) =>
-      ("env", k, v, null: String, null: String)
-    }
-    import s.implicits._
-    (statRows ++ metaRows)
-      .toDF("frame", "column", "min_or_value", "max", "xor_xxhash64")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$outRoot/a23_forensics_sidecar")
-  }
-
   private val a23 = Q(
     "a23_totals_partitioned",
     // The reference's serving-table layout as a registered row (r9 verdict
@@ -830,20 +791,18 @@ object Queries {
       // readback aligned to the pre-write shape, ym re-derived in-query
       val readback = month.select(totals.columns.map(col).toSeq :+
         date_format(col("ts_hour"), "yyyyMM").as("ym"): _*)
-      forensicSidecar(s, Seq("pre_write" -> expected, "readback" -> readback),
+      operators.DiskTrust.forensicSidecar(s,
+        Seq("pre_write" -> expected, "readback" -> readback),
         Seq("scratch_path" -> path, "ym_partitions" -> yms.mkString(","),
           "ym0" -> ym0,
           "java.io.tmpdir" -> sys.props("java.io.tmpdir"),
           "session_timeZone" -> s.conf.get("spark.sql.session.timeZone"),
-          "jvm_default_tz" -> java.util.TimeZone.getDefault.getID))
-      // r11 verdict task #1a: FULL-content multiset round-trip equality.
-      // take(5) = bounded 5-row diagnostic sample, never corpus-sized.
-      val extraRows   = readback.exceptAll(expected).take(5)
-      val missingRows = expected.exceptAll(readback).take(5)
-      require(extraRows.isEmpty && missingRows.isEmpty,
-        s"a23 disk round-trip diverged from the frame that wrote it at $path — " +
-          s"rows only in readback: ${extraRows.mkString("; ")} | " +
-          s"rows only in pre-write frame: ${missingRows.mkString("; ")}")
+          "jvm_default_tz" -> java.util.TimeZone.getDefault.getID),
+        "a23_forensics_sidecar")
+      // r11 verdict task #1a: FULL-content multiset round-trip equality
+      // (DiskTrustSpec pins the red path: a divergence NAMES its rows)
+      operators.DiskTrust.requireMultisetEqual(readback, expected,
+        s"a23 disk round-trip diverged from the frame that wrote it at $path")
       // the observe counters (reference telemetry.rs's processed-rows/bytes)
       // still ride the DISK read — the telemetry claim stays on the readback
       val obs = org.apache.spark.sql.Observation()
