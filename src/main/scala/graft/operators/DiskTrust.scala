@@ -36,13 +36,16 @@ object DiskTrust {
     * checksum of each frame (plus one whole-row checksum and a row count
     * each, plus caller-supplied environment facts), written as one small
     * parquet next to the Verify output (`graft.verify.out`, set by
-    * [[graft.Verify]]; java.io.tmpdir otherwise). Cost: one aggregate pass
-    * per frame; the dumped frame is tens of rows. `.head()` is a 1-row
-    * scalar.
+    * [[graft.Verify]]; outside a Verify run — Bench, specs — it falls back
+    * to a per-process [[Scratch]] dir, wiped per acquisition and removed on
+    * JVM exit, so repeated runs never accumulate sidecars). Cost: one
+    * aggregate pass per frame; the dumped frame is tens of rows. `.head()`
+    * is a 1-row scalar.
     */
   def forensicSidecar(s: SparkSession, frames: Seq[(String, DataFrame)],
                       meta: Seq[(String, String)], outName: String): String = {
-    val outRoot = sys.props.getOrElse("graft.verify.out", sys.props("java.io.tmpdir"))
+    val outRoot = sys.props.getOrElse("graft.verify.out",
+      Scratch.dir(s"sidecar_$outName"))
     val statRows = frames.flatMap { case (tag, df) =>
       val cols = df.columns.toSeq
       val perCol = cols.flatMap { c =>
