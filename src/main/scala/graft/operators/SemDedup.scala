@@ -18,9 +18,11 @@ import graft.functions._
   * per-cell work is an equi-join on `cell` — one hash-partitioned shuffle of
   * the corpus per side, no broadcast of anything unbounded. The quantizer is
   * [[Similarity.ivfCentroids]] (deterministic seeds + Lloyd refinement) and
-  * the per-row assignment is [[Similarity.assigned]]'s shuffle-free argmax,
-  * so the only exchanges in the plan are the two cell-hash shuffles feeding
-  * the self-join and the final per-`removed` aggregation.
+  * the per-row assignment is [[Similarity.assigned]]'s shuffle-free argmax
+  * (two-level [[Similarity.assignedRouted]] once nCells crosses the
+  * flat-argmax breakeven — see `removed`'s routing note), so the only
+  * exchanges in the plan are the two cell-hash shuffles feeding the
+  * self-join and the final per-`removed` aggregation.
   *
   * A hot-cell guard (same failure mode as `Dedup.bandJoinCandidates`'s hot
   * buckets) drops cells holding more than `maxCell` vectors via a broadcast
@@ -37,8 +39,20 @@ object SemDedup {
     * makes the output order-independent and exactly reproducible.
     */
   def removed(corpus: DataFrame, nCells: Int = 16, tau: Double = 0.9,
-              refineIters: Int = 1, maxCell: Int = 100000): DataFrame = {
-    val centroids = Similarity.ivfCentroids(corpus, nCells, refineIters)
+              refineIters: Int = 1, maxCell: Int = 100000,
+              routeGroups: Int = -1): DataFrame = {
+    // Auto two-level routing above the flat-argmax breakeven: with the
+    // paper's nCells ∝ N rule the flat N·k assignment is O(N²) — measured
+    // 64.6×/decade at the 1000× probe (SURVEY §6) — so large k routes
+    // through ≈√k centroid groups (Similarity.assignedRouted) and the
+    // quantizer drops back to ~N·2√k. -1 = auto (√k when k ≥ 512), 0 =
+    // force flat, >1 = explicit group count. At the oracle-gated SFs
+    // nCells stays small, so the gate plans are the flat path unchanged.
+    val rg =
+      if (routeGroups == -1)
+        if (nCells >= 512) math.ceil(math.sqrt(nCells)).toInt else 0
+      else routeGroups
+    val centroids = Similarity.ivfCentroids(corpus, nCells, refineIters, rg)
     // persist the guarded assignment: it feeds BOTH self-join sides (and the
     // hot-cell count), and without the cache each branch re-runs the Lloyd
     // refinement aggregation AND the corpus scan+argmax — 3-4 corpus passes
@@ -46,7 +60,7 @@ object SemDedup {
     // the unpersisted physical plan). Same materialize-then-release
     // lifecycle as Dedup.materializedPairs: the tiny verified output is
     // cached, counted, and the big input cache dropped before returning.
-    val cells0 = Similarity.assigned(corpus, centroids)
+    val cells0 = Similarity.assignedVia(corpus, centroids, rg)
       .select(col("cell"), col("vec_id"), col("embedding"))
     val hot = cells0.groupBy("cell").count()
       .filter(col("count") > maxCell).select("cell")
@@ -70,9 +84,10 @@ object SemDedup {
     * anti-join when the removed set is small; Spark picks SMJ otherwise).
     */
   def keep(corpus: DataFrame, nCells: Int = 16, tau: Double = 0.9,
-           refineIters: Int = 1, maxCell: Int = 100000): DataFrame =
+           refineIters: Int = 1, maxCell: Int = 100000,
+           routeGroups: Int = -1): DataFrame =
     corpus.join(
-      removed(corpus, nCells, tau, refineIters, maxCell)
+      removed(corpus, nCells, tau, refineIters, maxCell, routeGroups)
         .select(col("removed").as("vec_id")),
       Seq("vec_id"), "left_anti")
 }

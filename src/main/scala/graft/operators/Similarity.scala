@@ -49,6 +49,68 @@ object Similarity {
       .drop("scored", "cs")
   }
 
+  /** Two-level (coarse→fine) nearest-centroid assignment for LARGE k — the
+    * faiss-style coarse quantizer. The flat [[assigned]] argmax costs N·k
+    * distance evals, and consumers that scale k with the corpus (SemDeDup's
+    * nCells = N/500 rule) turn that into O(N²): measured 64.6×/decade on the
+    * 1000× dedup probe (SURVEY §6, c12 row) — the joins scaled, the
+    * quantizer didn't. Here the k centroids are themselves k-means-grouped
+    * into `routeGroups` (≈√k) groups ONCE (k·g evals — noise), and each
+    * corpus row pays a group argmax (g evals) plus a fine argmax over only
+    * the chosen group's cells (~k/g evals): ~2√k per row, ~32× fewer at
+    * k=4000. Still per-row and shuffle-free — the packed group array
+    * broadcasts exactly like the flat path's centroid array.
+    *
+    * Same output schema and the same (cosine, cid) fine tie-break as
+    * [[assigned]]; routing adds approximation (a vector near a group
+    * boundary may land in a neighboring group's best cell — acceptable for
+    * cell-partition consumers by the same argument as nProbe probing), but
+    * it stays a PURE function of the embedding: identical vectors always
+    * share a cell, under any partitioning — the property SemDeDup's
+    * planted-twin oracle gates. The group argmax and the selected cell list
+    * are `opt_fence`d: CollapseProject would otherwise inline the g-element
+    * group scan into every fine-lambda slice (the d08 codegen-CSE lesson,
+    * SURVEY §6) and re-create the very blowup this path removes.
+    */
+  def assignedRouted(corpus: DataFrame, centroids: DataFrame,
+                     routeGroups: Int): DataFrame = {
+    require(routeGroups > 1, s"routeGroups must be > 1, got $routeGroups")
+    val asVec = centroids.select(col("cid").as("vec_id"), col("cv").as("embedding"))
+    val gcents = ivfCentroids(asVec, nCells = routeGroups, refineIters = 1)
+      .select(col("cid").as("gid"), col("cv").as("gcv"))
+    // flat assignment of the k centroids to their groups — k·g work, tiny
+    val cellToGroup = assigned(asVec,
+        gcents.select(col("gid").as("cid"), col("gcv").as("cv")))
+      .select(col("cell").as("gid"), col("vec_id").as("cid"), col("embedding").as("cv"))
+    // inner join: only groups that own ≥1 cell are routable, so the fine
+    // argmax below can never see an empty cell list
+    val packed = cellToGroup
+      .groupBy("gid").agg(collect_list(struct(col("cid"), col("cv"))).as("cells"))
+      .join(gcents, "gid")
+      .agg(collect_list(struct(col("gid"), col("gcv"), col("cells"))).as("gs"))
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("gsel", graft.functions.opt_fence(
+        array_max(transform(col("gs"), g =>
+          struct(vec_cosine(col("embedding"), g.getField("gcv")).as("sc"),
+            g.getField("gid").as("gid")))).getField("gid")))
+      .withColumn("gcells", graft.functions.opt_fence(
+        element_at(filter(col("gs"), g =>
+          g.getField("gid") === col("gsel")), 1).getField("cells")))
+      .withColumn("scored", transform(col("gcells"), c =>
+        struct(vec_cosine(col("embedding"), c.getField("cv")).as("sc"),
+          c.getField("cid").as("cid"))))
+      .withColumn("cell", array_max(col("scored")).getField("cid"))
+      .drop("scored", "gcells", "gsel", "gs")
+  }
+
+  /** [[assignedRouted]] when `routeGroups` > 1, the flat [[assigned]]
+    * otherwise — the dispatch consumers with a scale-dependent k call.
+    */
+  def assignedVia(corpus: DataFrame, centroids: DataFrame,
+                  routeGroups: Int): DataFrame =
+    if (routeGroups > 1) assignedRouted(corpus, centroids, routeGroups)
+    else assigned(corpus, centroids)
+
   /** (vec_id, cell) nearest-centroid assignment. */
   private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     assigned(corpus.select(col("vec_id"), col("embedding")), centroids)
@@ -59,8 +121,9 @@ object Similarity {
     * mean → reassembled array). Cells that lose all members keep their id
     * absent (nProbe probing tolerates fewer cells).
     */
-  private def refineCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cells = assigned(corpus, centroids)
+  private def refineCentroids(corpus: DataFrame, centroids: DataFrame,
+                              routeGroups: Int = 0): DataFrame = {
+    val cells = assignedVia(corpus, centroids, routeGroups)
     cells
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       // Grid-quantize BEFORE averaging (2^-20 steps): every addend is
@@ -92,10 +155,12 @@ object Similarity {
     * seeds, refined by `refineIters` Lloyd iterations. Public so an index
     * build and later probes share the exact same quantizer.
     */
-  def ivfCentroids(corpus: DataFrame, nCells: Int = 16, refineIters: Int = 1): DataFrame = {
+  def ivfCentroids(corpus: DataFrame, nCells: Int = 16, refineIters: Int = 1,
+                   routeGroups: Int = 0): DataFrame = {
     val seeds = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    (1 to refineIters).foldLeft(seeds) { (c, _) => refineCentroids(corpus, c) }
+    (1 to refineIters).foldLeft(seeds) { (c, _) =>
+      refineCentroids(corpus, c, routeGroups) }
   }
 
   /** First-class distributed k-means (the clustering step behind IVF cells,
@@ -150,8 +215,12 @@ object Similarity {
     * Scaladoc promises: probes then read `nProbe/nCells` of the data via
     * partition pruning instead of scanning the corpus.
     */
-  def writeIndex(corpus: DataFrame, centroids: DataFrame, path: String): Unit =
-    assigned(corpus, centroids)
+  def writeIndex(corpus: DataFrame, centroids: DataFrame, path: String,
+                 routeGroups: Int = 0): Unit =
+    // routeGroups > 1 = the assignedRouted coarse quantizer: a production
+    // index wants k ~ √N cells, where the flat N·k build assignment is the
+    // same quadratic the SemDeDup probe measured (SURVEY §6 c12 row)
+    assignedVia(corpus, centroids, routeGroups)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
@@ -382,8 +451,9 @@ object Similarity {
     * vectors are fetched for exact re-rank.
     */
   def writeIndexPQ(corpus: DataFrame, centroids: DataFrame,
-                   codebooks: DataFrame, path: String, m: Int, w: Int): Unit =
-    pqEncode(assigned(corpus, centroids), codebooks, m, w)
+                   codebooks: DataFrame, path: String, m: Int, w: Int,
+                   routeGroups: Int = 0): Unit =
+    pqEncode(assignedVia(corpus, centroids, routeGroups), codebooks, m, w)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 

@@ -193,4 +193,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(withDup == 1L)
     } finally out.unpersist()
   }
+
+  test("assignedRouted: flat schema, total coverage, valid cells, pure per-row") {
+    val corpus = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.ivfCentroids(corpus, nCells = 32, refineIters = 1)
+    val flat = Similarity.assigned(corpus, centroids)
+    val routed = Similarity.assignedRouted(corpus, centroids, routeGroups = 6)
+    // drop-in replacement for the flat path: same shape, nothing lost
+    assert(routed.schema == flat.schema)
+    assert(routed.count() == corpus.count())
+    // every routed cell is a real centroid id (the fine argmax can never
+    // see an empty or foreign cell list — the non-empty-groups inner join)
+    assert(routed.select(col("cell"))
+      .except(centroids.select(col("cid").as("cell"))).isEmpty)
+    // assignment is a pure function of the embedding: identical vectors
+    // co-assign, and the whole assignment survives repartitioning
+    val dup = corpus.filter(col("vec_id") === 3).withColumn("vec_id", lit(900000L))
+    assert(Similarity.assignedRouted(corpus.unionByName(dup), centroids, 6)
+      .filter(col("vec_id").isin(3L, 900000L))
+      .select("cell").distinct().count() == 1L)
+    val a = routed.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.assignedRouted(corpus.repartition(5), centroids, 6)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }
