@@ -506,13 +506,17 @@ object ScaleProbe {
           .select(col("doc_id").as("qid"), col("vec_id").as("qtok"), col("embedding"))
         val nVec = emb.count()
         val nCells = math.max(16, (nVec / 500).toInt) // cells grow, cell size flat
+        // scale-proportional nCells is the SemDeDup quadratic (SURVEY §6
+        // c12 row): route the one-time build through ⌈√k⌉ groups past the
+        // same k ≥ 512 breakeven SemDedup.removed uses
+        val rg = if (nCells >= 512) math.ceil(math.sqrt(nCells)).toInt else 0
         def frozen(df: DataFrame): DataFrame = spark.createDataFrame(
           java.util.Arrays.asList(df.collect(): _*), df.schema)
         val ivfDir = s"$out/maxsim_ivf_idx"
         lazy val centroids = {
-          val c = frozen(Similarity.ivfCentroids(emb, nCells, refineIters = 1))
+          val c = frozen(Similarity.ivfCentroids(emb, nCells, refineIters = 1, rg))
           if (!Files.exists(Paths.get(s"$out/_maxsim_idx_done"))) {
-            Similarity.writeIndex(emb, c, ivfDir)
+            Similarity.writeIndex(emb, c, ivfDir, rg)
             Files.createFile(Paths.get(s"$out/_maxsim_idx_done"))
           }
           c

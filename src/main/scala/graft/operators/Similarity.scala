@@ -178,9 +178,16 @@ object Similarity {
     * under any summation order — an all-double SQL oracle reproduces
     * every iteration bit-for-bit.
     */
-  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val centroids = ivfCentroids(corpus, nCells = k, refineIters = iters)
-    assign(corpus, centroids)
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+                   routeGroups: Int = 0): DataFrame = {
+    // routeGroups > 1 = assignedRouted's coarse quantizer for large k (the
+    // SemDeDup quadratic, SURVEY §6 c12 row); 0 keeps the oracle-replayed
+    // flat argmax
+    val centroids = ivfCentroids(corpus, nCells = k, refineIters = iters,
+      routeGroups)
+    assignedVia(corpus.select(col("vec_id"), col("embedding")), centroids,
+        routeGroups)
+      .select(col("vec_id"), col("cell"))
       .withColumn("cell_size", count(lit(1)).over(Window.partitionBy("cell")))
   }
 
