@@ -487,9 +487,17 @@ object ScaleProbe {
             .select((col("doc_id") + 400000).as("doc_id"),
               translate(col("text"), "aeiou", "uoiea").as("text")))
         val screenIdx = s"$out/screen_idx"
-        if (!Files.exists(Paths.get(s"$out/_screen_idx_done"))) {
-          streaming.NearDupScreen.writeIndex(docs, screenIdx, "doc_id", "text")
-          Files.createFile(Paths.get(s"$out/_screen_idx_done"))
+        // lazy like `centroids` below, so a d14/d15-only run never pays it:
+        // the band index replicates each doc's shingle signature once per
+        // band (~bands × signature bytes of scratch for the build shuffle —
+        // ~130 GB at the 1000× corpus, past this box's disk; an offline
+        // artifact a cluster builds with provisioned scratch)
+        lazy val screenReady = {
+          if (!Files.exists(Paths.get(s"$out/_screen_idx_done"))) {
+            streaming.NearDupScreen.writeIndex(docs, screenIdx, "doc_id", "text")
+            Files.createFile(Paths.get(s"$out/_screen_idx_done"))
+          }
+          screenIdx
         }
         // A fine-bucket small-batch variant (nBuckets=256, 50-doc batch) was
         // probed here and REVERTED: at 10× the 8192-partition index holds
@@ -521,9 +529,39 @@ object ScaleProbe {
           }
           c
         }
+        // Doc-sorted token store: the 1000× run showed d15's residual
+        // linear term is the shortlist FETCH (corpus.join(shortlist) scans
+        // the raw parquet — layout-bound, not algorithm-bound). Range-
+        // partitioned + sorted by doc_id, a bounded `isin` on the shortlist
+        // ids row-group-skips to just the matching files — the fetch cost
+        // tracks the SHORTLIST, not the corpus (same one-time-layout
+        // convention as the IVF index above).
+        val tokDir = s"$out/maxsim_tokens"
+        lazy val tokenStore = {
+          if (!Files.exists(Paths.get(s"$out/_maxsim_tokens_done"))) {
+            corpus.repartitionByRange(64, col("doc_id"))
+              .sortWithinPartitions("doc_id")
+              .write.mode("overwrite").parquet(tokDir)
+            Files.createFile(Paths.get(s"$out/_maxsim_tokens_done"))
+          }
+          tokDir
+        }
+        // Two-level directory layout for the SAME cells: the d15_probe_only
+        // decomposition showed the flat layout's nCells-proportional dir
+        // listing + tiny-file floor IS the serving cost at 1000×
+        val grpIdxDir = s"$out/maxsim_givf_idx"
+        lazy val groupedIdx = {
+          if (!Files.exists(Paths.get(s"$out/_maxsim_gidx_done"))) {
+            Similarity.writeIndexGrouped(emb, centroids, grpIdxDir,
+              layoutGroups = math.max(2, math.ceil(math.sqrt(nCells)).toInt),
+              routeGroups = rg)
+            Files.createFile(Paths.get(s"$out/_maxsim_gidx_done"))
+          }
+          grpIdxDir
+        }
         Seq(
           "g09_admit_prebuilt" -> (() =>
-            streaming.Admission.admitIndexed(spark, arrivals, screenIdx,
+            streaming.Admission.admitIndexed(spark, arrivals, screenReady,
               "doc_id", "text")),
           "d14_maxsim_exact" -> (() => Similarity.maxSim(corpus, queries)),
           "d15_maxsim_shortlist" -> (() => {
@@ -532,6 +570,44 @@ object ScaleProbe {
               centroids, k = 32, nProbe = 4)
             val shortlist = hits.select(expr("neighbor div 8").as("doc_id")).distinct()
             Similarity.maxSim(corpus.join(shortlist, "doc_id"), queries)
+          }),
+          "d15_probe_only" -> (() =>
+            // decomposition entry: just the per-token IVF probe (routing +
+            // pruned index read + rank), no shortlist fetch, no rerank —
+            // isolates where d15's serving cost lives as the corpus grows
+            Similarity.probeIndex(spark, ivfDir,
+              queries.select(col("qtok").as("qid"), col("embedding").as("qv")),
+              centroids, k = 32, nProbe = 4)),
+          "d15_grouped_probe_only" -> (() =>
+            // the probe-only decomposition against the grouped layout —
+            // the pair (d15_probe_only, this) isolates the layout's share
+            Similarity.probeIndexGrouped(spark, groupedIdx,
+              queries.select(col("qtok").as("qid"), col("embedding").as("qv")),
+              centroids, k = 32, nProbe = 4)),
+          "d15_maxsim_grouped" -> (() => {
+            // end-to-end serving on the two-level layout + token store
+            val hits = Similarity.probeIndexGrouped(spark, groupedIdx,
+              queries.select(col("qtok").as("qid"), col("embedding").as("qv")),
+              centroids, k = 32, nProbe = 4)
+            val ids = hits.select(expr("neighbor div 8").as("doc_id"))
+              .distinct().collect().map(_.getLong(0))
+            Similarity.maxSim(
+              spark.read.parquet(tokenStore).filter(col("doc_id").isin(ids: _*)),
+              queries)
+          }),
+          "d15_maxsim_store" -> (() => {
+            // same probe; the fetch reads the doc-sorted token store with a
+            // bounded isin (shortlist ids are routing metadata, ≤ k·tokens —
+            // the probeIndex cell-collect convention), so parquet min/max
+            // skips every non-matching file/row-group
+            val hits = Similarity.probeIndex(spark, ivfDir,
+              queries.select(col("qtok").as("qid"), col("embedding").as("qv")),
+              centroids, k = 32, nProbe = 4)
+            val ids = hits.select(expr("neighbor div 8").as("doc_id"))
+              .distinct().collect().map(_.getLong(0))
+            Similarity.maxSim(
+              spark.read.parquet(tokenStore).filter(col("doc_id").isin(ids: _*)),
+              queries)
           }))
       } else if (mode == "text") {
         val docs = () => Tables.documents(spark, out)

@@ -247,6 +247,65 @@ object Similarity {
       idx.join(broadcast(probes), "cell").filter(col("vec_id") =!= col("qid")), k)
   }
 
+  /** Two-level IVF serving layout: partition by centroid GROUP (the
+    * [[assignedRouted]] grouping, ≈√k dirs), sort by `cell` within files.
+    * The flat [[writeIndex]] layout's partition count IS nCells, and
+    * scale-proportional nCells makes directory listing + the tiny-file
+    * floor grow linearly with the corpus: the 1000× serve probe measured
+    * the PROBE path at 7.3 s of d15's ~9 s while the pruned data read was
+    * ~13 MB (4000 dirs of ~140 KB files — the same small-file floor the r8
+    * fine-bucket revert documented). Here listing is ⌈√k⌉ dirs of healthy
+    * ~√k-cell files, probes prune dirs at listing (`grp` is the partition
+    * column) and row-group min/max on the sorted `cell` column skips inside
+    * them — coarse→fine applied to the I/O exactly as [[assignedRouted]]
+    * applies it to the compute.
+    *
+    * `layoutGroups` = directory count (a LAYOUT choice, valid at any k);
+    * `routeGroups` = assignment routing (0 keeps the flat argmax), so a
+    * grouped layout can hold the exact cells of a flat-assigned index.
+    * The cell→group map rides with the index at `path/_cellmap` (underscore
+    * dirs are invisible to the data read) — probes resolve groups from the
+    * artifact, never by re-deriving the grouping.
+    */
+  def writeIndexGrouped(corpus: DataFrame, centroids: DataFrame, path: String,
+                        layoutGroups: Int, routeGroups: Int = 0): Unit = {
+    require(layoutGroups > 1, s"layoutGroups must be > 1, got $layoutGroups")
+    val asVec = centroids.select(col("cid").as("vec_id"), col("cv").as("embedding"))
+    val gcents = ivfCentroids(asVec, nCells = layoutGroups, refineIters = 1)
+      .select(col("cid").as("gid"), col("cv").as("gcv"))
+    val cellMap = assigned(asVec,
+        gcents.select(col("gid").as("cid"), col("gcv").as("cv")))
+      .select(col("vec_id").as("cell_of"), col("cell").as("grp"))
+    assignedVia(corpus, centroids, routeGroups)
+      .join(broadcast(cellMap), col("cell") === col("cell_of")).drop("cell_of")
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").partitionBy("grp").parquet(path)
+    cellMap.select(col("cell_of").as("cell"), col("grp"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_cellmap")
+  }
+
+  /** Probe a [[writeIndexGrouped]] layout: same query routing as
+    * [[probeIndex]], but the scan prunes at GROUP granularity (the probed
+    * cells' groups, resolved from the `_cellmap` artifact — ≤ the probed
+    * cell count of rows, routing metadata) and the `cell` predicate then
+    * row-group-skips inside the sorted group files. Results are identical
+    * to [[probeIndex]] over a same-assignment flat layout (spec-pinned).
+    */
+  def probeIndexGrouped(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, centroids: DataFrame, k: Int,
+                        nProbe: Int = 4): DataFrame = {
+    val probes = probeCells(queries, centroids, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val grps = spark.read.parquet(s"$path/_cellmap")
+      .filter(col("cell").isin(cells: _*))
+      .select("grp").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(path)
+      .filter(col("grp").isin(grps: _*) && col("cell").isin(cells: _*))
+    rankTopK(
+      idx.join(broadcast(probes), "cell").filter(col("vec_id") =!= col("qid")), k)
+  }
+
   /** IVF with per-query adaptive nProbe: instead of a fixed probe count,
     * each query keeps probing its cosine-ranked cells until the probed cells
     * cover `coverage` of the corpus (cell sizes come from the assignment —

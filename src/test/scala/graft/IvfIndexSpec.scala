@@ -41,6 +41,38 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(files.nonEmpty && files.forall(_.contains(s"cell=$aCell")))
   }
 
+  test("grouped layout probe equals the flat probe and prunes at group grain") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val centroids = Similarity.ivfCentroids(emb, nCells = 16, refineIters = 1)
+    val base = java.nio.file.Files.createTempDirectory("graft_givf").toString
+    Similarity.writeIndex(emb, centroids, s"$base/flat")
+    // same flat assignment (routeGroups = 0), two-level directory layout
+    Similarity.writeIndexGrouped(emb, centroids, s"$base/grouped",
+      layoutGroups = 4)
+
+    val flat = Similarity.probeIndex(spark, s"$base/flat", queries,
+      centroids, k = 10, nProbe = 4)
+    val grouped = Similarity.probeIndexGrouped(spark, s"$base/grouped",
+      queries, centroids, k = 10, nProbe = 4)
+    assert(grouped.collect().toSet == flat.collect().toSet,
+      "grouped-layout probe must equal the flat-layout probe")
+
+    // pruning happens at GROUP listing (grp is the partition column), and
+    // the cell predicate is pushed into the sorted files for row-group skip
+    val plan = grouped.queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[[^\\]]*grp".r.findFirstIn(plan).isDefined,
+      s"no partition filter on grp in:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell predicate not pushed in:\n$plan")
+
+    // the map artifact is invisible to the data read (underscore dir)
+    assert(!spark.read.parquet(s"$base/grouped").columns.contains("_cellmap"))
+    // every cell resolves to exactly one group
+    val m = spark.read.parquet(s"$base/grouped/_cellmap")
+    assert(m.groupBy("cell").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("PQ index probe prunes partitions AND columns, twins stay rank 1") {
     val aug = emb.unionByName(
       emb.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
