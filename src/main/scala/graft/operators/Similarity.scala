@@ -221,6 +221,9 @@ object Similarity {
     * partition (`cell=<cid>/…`). This is the write-once index the ivfTopK
     * Scaladoc promises: probes then read `nProbe/nCells` of the data via
     * partition pruning instead of scanning the corpus.
+    * One dir per cell stops scaling when nCells grows with the corpus
+    * (listing + tiny-file floor, measured — SURVEY §6 serving addendum):
+    * past a few hundred cells prefer [[writeIndexGrouped]].
     */
   def writeIndex(corpus: DataFrame, centroids: DataFrame, path: String,
                  routeGroups: Int = 0): Unit =
