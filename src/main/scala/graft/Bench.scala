@@ -121,7 +121,9 @@ object Bench {
       // too long to share the driver's 2000-char tail window with the
       // primary line, so the tail-adjacent ab line (emitted later, just
       // before the primary) carries ref+total only
-      val totalF = f"$total%.4f"
+      // Locale.ROOT: the f-interpolator formats with the JVM default locale,
+      // and a comma-decimal locale would make the JSON artifact unparseable
+      val totalF = String.format(java.util.Locale.ROOT, "%.4f", Double.box(total))
       println(s"""{"metric":"ab_detail","ref":"${sha.take(12)}","prev_tree_same_box":$totalF,$prevQueries}""")
       Some(s""""ref":"${sha.take(12)}","prev_tree_same_box":$totalF""")
     } finally {
@@ -213,9 +215,13 @@ object Bench {
     // bounded number widths (≤7 chars up to 27 h): 0.1 ms resolution below
     // 100 s, 0.1 s above — a benchmark doesn't need 17 significant digits,
     // and the bound is what lets BenchLineSpec prove the pair always fits
-    // the driver's tail window even with 4-integer-digit contended timings
+    // the driver's tail window even with 4-integer-digit contended timings.
+    // Locale.ROOT everywhere (r12 ADVICE): the default-locale f-interpolator
+    // would emit `1,2345` on a comma-decimal locale and break the JSON.
     def fmt(d: Double) =
-      if (d < 0) "-1" else if (d >= 100) f"$d%.1f" else f"$d%.4f"
+      if (d < 0) "-1"
+      else if (d >= 100) String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val sampleJson = results.map { case (k, _, ts) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"

@@ -761,9 +761,16 @@ object Queries {
     //     never redden a hash.
     // (4) a forensic sidecar (per-column min/max + order-insensitive
     //     xxhash64 checksums of BOTH frames, plus tmpdir/TZ/partition
-    //     listing) is written next to the Verify output before the
-    //     equality asserts run, so any future red localizes the divergent
-    //     column from the artifact alone.
+    //     listing) is written next to the Verify output IF AND ONLY IF a
+    //     disk-trust require is about to fail, so a red localizes its
+    //     divergent column from the artifact alone without polluting the
+    //     green-path artifact set (r12 verdict task #4 — the always-on
+    //     sidecar read as a stray no_oracle row in the driver's gate).
+    //     Postscript: the three-round red this machinery hunted turned out
+    //     to be an ORACLE typing slip (uncast DuckDB sum → HUGEINT →
+    //     float64; fixed with the CAST below) — the Spark side and this
+    //     discipline were correct all along; they stay as the guard they
+    //     were built to be.
     // Scratch roots are per-(user, process) since r11, removing the
     // cross-process aliasing window.
     (s, dir) => {
@@ -791,30 +798,41 @@ object Queries {
       // readback aligned to the pre-write shape, ym re-derived in-query
       val readback = month.select(totals.columns.map(col).toSeq :+
         date_format(col("ts_hour"), "yyyyMM").as("ym"): _*)
-      operators.DiskTrust.forensicSidecar(s,
-        Seq("pre_write" -> expected, "readback" -> readback),
-        Seq("scratch_path" -> path, "ym_partitions" -> yms.mkString(","),
-          "ym0" -> ym0,
-          "java.io.tmpdir" -> sys.props("java.io.tmpdir"),
-          "session_timeZone" -> s.conf.get("spark.sql.session.timeZone"),
-          "jvm_default_tz" -> java.util.TimeZone.getDefault.getID),
-        "a23_forensics_sidecar")
-      // r11 verdict task #1a: FULL-content multiset round-trip equality
-      // (DiskTrustSpec pins the red path: a divergence NAMES its rows)
-      operators.DiskTrust.requireMultisetEqual(readback, expected,
-        s"a23 disk round-trip diverged from the frame that wrote it at $path")
-      // the observe counters (reference telemetry.rs's processed-rows/bytes)
-      // still ride the DISK read — the telemetry claim stays on the readback
-      val obs = org.apache.spark.sql.Observation()
-      readback.observe(obs, count(lit(1)).as("rows"), sum("total_bytes").as("bytes"))
-        .write.format("noop").mode("overwrite").save()
-      val (obsRows, obsBytes) =
-        (obs.get("rows").asInstanceOf[Long], obs.get("bytes").asInstanceOf[Long])
-      val expect = expected.agg(count(lit(1)), sum("total_bytes")).head()
-      require(obsRows == expect.getLong(0) && obsBytes == expect.getLong(1),
-        s"a23 observed counters diverged: re-read (rows=$obsRows, bytes=$obsBytes) " +
-          s"vs pre-write (rows=${expect.getLong(0)}, bytes=${expect.getLong(1)}) at $path")
-      // r11 verdict task #1b: emit the PRE-WRITE lineage (proven equal above)
+      val (obsRows, obsBytes) = try {
+        // r11 verdict task #1a: FULL-content multiset round-trip equality
+        // (DiskTrustSpec pins the red path: a divergence NAMES its rows)
+        operators.DiskTrust.requireMultisetEqual(readback, expected,
+          s"a23 disk round-trip diverged from the frame that wrote it at $path")
+        // the observe counters (reference telemetry.rs's processed-rows/bytes)
+        // still ride the DISK read — the telemetry claim stays on the readback
+        val obs = org.apache.spark.sql.Observation()
+        readback.observe(obs, count(lit(1)).as("rows"), sum("total_bytes").as("bytes"))
+          .write.format("noop").mode("overwrite").save()
+        val (oRows, oBytes) =
+          (obs.get("rows").asInstanceOf[Long], obs.get("bytes").asInstanceOf[Long])
+        val expect = expected.agg(count(lit(1)), sum("total_bytes")).head()
+        require(oRows == expect.getLong(0) && oBytes == expect.getLong(1),
+          s"a23 observed counters diverged: re-read (rows=$oRows, bytes=$oBytes) " +
+            s"vs pre-write (rows=${expect.getLong(0)}, bytes=${expect.getLong(1)}) at $path")
+        (oRows, oBytes)
+      } catch { case e: Throwable =>
+        // failure path ONLY: record the per-column evidence next to the
+        // Verify output, then rethrow — the gate stays loud, the artifact
+        // set stays clean on green runs
+        val sidecar = operators.DiskTrust.forensicSidecar(s,
+          Seq("pre_write" -> expected, "readback" -> readback),
+          Seq("scratch_path" -> path, "ym_partitions" -> yms.mkString(","),
+            "ym0" -> ym0,
+            "java.io.tmpdir" -> sys.props("java.io.tmpdir"),
+            "session_timeZone" -> s.conf.get("spark.sql.session.timeZone"),
+            "jvm_default_tz" -> java.util.TimeZone.getDefault.getID),
+          "a23_forensics_sidecar")
+        System.err.println(s"[a23] disk-trust failure; forensics at $sidecar")
+        throw e
+      } finally expected.unpersist()
+      // r11 verdict task #1b: emit the PRE-WRITE lineage (proven equal above;
+      // the cache is released above — the dump recomputes the cheap a04
+      // month lineage, it never re-touches the scratch table)
       expected.select(col("*"),
         lit(obsRows).as("obs_rows"), lit(obsBytes).as("obs_bytes"))
     },
@@ -832,7 +850,7 @@ object Queries {
       |SELECT resource_id, response_status, cache_status, remote_addr,
       |       ts_hour, requests, total_bytes, total_time_milli, ym,
       |       (SELECT count(*) FROM mt) AS obs_rows,
-      |       (SELECT sum(total_bytes) FROM mt) AS obs_bytes
+      |       CAST((SELECT sum(total_bytes) FROM mt) AS BIGINT) AS obs_bytes
       |FROM mt""".stripMargin))
 
   private val a24 = Q(
@@ -1988,7 +2006,7 @@ object Queries {
       |  lead(event_id, 1) OVER w AS next_event,
       |  round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
       |  round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg3,
-      |  ntile(4) OVER w AS quartile,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
       |  round(cume_dist() OVER w, 4) AS cd
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin))
@@ -2233,7 +2251,7 @@ object Queries {
       |  FROM weeks JOIN firsts USING (user_id) GROUP BY 1, 2),
       |sizes AS (SELECT cohort, active_users AS cohort_size FROM cells
       |          WHERE week_offset = 0)
-      |SELECT cohort, week_offset, active_users,
+      |SELECT CAST(cohort AS TIMESTAMP) AS cohort, week_offset, active_users,
       |       round(CAST(active_users AS DOUBLE) / cohort_size, 4) AS retention
       |FROM cells JOIN sizes USING (cohort)""".stripMargin))
 
@@ -3913,21 +3931,31 @@ object Queries {
   private val d15 = Q(
     "d15_maxsim_serving",
     // The 100 TB MaxSim SERVING composition d14's scaladoc declares
-    // (Similarity.scala maxSim / probeIndex): corpus vectors live in a
-    // written disk IVF index (cell-partitioned parquet); each query TOKEN
-    // probes ONLY its nProbe cells' partitions (partition-pruned read,
-    // IvfIndexSpec asserts PartitionFilters); probe hits map to a DOC
-    // shortlist; the exact integer MaxSim scorer runs on shortlisted docs
-    // only — scoring the full corpus is never an option at scale. Known
-    // answer the d05 way: every 25th doc gets a planted twin doc (same 8
-    // vectors at doc_id+100000 / vec_id+800000) used as the query; the twin
-    // token's exact copy is cosine-1 in its own probed cell (identical
-    // argmax tie-break), so the ORIGINAL doc always survives the prune and
-    // scores the analytic ceiling — floor(1e6·cos)=1e6 per surviving token,
-    // Σ = nonzero_tokens·1e6 — while any other doc is strictly below it and
-    // the twin itself ties but loses the doc_id tie-break. rank-1 is
-    // therefore exact and hash-checkable even though the shortlist is
-    // approximation-defined.
+    // (Similarity.scala maxSim / probeIndexGrouped): corpus vectors live in
+    // a written disk IVF index; each query TOKEN probes ONLY its nProbe
+    // cells; probe hits map to a DOC shortlist; the exact integer MaxSim
+    // scorer runs on shortlisted docs only — scoring the full corpus is
+    // never an option at scale. Since r13 the CERTIFIED index is the
+    // GROUPED two-level layout (writeIndexGrouped: ⌈√k⌉ group dirs,
+    // cell-sorted files) — the flat one-dir-per-cell layout measurably
+    // bends at the third decade (probe 7.63 s flat vs 1.82 s grouped at
+    // 2M vectors / 4000 cells, SURVEY §15 serving addendum: listing +
+    // tiny-file floor ∝ nCells), so the gate certifies the layout you'd
+    // deploy. Flat writeIndex/probeIndex stays as the spec-level baseline,
+    // and IvfIndexSpec pins grouped ≡ flat results on the same assignment.
+    // In-gate layout asserts, the b50 forced-regime way: the probe scan
+    // must prune group dirs at the LISTING level (`grp` PartitionFilter)
+    // AND carry the `cell` predicate as a data filter (parquet min/max on
+    // the sorted cell column row-group-skips inside group files).
+    // Known answer the d05 way: every 25th doc gets a planted twin doc
+    // (same 8 vectors at doc_id+100000 / vec_id+800000) used as the query;
+    // the twin token's exact copy is cosine-1 in its own probed cell
+    // (identical argmax tie-break), so the ORIGINAL doc always survives the
+    // prune and scores the analytic ceiling — floor(1e6·cos)=1e6 per
+    // surviving token, Σ = nonzero_tokens·1e6 — while any other doc is
+    // strictly below it and the twin itself ties but loses the doc_id
+    // tie-break. rank-1 is therefore exact and hash-checkable even though
+    // the shortlist is approximation-defined.
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val corpus = emb
@@ -3937,10 +3965,22 @@ object Queries {
           (col("vec_id") + 800000).as("qtok"), col("embedding"))
       val centroids = Similarity.ivfCentroids(emb, nCells = 16, refineIters = 1)
       val idxDir = operators.Scratch.dir("d15") + "/idx"
-      Similarity.writeIndex(emb, centroids, idxDir)
+      Similarity.writeIndexGrouped(emb, centroids, idxDir, layoutGroups = 4)
       val tokenProbes = twins.select(col("qtok").as("qid"), col("embedding").as("qv"))
-      val hits = Similarity.probeIndex(s, idxDir, tokenProbes, centroids,
+      val hits = Similarity.probeIndexGrouped(s, idxDir, tokenProbes, centroids,
         k = 32, nProbe = 4)
+      val idxScans = physicalNodes(hits.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.exists(_.references.exists(_.name == "grp")) => f
+      }
+      require(idxScans.nonEmpty,
+        s"grouped-index scan must prune `grp` dirs at the listing level, plan:\n" +
+          hits.queryExecution.executedPlan)
+      require(idxScans.forall(
+        _.dataFilters.exists(_.references.exists(_.name == "cell"))),
+        s"`cell` predicate must reach the grouped-index scan as a data filter " +
+          s"(row-group skip on the sorted cell column), plan:\n" +
+          hits.queryExecution.executedPlan)
       val shortlist = hits.select(expr("neighbor div 8").as("doc_id")).distinct()
       Similarity.maxSim(corpus.join(shortlist, "doc_id"), twins)
         .filter(col("rank") === 1)
@@ -5802,7 +5842,7 @@ object Queries {
       |  FROM weeks JOIN firsts USING (user_id) GROUP BY 1, 2),
       |sizes AS (SELECT cohort, active_users AS cohort_size FROM cells
       |          WHERE week_offset = 0)
-      |SELECT cohort, week_offset, active_users,
+      |SELECT CAST(cohort AS TIMESTAMP) AS cohort, week_offset, active_users,
       |       round(CAST(active_users AS DOUBLE) / cohort_size, 4) AS retention
       |FROM cells JOIN sizes USING (cohort)""".stripMargin))
 

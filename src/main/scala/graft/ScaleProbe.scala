@@ -559,6 +559,22 @@ object ScaleProbe {
           }
           grpIdxDir
         }
+        // Shortlist fetch from the doc-sorted store (r12 ADVICE): the ids
+        // are routing metadata (≤ k·tokens by the probe convention), but an
+        // EMPTY shortlist must not build isin() over zero values, and a
+        // large one must not bloat the plan with a single giant In — past a
+        // few thousand ids a broadcast semi-join carries them instead (the
+        // predicate then prunes via the runtime bloom/DPP path rather than
+        // one literal list per scan task).
+        def fetchTokens(ids: Array[Long]): DataFrame = {
+          val store = spark.read.parquet(tokenStore)
+          if (ids.isEmpty) store.filter(lit(false))
+          else if (ids.length <= 4096) store.filter(col("doc_id").isin(ids: _*))
+          else {
+            import spark.implicits._
+            store.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+          }
+        }
         Seq(
           "g09_admit_prebuilt" -> (() =>
             streaming.Admission.admitIndexed(spark, arrivals, screenReady,
@@ -591,9 +607,7 @@ object ScaleProbe {
               centroids, k = 32, nProbe = 4)
             val ids = hits.select(expr("neighbor div 8").as("doc_id"))
               .distinct().collect().map(_.getLong(0))
-            Similarity.maxSim(
-              spark.read.parquet(tokenStore).filter(col("doc_id").isin(ids: _*)),
-              queries)
+            Similarity.maxSim(fetchTokens(ids), queries)
           }),
           "d15_maxsim_store" -> (() => {
             // same probe; the fetch reads the doc-sorted token store with a
@@ -605,9 +619,7 @@ object ScaleProbe {
               centroids, k = 32, nProbe = 4)
             val ids = hits.select(expr("neighbor div 8").as("doc_id"))
               .distinct().collect().map(_.getLong(0))
-            Similarity.maxSim(
-              spark.read.parquet(tokenStore).filter(col("doc_id").isin(ids: _*)),
-              queries)
+            Similarity.maxSim(fetchTokens(ids), queries)
           }))
       } else if (mode == "text") {
         val docs = () => Tables.documents(spark, out)

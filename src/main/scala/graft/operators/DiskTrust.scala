@@ -32,7 +32,7 @@ object DiskTrust {
         s"rows only in pre-write frame: ${missingRows.mkString("; ")}")
   }
 
-  /** Per-column min/max and an order-insensitive `bit_xor(xxhash64(col))`
+  /** Per-column min/max and an order-insensitive `sum(xxhash64(col))`
     * checksum of each frame (plus one whole-row checksum and a row count
     * each, plus caller-supplied environment facts), written as one small
     * parquet next to the Verify output (`graft.verify.out`, set by
@@ -41,6 +41,16 @@ object DiskTrust {
     * JVM exit, so repeated runs never accumulate sidecars). Cost: one
     * aggregate pass per frame; the dumped frame is tens of rows. `.head()`
     * is a 1-row scalar.
+    *
+    * The checksum is a SUM, not a XOR (r12 ADVICE): `bit_xor` self-cancels
+    * on even-multiplicity divergences — a row duplicated 2 extra times, or
+    * the same pair of rows swapped between frames, XORs back to the same
+    * value, so the sidecar could show identical per-column checksums for
+    * genuinely divergent frames. Summing the hashes is equally
+    * order-insensitive but multiplicity-sensitive; the accumulator is
+    * DECIMAL(38,0) so it can't overflow (and can't trip ANSI arithmetic)
+    * below ~10^19 rows. Still a checksum, not a proof — the gate itself is
+    * [[requireMultisetEqual]]; the sidecar only localizes.
     */
   def forensicSidecar(s: SparkSession, frames: Seq[(String, DataFrame)],
                       meta: Seq[(String, String)], outName: String): String = {
@@ -50,10 +60,10 @@ object DiskTrust {
       val cols = df.columns.toSeq
       val perCol = cols.flatMap { c =>
         Seq(min(col(c)).cast("string"), max(col(c)).cast("string"),
-          expr(s"bit_xor(xxhash64(`$c`))").cast("string"))
+          expr(s"sum(cast(xxhash64(`$c`) AS DECIMAL(38,0)))").cast("string"))
       }
       val rowHash = expr(
-        s"bit_xor(xxhash64(${cols.map(c => s"`$c`").mkString(", ")}))").cast("string")
+        s"sum(cast(xxhash64(${cols.map(c => s"`$c`").mkString(", ")}) AS DECIMAL(38,0)))").cast("string")
       val aggs = perCol ++ Seq(rowHash, count(lit(1)).cast("string"))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       cols.zipWithIndex.map { case (c, i) =>
@@ -68,7 +78,7 @@ object DiskTrust {
     import s.implicits._
     val path = s"$outRoot/$outName"
     (statRows ++ metaRows)
-      .toDF("frame", "column", "min_or_value", "max", "xor_xxhash64")
+      .toDF("frame", "column", "min_or_value", "max", "sum_xxhash64")
       .coalesce(1).write.mode("overwrite").parquet(path)
     path
   }

@@ -141,29 +141,38 @@ object Recovery {
       new java.io.File(dir, s".$id.crc").delete()
       gone
     }
-    all.filter(_ > dataBatch).foreach { id =>
+    val toErase = all.filter(_ > dataBatch)
+    val sourceDirs = Option(new java.io.File(s"$ckptDir/sources").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).toSeq
+    // per-source file logs must not stay AHEAD of the truncated offset log
+    // (stale seen-files at batch D+1), so erasure below is loud like the
+    // offsets path: a compacted entry (<id>.compact, default every 10th
+    // batch — it folds all history, so deleting it would corrupt the log)
+    // fails the cut rather than silently surviving. The refusal is checked
+    // for EVERY to-be-erased id BEFORE anything is deleted: refusing
+    // mid-loop (the pre-r13 shape) would leave the checkpoint half-cut —
+    // offsets truncated with a .compact source entry still ahead of them,
+    // exactly the inconsistent state this check exists to prevent.
+    toErase.foreach { id =>
+      sourceDirs.foreach { d =>
+        val compacted = new java.io.File(d, s"$id.compact")
+        require(!compacted.exists(),
+          s"source log entry $id was compacted ($compacted); cannot cut " +
+            "the checkpoint cleanly at this batch — use a smaller batch " +
+            "count or a checkpoint below the compaction interval")
+      }
+    }
+    toErase.foreach { id =>
       require(del("offsets", id), s"could not erase offsets entry $id")
       del("commits", id) // may already be absent
-      // per-source file logs must not stay AHEAD of the truncated offset
-      // log (stale seen-files at batch D+1), so erasure here is loud like
-      // the offsets path: a compacted entry (<id>.compact, default every
-      // 10th batch — it folds all history, so deleting it would corrupt
-      // the log) fails the cut rather than silently surviving; a plain
-      // entry must delete successfully; absence is fine (no-data batches
-      // don't always write one).
-      Option(new java.io.File(s"$ckptDir/sources").listFiles())
-        .getOrElse(Array.empty).filter(_.isDirectory)
-        .foreach { d =>
-          val compacted = new java.io.File(d, s"$id.compact")
-          require(!compacted.exists(),
-            s"source log entry $id was compacted ($compacted); cannot cut " +
-              "the checkpoint cleanly at this batch — use a smaller batch " +
-              "count or a checkpoint below the compaction interval")
-          val plain = new java.io.File(d, id.toString)
-          if (plain.exists())
-            require(del(s"sources/${d.getName}", id),
-              s"could not erase source log entry $id under ${d.getName}")
-        }
+      sourceDirs.foreach { d =>
+        // a plain entry must delete successfully; absence is fine (no-data
+        // batches don't always write one)
+        val plain = new java.io.File(d, id.toString)
+        if (plain.exists())
+          require(del(s"sources/${d.getName}", id),
+            s"could not erase source log entry $id under ${d.getName}")
+      }
     }
     require(del("commits", dataBatch),
       s"could not delete commit marker $dataBatch")

@@ -52,7 +52,7 @@ class DiskTrustSpec extends AnyFunSuite with SparkTestBase {
       assert(path == s"$tmp/sidecar_test")
       val side = spark.read.parquet(path)
       assert(side.columns.toSeq ==
-        Seq("frame", "column", "min_or_value", "max", "xor_xxhash64"))
+        Seq("frame", "column", "min_or_value", "max", "sum_xxhash64"))
       // 2 frames × (2 cols + __row__ + __count__) + 1 env row
       assert(side.count() == 9)
       def rows(frame: String) = side.filter(col("frame") === frame)
@@ -74,13 +74,27 @@ class DiskTrustSpec extends AnyFunSuite with SparkTestBase {
       DiskTrust.forensicSidecar(spark,
         Seq("pre_write" -> pre, "readback" -> skew), Nil, "sidecar_skew")
       val side2 = spark.read.parquet(s"$tmp/sidecar_skew")
-      def xor(frame: String, c: String) = side2
-        .filter(col("frame") === frame && col("column") === c)
-        .head().getString(4)
-      assert(xor("pre_write", "id") == xor("readback", "id"),
+      def cks(side: org.apache.spark.sql.DataFrame)(frame: String, c: String) =
+        side.filter(col("frame") === frame && col("column") === c)
+          .head().getString(4)
+      val c2 = cks(side2) _
+      assert(c2("pre_write", "id") == c2("readback", "id"),
         "untouched column's checksum must agree")
-      assert(xor("pre_write", "v") != xor("readback", "v"),
+      assert(c2("pre_write", "v") != c2("readback", "v"),
         "divergent column's checksum must differ")
+
+      // r12 ADVICE: a bit_xor checksum self-cancels on EVEN-multiplicity
+      // divergences — a row duplicated 2 extra times XORs to the same value.
+      // The sum-based checksum must move on it (multiplicity-sensitive).
+      val evenDup = pre.unionByName(Seq((2L, "b"), (2L, "b")).toDF("id", "v"))
+      DiskTrust.forensicSidecar(spark,
+        Seq("pre_write" -> pre, "readback" -> evenDup), Nil, "sidecar_evendup")
+      val side3 = spark.read.parquet(s"$tmp/sidecar_evendup")
+      val c3 = cks(side3) _
+      assert(c3("pre_write", "id") != c3("readback", "id") &&
+        c3("pre_write", "__row__") != c3("readback", "__row__"),
+        "even-multiplicity duplicate must move the sum checksum — the XOR " +
+          "blind spot this checksum replaced")
     } finally {
       prevOut match {
         case Some(p) => sys.props("graft.verify.out") = p

@@ -282,9 +282,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       Recovery.crashBeforeCommit(red.toString)
     }
     assert(e.getMessage.contains("compacted"), e.getMessage)
-    // and the refusal left no half-cut state behind it: offsets/2 is the
-    // first thing erased, so assert the failure happened BEFORE source work
-    // only in message terms (offsets/2 is legitimately gone by then)
+    // r12 ADVICE (medium): the refusal must leave the checkpoint UNTOUCHED —
+    // the pre-r13 shape deleted offsets/commits entries before discovering
+    // the compacted source entry, persisting exactly the half-cut
+    // (offsets truncated, .compact still ahead) the check exists to prevent.
+    // The cut now pre-scans every to-be-erased id for .compact entries
+    // BEFORE deleting anything.
+    Seq("offsets/0", "offsets/1", "offsets/2",
+        "commits/0", "commits/1", "commits/2",
+        "sources/0/2.compact").foreach { rel =>
+      assert(java.nio.file.Files.exists(red.resolve(rel)),
+        s"refusal must not delete $rel — checkpoint left half-cut")
+    }
 
     // GREEN: a plain entry is erased with the offsets entry, and the cut
     // returns the data batch

@@ -1,11 +1,22 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — values AND types.
 
 Usage: selfcheck.py <outDir-from-graft.Verify> <sfDir>
 
 Loads each <outDir>/<name> parquet (Spark result), runs the matching SQL from
 <outDir>/oracle_sql.json in DuckDB over the raw testdata tables, and compares
 after sorting columns by name and rows by all values.
+
+Type strictness (r12 verdict task #2): the value compare alone is dtype-blind
+(check_dtype=False + pandas canonicalization), which let a one-token oracle
+slip — an uncast `sum(BIGINT)` that DuckDB types HUGEINT and pandas
+materializes as float64 — stay green locally while the driver's
+representation-sensitive hasher reddened a23 for three consecutive rounds.
+So after the value compare, each column's ORACLE DuckDB type is compared
+against the dumped parquet's DuckDB-read type at VALUE-FAMILY granularity:
+width-equivalent ints (TINYINT..BIGINT) are allowlisted as one family, but
+HUGEINT/DECIMAL vs BIGINT, int vs float, and DATE vs TIMESTAMP all FAIL even
+when the canonicalized values agree.
 """
 import json
 import sys
@@ -15,6 +26,50 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# width-equivalent ints: pandas materializes every one of these as an exact
+# int64 column, so the driver's hasher sees identical values. HUGEINT is
+# deliberately NOT here — pandas has no int128, it becomes float64.
+_INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+_FLOAT_FAMILY = {"FLOAT", "REAL", "DOUBLE"}
+
+
+def family(t: str) -> str:
+    """Collapse a DuckDB type string to its pandas value family."""
+    t = str(t).strip().upper()
+    if t.endswith("[]"):
+        return family(t[:-2]) + "[]"
+    base = t.split("(")[0].strip()
+    if base in _INT_FAMILY:
+        return "int"
+    if base in _FLOAT_FAMILY:
+        return "float"
+    if base == "HUGEINT":
+        return "hugeint"
+    if base.startswith("DECIMAL"):
+        return "decimal"
+    if base == "DATE":
+        return "date"
+    if base.startswith("TIMESTAMP"):
+        return "timestamp"
+    if base in ("VARCHAR", "TEXT", "STRING", "BPCHAR"):
+        return "string"
+    if base == "BOOLEAN":
+        return "bool"
+    return t  # exact-match fallback (structs, blobs, ...)
+
+
+def type_mismatches(oracle_types: dict, dump_types: dict) -> list:
+    out = []
+    for c in sorted(oracle_types):
+        if c not in dump_types:
+            continue  # column-name divergence is reported by the value path
+        fo, fd = family(oracle_types[c]), family(dump_types[c])
+        if fo != fd:
+            out.append(f"{c}: oracle {oracle_types[c]} ({fo}) "
+                       f"vs spark dump {dump_types[c]} ({fd})")
+    return out
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -34,8 +89,12 @@ def main(out_dir: str, sf_dir: str) -> int:
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
-            exp = canon(con.sql(sql).df())
-            got = canon(duckdb.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
+            erel = con.sql(sql)
+            grel = duckdb.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            etypes = dict(zip(erel.columns, [str(t) for t in erel.types]))
+            gtypes = dict(zip(grel.columns, [str(t) for t in grel.types]))
+            exp = canon(erel.df())
+            got = canon(grel.df())
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             failed.append(name)
@@ -47,6 +106,11 @@ def main(out_dir: str, sf_dir: str) -> int:
             print(f"FAIL {name}: rows oracle={len(exp)} spark={len(got)}")
             failed.append(name)
         else:
+            bad_types = type_mismatches(etypes, gtypes)
+            if bad_types:
+                print(f"FAIL {name}: type family divergence — " + "; ".join(bad_types))
+                failed.append(name)
+                continue
             try:
                 pd.testing.assert_frame_equal(exp, got, check_dtype=False, check_exact=True)
                 print(f"OK   {name} ({len(exp)} rows)")
