@@ -121,5 +121,32 @@ def main(out_dir: str, sf_dir: str) -> int:
     return 1 if failed else 0
 
 
+def selftest() -> int:
+    """Red/green pins for the family classifier — the check that caught the
+    a23 HUGEINT slip must itself not rot. Run: selfcheck.py --selftest"""
+    same = [("BIGINT", "INTEGER"), ("TINYINT", "UBIGINT"),
+            ("DOUBLE", "FLOAT"), ("VARCHAR", "STRING"),
+            ("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"),
+            ("DECIMAL(38,0)", "DECIMAL(10,2)"), ("BIGINT[]", "INTEGER[]")]
+    diff = [("HUGEINT", "BIGINT"),      # the a23 three-round phantom
+            ("DECIMAL(38,2)", "BIGINT"),
+            ("BIGINT", "DOUBLE"),       # int vs float
+            ("DATE", "TIMESTAMP"),      # the b39/g07 latent pair
+            ("DOUBLE[]", "BIGINT[]"), ("VARCHAR", "BIGINT")]
+    for a, b in same:
+        assert family(a) == family(b), f"{a} and {b} must share a family"
+    for a, b in diff:
+        assert family(a) != family(b), f"{a} and {b} must NOT share a family"
+    assert type_mismatches({"x": "HUGEINT", "y": "BIGINT"},
+                           {"x": "BIGINT", "y": "INTEGER"}) \
+        == ["x: oracle HUGEINT (hugeint) vs spark dump BIGINT (int)"]
+    assert type_mismatches({"x": "DATE"}, {"z": "TIMESTAMP"}) == [], \
+        "unknown columns are the value path's problem, not the type path's"
+    print("selfcheck --selftest: all type-family pins hold")
+    return 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
