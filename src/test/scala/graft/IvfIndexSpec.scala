@@ -71,6 +71,19 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     // every cell resolves to exactly one group
     val m = spark.read.parquet(s"$base/grouped/_cellmap")
     assert(m.groupBy("cell").count().filter(col("count") > 1).isEmpty)
+
+    // behavioral check (the flat test's file-listing assertion at group
+    // grain): reading one cell through its group touches ONLY that group's
+    // directory — the listing-level prune the r13 gate requires in-plan
+    val (aCell, aGrp) = {
+      val r = m.orderBy("cell").head(); (r.getLong(0), r.getLong(1))
+    }
+    val files = spark.read.parquet(s"$base/grouped")
+      .filter(col("grp") === aGrp && col("cell") === aCell)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(s"grp=$aGrp")),
+      s"cell $aCell read outside its group dir grp=$aGrp: ${files.mkString(",")}")
   }
 
   test("PQ index probe prunes partitions AND columns, twins stay rank 1") {
