@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Shape-diff two PLANS.md dumps (or raw `runMain graft.Explain` logs).
+
+Usage: plansdiff.py <old_plans> <new_plans> [--tree] [--show <query>]
+
+Splits each file on the `========== <name> ==========` markers, normalizes
+away everything that varies run-to-run without being a plan-shape change —
+expression ids (#123L), node numbers ((12)), plan_id=, object addresses
+(@7f3a...), synthetic lambda class names, file: locations, per-process
+scratch roots, and Spark log lines — then reports which queries' plans
+genuinely changed. This is the mechanical backing for the PLANS.md header
+claim "shape-diff vs the previous regen: exactly N intended changes";
+before r13 that sweep was re-derived by hand each round.
+
+Two grains:
+- default: full normalized text. Catches everything, including detail-line
+  changes (PushedFilters, ReadSchema, Arguments) — but expression-id
+  RENUMBERING (any upstream Queries.scala edit shifts ids for every later
+  query) can permute attribute ORDER inside Expand/Window/Aggregate
+  argument lists with zero structural change, so expect a handful of
+  attribute-permutation-only rows on any regen whose source changed.
+- --tree: compares only each plan's operator-tree section (the lines
+  before the first `(n) NodeName` detail block). Immune to attribute-order
+  permutation; a --tree diff IS a structural plan change. Read the pair:
+  --tree names the real changes, the default run's extras minus the --tree
+  set are the permutation-only rows to spot-check with --show.
+
+Exit code: number of differing queries (0 = shape-identical inventories),
+plus 100 if the two files don't cover the same query set.
+"""
+import re
+import sys
+
+
+def normalize(line: str) -> str:
+    line = re.sub(r"#\d+L?", "", line)
+    line = re.sub(r"\(\d+\)", "", line)
+    line = re.sub(r"plan_id=\d+", "", line)
+    line = re.sub(r"@[0-9a-f]{6,}", "@X", line)
+    line = re.sub(r"Lambda\$\d+/0x[0-9a-f]+", "Lambda$X", line)
+    line = re.sub(r"file:[^ ,\]]*", "file:X", line)
+    line = re.sub(r"graft_scratch_root_\d+", "graft_scratch_root", line)
+    line = re.sub(r"/tmp/[a-zA-Z0-9_./-]*", "/tmp/X", line)
+    return line
+
+
+def blocks(path: str, tree_only: bool = False) -> dict:
+    cur, out, in_detail = None, {}, False
+    marker = re.compile(r"^========== ([a-z0-9_]+) ==========$")
+    loglike = re.compile(r"^\d{2}/\d{2}/\d{2} \d{2}:\d{2}:\d{2} (WARN|INFO|ERROR) ")
+    detail_start = re.compile(r"^\(\d+\) [A-Z]")
+    for raw in open(path):
+        line = raw.removeprefix("[info] ").rstrip("\n")
+        m = marker.match(line)
+        if m:
+            cur = m.group(1)
+            out[cur] = []
+            in_detail = False
+        elif cur is not None and not loglike.match(line):
+            if detail_start.match(line):
+                in_detail = True
+            if not (tree_only and in_detail):
+                out[cur].append(normalize(line))
+    return out
+
+
+def main(argv) -> int:
+    tree_only = "--tree" in argv
+    argv = [a for a in argv if a != "--tree"]
+    old = blocks(argv[0], tree_only)
+    new = blocks(argv[1], tree_only)
+    show = argv[3] if len(argv) >= 4 and argv[2] == "--show" else None
+    rc = 0
+    only_old, only_new = sorted(set(old) - set(new)), sorted(set(new) - set(old))
+    if only_old or only_new:
+        print(f"COVERAGE DRIFT: only-old={only_old} only-new={only_new}")
+        rc += 100
+    changed = sorted(k for k in set(old) & set(new) if old[k] != new[k])
+    for k in changed:
+        print(f"CHANGED {k} ({len(old[k])} -> {len(new[k])} lines)")
+    if show and show in changed:
+        import difflib
+        sys.stdout.writelines(
+            l + "\n" for l in difflib.unified_diff(old[show], new[show], lineterm=""))
+    print(f"\n{len(changed)} of {len(set(old) & set(new))} shared plans changed shape")
+    return rc + len(changed)
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
