@@ -818,16 +818,22 @@ object Queries {
       } catch { case e: Throwable =>
         // failure path ONLY: record the per-column evidence next to the
         // Verify output, then rethrow — the gate stays loud, the artifact
-        // set stays clean on green runs
-        val sidecar = operators.DiskTrust.forensicSidecar(s,
-          Seq("pre_write" -> expected, "readback" -> readback),
-          Seq("scratch_path" -> path, "ym_partitions" -> yms.mkString(","),
-            "ym0" -> ym0,
-            "java.io.tmpdir" -> sys.props("java.io.tmpdir"),
-            "session_timeZone" -> s.conf.get("spark.sql.session.timeZone"),
-            "jvm_default_tz" -> java.util.TimeZone.getDefault.getID),
-          "a23_forensics_sidecar")
-        System.err.println(s"[a23] disk-trust failure; forensics at $sidecar")
+        // set stays clean on green runs. The sidecar write is best-effort:
+        // it must never mask the gate's own error (its aggregates read the
+        // same frames that just failed, so it can share the root cause).
+        try {
+          val sidecar = operators.DiskTrust.forensicSidecar(s,
+            Seq("pre_write" -> expected, "readback" -> readback),
+            Seq("scratch_path" -> path, "ym_partitions" -> yms.mkString(","),
+              "ym0" -> ym0,
+              "java.io.tmpdir" -> sys.props("java.io.tmpdir"),
+              "session_timeZone" -> s.conf.get("spark.sql.session.timeZone"),
+              "jvm_default_tz" -> java.util.TimeZone.getDefault.getID),
+            "a23_forensics_sidecar")
+          System.err.println(s"[a23] disk-trust failure; forensics at $sidecar")
+        } catch { case side: Throwable =>
+          System.err.println(s"[a23] forensic sidecar write also failed: $side")
+        }
         throw e
       } finally expected.unpersist()
       // r11 verdict task #1b: emit the PRE-WRITE lineage (proven equal above;
