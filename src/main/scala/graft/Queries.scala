@@ -3987,6 +3987,25 @@ object Queries {
         s"`cell` predicate must reach the grouped-index scan as a data filter " +
           s"(row-group skip on the sorted cell column), plan:\n" +
           hits.queryExecution.executedPlan)
+      // forced-prune regime (the b50 pattern): at the gate SF the full twin
+      // token set legitimately probes every cell, so the asserts above prove
+      // the filters EXIST but their In-lists are total. ONE token at
+      // nProbe=1 routes to exactly one cell → one group, and the scan's
+      // post-pruning listing (selectedPartitions, the ground truth the
+      // planner actually read) must hold exactly ONE of the ≥2 group dirs —
+      // the prune observed as a strict subset, every Verify/Bench run.
+      val grpDirs = new java.io.File(idxDir).list().count(_.startsWith("grp="))
+      require(grpDirs >= 2, s"grouped layout must have ≥2 group dirs, got $grpDirs")
+      val oneHits = Similarity.probeIndexGrouped(s, idxDir,
+        tokenProbes.orderBy("qid").limit(1), centroids, k = 4, nProbe = 1)
+      val oneListed = physicalNodes(oneHits.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.exists(_.references.exists(_.name == "grp")) =>
+          f.selectedPartitions.partitionCount
+      }
+      require(oneListed.nonEmpty && oneListed.forall(_ == 1),
+        s"nProbe=1 single-token probe must list exactly one of $grpDirs group " +
+          s"dirs, listed $oneListed — the group prune is not reaching the file listing")
       val shortlist = hits.select(expr("neighbor div 8").as("doc_id")).distinct()
       Similarity.maxSim(corpus.join(shortlist, "doc_id"), twins)
         .filter(col("rank") === 1)
