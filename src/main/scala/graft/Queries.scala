@@ -815,12 +815,14 @@ object Queries {
           s"a23 observed counters diverged: re-read (rows=$oRows, bytes=$oBytes) " +
             s"vs pre-write (rows=${expect.getLong(0)}, bytes=${expect.getLong(1)}) at $path")
         (oRows, oBytes)
-      } catch { case e: Throwable =>
-        // failure path ONLY: record the per-column evidence next to the
-        // Verify output, then rethrow — the gate stays loud, the artifact
-        // set stays clean on green runs. The sidecar write is best-effort:
-        // it must never mask the gate's own error (its aggregates read the
-        // same frames that just failed, so it can share the root cause).
+      } catch { case scala.util.control.NonFatal(e) =>
+        // failure path ONLY (NonFatal: an OOM/fatal JVM error must
+        // propagate immediately, not trigger further Spark jobs): record
+        // the per-column evidence next to the Verify output, then rethrow
+        // — the gate stays loud, the artifact set stays clean on green
+        // runs. The sidecar write is best-effort: it must never mask the
+        // gate's own error (its aggregates read the same frames that just
+        // failed, so it can share the root cause).
         try {
           val sidecar = operators.DiskTrust.forensicSidecar(s,
             Seq("pre_write" -> expected, "readback" -> readback),
@@ -831,7 +833,7 @@ object Queries {
               "jvm_default_tz" -> java.util.TimeZone.getDefault.getID),
             "a23_forensics_sidecar")
           System.err.println(s"[a23] disk-trust failure; forensics at $sidecar")
-        } catch { case side: Throwable =>
+        } catch { case scala.util.control.NonFatal(side) =>
           System.err.println(s"[a23] forensic sidecar write also failed: $side")
         }
         throw e

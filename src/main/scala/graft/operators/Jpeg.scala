@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   * decode seam); this operator family is the "what a 100 TB multimodal
   * pipeline additionally needs" extension.
   *
-  * Decoder scope: baseline + extended-sequential DCT (SOF0/SOF1), 8-bit,
-  * grayscale or YCbCr with arbitrary 1/2/4 sampling factors (4:4:4,
-  * 4:2:2, 4:2:0, ...), interleaved or single-component scans, DRI/RSTn
-  * restart intervals, FF00 byte stuffing. Progressive (SOF2) and
-  * arithmetic coding are rejected → dead-letter, never a throw (the same
-  * poisoned-message discipline as the capnp decoder).
+  * Decoder scope: baseline + extended-sequential DCT (SOF0/SOF1) AND
+  * progressive DCT (SOF2: spectral selection + successive approximation,
+  * DC and AC refinement scans, EOB runs — [[ProgState]] state machine
+  * below), 8-bit, grayscale or YCbCr with arbitrary
+  * 1/2/4 sampling factors (4:4:4, 4:2:2, 4:2:0, ...), interleaved or
+  * single-component scans, DRI/RSTn restart intervals, FF00 byte
+  * stuffing. Arithmetic-coded (SOF9–SOF11, SOF13–SOF15) and lossless/
+  * hierarchical (SOF3, SOF5–SOF7) modes are the rejected set →
+  * dead-letter, never a throw (the same poisoned-message discipline as
+  * the capnp decoder).
   *
   * Encoder scope (payload synthesis + spec differential fixtures):
   * grayscale baseline with a caller-supplied quantization table and

@@ -5,11 +5,12 @@ Usage: plansdiff.py <old_plans> <new_plans> [--tree] [--show <query>]
 
 Splits each file on the `========== <name> ==========` markers, normalizes
 away everything that varies run-to-run without being a plan-shape change —
-expression ids (#123L), node numbers ((12)), plan_id=, object addresses
-(@7f3a...), synthetic lambda class names, file: locations, per-process
-scratch roots, and Spark log lines — then reports which queries' plans
-genuinely changed. This is the mechanical backing for the PLANS.md header
-claim "shape-diff vs the previous regen: exactly N intended changes";
+expression ids (#123L), node numbers ((12) at detail-line starts and as the
+tree-line suffix, NOT arbitrary parenthesized integer literals), plan_id=,
+object addresses (@7f3a...), synthetic lambda class names, file: locations,
+per-process scratch roots, and Spark log lines — then reports which queries'
+plans genuinely changed. This is the mechanical backing for the PLANS.md
+header claim "shape-diff vs the previous regen: exactly N intended changes";
 before r13 that sweep was re-derived by hand each round.
 
 Two grains:
@@ -25,16 +26,30 @@ Two grains:
   --tree names the real changes, the default run's extras minus the --tree
   set are the permutation-only rows to spot-check with --show.
 
-Exit code: number of differing queries (0 = shape-identical inventories),
-plus 100 if the two files don't cover the same query set.
+Exit code (clamped — shell exit codes wrap mod 256, so counts live on
+stdout only): bit 0 = any shared plan changed shape, bit 1 = coverage
+drift (the two files don't cover the same query set). 0 = identical
+inventories, 1 = shape changes only, 2 = drift only, 3 = both.
 """
+import argparse
 import re
 import sys
+
+# A detail block opens with `(n) NodeName` (optionally indented); a tree
+# line carries its node number as a trailing ` (n)`. Anchoring to those two
+# positions keeps a GENUINE parenthesized integer literal inside an
+# expression (a changed limit/bucket count rendered as `(5)` -> `(10)`)
+# visible to the diff instead of normalizing it away.
+_DETAIL_NODE = re.compile(r"^(\s*)\(\d+\)( )")
+_TREE_SUFFIX = re.compile(r" \(\d+\)$")
 
 
 def normalize(line: str) -> str:
     line = re.sub(r"#\d+L?", "", line)
-    line = re.sub(r"\(\d+\)", "", line)
+    line = _DETAIL_NODE.sub(r"\1(N)\2", line)
+    line = _TREE_SUFFIX.sub(" (N)", line)
+    line = re.sub(r"\boperator id(:| =) \d+", r"operator id\1 N", line)
+    line = re.sub(r"\bSubquery:\d+\b", "Subquery:N", line)
     line = re.sub(r"plan_id=\d+", "", line)
     line = re.sub(r"@[0-9a-f]{6,}", "@X", line)
     line = re.sub(r"Lambda\$\d+/0x[0-9a-f]+", "Lambda$X", line)
@@ -65,25 +80,33 @@ def blocks(path: str, tree_only: bool = False) -> dict:
 
 
 def main(argv) -> int:
-    tree_only = "--tree" in argv
-    argv = [a for a in argv if a != "--tree"]
-    old = blocks(argv[0], tree_only)
-    new = blocks(argv[1], tree_only)
-    show = argv[3] if len(argv) >= 4 and argv[2] == "--show" else None
-    rc = 0
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("old_plans")
+    p.add_argument("new_plans")
+    p.add_argument("--tree", action="store_true",
+                   help="compare operator-tree sections only")
+    p.add_argument("--show", metavar="QUERY",
+                   help="print a unified diff for one changed query")
+    a = p.parse_args(argv)
+    old = blocks(a.old_plans, a.tree)
+    new = blocks(a.new_plans, a.tree)
     only_old, only_new = sorted(set(old) - set(new)), sorted(set(new) - set(old))
-    if only_old or only_new:
+    drift = bool(only_old or only_new)
+    if drift:
         print(f"COVERAGE DRIFT: only-old={only_old} only-new={only_new}")
-        rc += 100
     changed = sorted(k for k in set(old) & set(new) if old[k] != new[k])
     for k in changed:
         print(f"CHANGED {k} ({len(old[k])} -> {len(new[k])} lines)")
-    if show and show in changed:
-        import difflib
-        sys.stdout.writelines(
-            l + "\n" for l in difflib.unified_diff(old[show], new[show], lineterm=""))
+    if a.show:
+        if a.show in changed:
+            import difflib
+            sys.stdout.writelines(
+                l + "\n" for l in difflib.unified_diff(
+                    old[a.show], new[a.show], lineterm=""))
+        else:
+            print(f"--show {a.show}: not a changed shared query")
     print(f"\n{len(changed)} of {len(set(old) & set(new))} shared plans changed shape")
-    return rc + len(changed)
+    return min(len(changed), 1) + 2 * drift
 
 
 if __name__ == "__main__":
