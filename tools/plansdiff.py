@@ -51,6 +51,11 @@ def normalize(line: str) -> str:
     line = re.sub(r"\boperator id(:| =) \d+", r"operator id\1 N", line)
     line = re.sub(r"\bSubquery:\d+\b", "Subquery:N", line)
     line = re.sub(r"plan_id=\d+", "", line)
+    line = re.sub(r"RDD\[\d+\]", "RDD[N]", line)  # per-session RDD counter
+    # whole-stage-codegen stage ids renumber with AQE stage scheduling
+    # order; the WholeStageCodegen detail block's sole argument IS that id
+    line = re.sub(r"codegen id : \d+", "codegen id : N", line)
+    line = re.sub(r"^Arguments: \d+$", "Arguments: N", line)
     line = re.sub(r"@[0-9a-f]{6,}", "@X", line)
     line = re.sub(r"Lambda\$\d+/0x[0-9a-f]+", "Lambda$X", line)
     line = re.sub(r"file:[^ ,\]]*", "file:X", line)
@@ -62,7 +67,13 @@ def normalize(line: str) -> str:
 def blocks(path: str, tree_only: bool = False) -> dict:
     cur, out, in_detail = None, {}, False
     marker = re.compile(r"^========== ([a-z0-9_]+) ==========$")
-    loglike = re.compile(r"^\d{2}/\d{2}/\d{2} \d{2}:\d{2}:\d{2} (WARN|INFO|ERROR) ")
+    # timestamped Spark log lines, the sbt run footer, and the
+    # indentation-only `file:/...` continuation of multi-line WARNs
+    # (e.g. DataSource's "All paths were ignored:") — none are plan text
+    loglike = re.compile(
+        r"^\d{2}/\d{2}/\d{2} \d{2}:\d{2}:\d{2} (WARN|INFO|ERROR) "
+        r"|^\[success\] Total time:"
+        r"|^\s+file:/\S*$")
     detail_start = re.compile(r"^\(\d+\) [A-Z]")
     for raw in open(path):
         line = raw.removeprefix("[info] ").rstrip("\n")
