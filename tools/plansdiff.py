@@ -2,6 +2,7 @@
 """Shape-diff two PLANS.md dumps (or raw `runMain graft.Explain` logs).
 
 Usage: plansdiff.py <old_plans> <new_plans> [--tree] [--show <query>]
+       plansdiff.py --selftest   # pin the normalization + exit-code contract
 
 Splits each file on the `========== <name> ==========` markers, normalizes
 away everything that varies run-to-run without being a plan-shape change —
@@ -90,6 +91,54 @@ def blocks(path: str, tree_only: bool = False) -> dict:
     return out
 
 
+def selftest() -> int:
+    """Pin the normalization contract (the selfcheck.py --selftest pattern):
+    each run-to-run noise class must diff INVISIBLE, a genuine plan-detail
+    change must diff VISIBLE, and the exit code must be the clamped
+    bit0=changed / bit1=drift form."""
+    import tempfile, os
+    base = """========== q1 ==========
+* HashAggregate (5)
++- Exchange (4)
+
+(4) Exchange [codegen id : 2]
+Arguments: hashpartitioning(x#12L, 32)
+(5) Scan ExistingRDD [codegen id : 3]
+Arguments: [u, v], MapPartitionsRDD[1923] at createDataFrame at D.scala:1, ExistingRDD, UnknownPartitioning(0)
+Functions: [approx(x, (5))]
+========== q2 ==========
+* Scan (1)
+"""
+    noise = (base.replace("(5)", "(7)").replace("(4)", "(6)")
+             .replace("#12L", "#99L").replace("RDD[1923]", "RDD[2001]")
+             .replace("codegen id : 2", "codegen id : 9")
+             .replace("approx(x, (7))", "approx(x, (5))"))
+    literal = base.replace("approx(x, (5))", "approx(x, (10))")
+    drift = base.split("========== q2")[0]
+    cases = [  # (other_content, expected_exit, label)
+        (base, 0, "identity"),
+        (noise, 0, "renumber/noise-invisible"),
+        (literal, 1, "literal-visible"),
+        (drift, 2, "drift-bit"),
+    ]
+    failures = 0
+    with tempfile.TemporaryDirectory() as d:
+        a = os.path.join(d, "a.txt")
+        open(a, "w").write(base)
+        for i, (content, want, label) in enumerate(cases):
+            b = os.path.join(d, f"b{i}.txt")
+            open(b, "w").write(content)
+            import io, contextlib
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                got = main([a, b])
+            ok = got == want
+            failures += not ok
+            print(f"{'OK  ' if ok else 'FAIL'} {label}: exit {got} (want {want})")
+    print(f"\nselftest: {'PASS' if not failures else f'{failures} FAILURES'}")
+    return failures
+
+
 def main(argv) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("old_plans")
@@ -121,4 +170,6 @@ def main(argv) -> int:
 
 
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1:]))
