@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * executor-side decoder families cover the wire disciplines — PGM
   * (ASCII header + raw plane), BMP (little-endian fixed-offset headers,
   * bottom-up padded BGR rows), RIFF/WAV (chunk walk), a multi-frame
-  * container (header-walk frame seeking), baseline JPEG/JFIF
-  * (entropy-coded lossy: Huffman + DCT + restarts, [[Jpeg]]), and PNG
+  * container (header-walk frame seeking), JPEG/JFIF incl. progressive
+  * SOF2 (entropy-coded lossy: Huffman + DCT + restarts, [[Jpeg]]), PNG
   * (compressed lossless: CRC-gated chunks + JDK-zlib + predictive
-  * filters, [[Png]]). Only perceptual-audio codecs (MP3/AAC) genuinely
-  * need a third-party library; [[Multimodal.stubDecode]] marks that one
-  * remaining seam — a production deployment swaps it for a real codec (or
-  * an Arrow batch UDF) without touching the surrounding plan, exactly as
-  * the six real decoder families do.
+  * filters, [[Png]]), FLAC (Rice-coded lossless audio with stereo
+  * decorrelation, [[Flac]]), and GIF (LZW + interlace, [[Gif]]). Only
+  * perceptual-audio codecs (MP3/AAC) genuinely need a third-party
+  * library; [[Multimodal.stubDecode]] marks that one remaining seam — a
+  * production deployment swaps it for a real codec (or an Arrow batch
+  * UDF) without touching the surrounding plan, exactly as the eight real
+  * decoder families do.
   */
 object Multimodal {
 
@@ -40,8 +42,8 @@ object Multimodal {
     * executors/retries, which is what matters for the plumbing).
     *
     * SCOPE (final — SURVEY.md §2.F "Perceptual-audio seam — CLOSED"): with
-    * BMP/PGM/WAV/frame-container/JPEG/PNG/FLAC all real, this stub marks
-    * ONLY the perceptual-audio (MP3/AAC) boundary — psychoacoustic decode
+    * BMP/PGM/WAV/frame-container/JPEG/PNG/FLAC/GIF all real, this stub
+    * marks ONLY the perceptual-audio (MP3/AAC) boundary — psychoacoustic decode
     * needs a codec library this environment cannot provide; plugging one in
     * is a `decodeFlac`-shaped adapter behind this same seam.
     */

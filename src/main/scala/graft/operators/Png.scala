@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * palette-indexed (type 3, PLTE lookup with out-of-range indices
   * rejected), non-interlaced AND Adam7-interlaced (each of the seven passes
   * unfiltered as an independent reduced image, then scattered — certified
-  * against ImageIO-authored interlaced bitstreams). Palette/alpha/16-bit
-  * are rejected → dead-letter (same
+  * against ImageIO-authored interlaced bitstreams). Alpha color types
+  * (4, 6) and non-8-bit depths are rejected → dead-letter (same
   * poisoned-message discipline as every other decoder here). Unknown
   * ancillary chunks are skipped by walking the length fields, exactly as a
   * real reader must.
