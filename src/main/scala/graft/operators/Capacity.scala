@@ -84,6 +84,12 @@ object Capacity {
     * `recommended` is the smallest power of two keeping buckets under
     * `maxBucketBytes` (powers of two keep future re-provisioning
     * bucket-union-friendly); `minBuckets`/`maxBuckets` bound the window.
+    * A caller-narrowed window (< 2x between min and max bucket bytes) can
+    * exclude every power of two — then `recommended` caps at `maxBuckets`
+    * so the plan always stays inside its own window (r14 ADVICE). Tables
+    * whose floor bucket count exceeds 2^30 are refused loudly rather than
+    * returning a wrapped/saturated self-inconsistent plan: at that size a
+    * single bucketed table is the wrong layout — shard first.
     */
   final case class BucketPlan(totalBytes: Long, minBuckets: Int,
                               maxBuckets: Int, recommended: Int) {
@@ -98,10 +104,13 @@ object Capacity {
     require(totalBytes >= 0 && 0 < minBucketBytes && minBucketBytes <= maxBucketBytes,
       s"bad bucket window: total=$totalBytes window=[$minBucketBytes, $maxBucketBytes]")
     val lo = math.max(1L, (totalBytes + maxBucketBytes - 1) / maxBucketBytes)
-    val hi = math.max(lo, totalBytes / minBucketBytes)
+    require(lo <= (1L << 30),
+      s"totalBytes=$totalBytes needs $lo buckets of <=$maxBucketBytes B each — " +
+        "beyond the 2^30 single-table ceiling; shard the table before bucket-planning")
+    val hi = math.max(lo, totalBytes / minBucketBytes).min(Int.MaxValue.toLong).toInt
     var rec = 1
-    while (rec < lo && rec < (1 << 30)) rec <<= 1
-    BucketPlan(totalBytes, lo.toInt, hi.min(Int.MaxValue).toInt, rec)
+    while (rec < lo) rec <<= 1 // terminates: lo <= 2^30 by the require above
+    BucketPlan(totalBytes, lo.toInt, hi, rec.min(hi))
   }
 
   /** Row-count form of the same rule, anchored at the probe's restored

@@ -52,6 +52,29 @@ class CapacitySpec extends AnyFunSuite with SparkTestBase {
     assert(Capacity.bucketPlan(10L << 20).recommended == 1)
   }
 
+  test("bucket plan stays inside a caller-narrowed window (r14 ADVICE)") {
+    // A < 2x window can exclude every power of two: 19.2 GB in [400, 500] MB
+    // buckets wants [37, 45]; pow2 64 overshoots -> cap at maxBuckets.
+    val narrow = Capacity.bucketPlan(19200000000L, 400L << 20, 500L << 20)
+    assert(narrow.recommended == narrow.maxBuckets && narrow.maxBuckets == 45)
+    assert(narrow.bytesPerBucket >= (400L << 20) && narrow.bytesPerBucket <= (500L << 20),
+      s"recommended must honor its own window: ${narrow.human}")
+    // the degenerate min==max window the ADVICE named
+    val pinned = Capacity.bucketPlan(19200000000L, 500L << 20, 500L << 20)
+    assert(pinned.recommended >= pinned.minBuckets && pinned.recommended <= pinned.maxBuckets)
+    assert(pinned.bytesPerBucket <= (500L << 20))
+  }
+
+  test("bucket plan refuses tables past the 2^30 bucket ceiling (r14 ADVICE)") {
+    // ~1 EB at the 500 MB default ceiling needs ~2.2e9 buckets: previously
+    // minBuckets wrapped negative while recommended saturated below it.
+    val e = intercept[IllegalArgumentException](Capacity.bucketPlan(1L << 60))
+    assert(e.getMessage.contains("shard the table"))
+    // the largest in-range input still yields a coherent plan
+    val max = Capacity.bucketPlan((1L << 30) * (500L << 20))
+    assert(max.minBuckets == (1 << 30) && max.recommended == (1 << 30))
+  }
+
   test("graph memory knob matches the recorded b43 RSS point") {
     // b43 1000x: 600M edges sat at ~54 GB RSS on the 48g single box.
     assert(Capacity.graphResidentBytes(600000000L) == 54000000000L)
