@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Baseline JPEG/JFIF codec — pure Scala, no codec library (SURVEY.md §2
+/** JPEG/JFIF codec (baseline + progressive) — pure Scala, no codec library (SURVEY.md §2
   * group F; closes the round-5 verdict's "JPEG baseline decode or retire
   * stubDecode" item). JPEG is the dominant image format in any real
   * training-data crawl, and unlike BMP/PGM/WAV it is an ENTROPY-CODED
@@ -248,8 +248,9 @@ object Jpeg {
     var ta = 0
   }
 
-  /** Decode a baseline JFIF payload. Returns None on ANY malformed,
-    * truncated, progressive, or unsupported input — dead-letter semantics.
+  /** Decode a JFIF payload (baseline, extended-sequential, or progressive).
+    * Returns None on ANY malformed, truncated, or unsupported input —
+    * dead-letter semantics.
     */
   def decode(b: Array[Byte]): Option[DecodedImage] =
     try decodeInner(b)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2 group F): image/audio/video
-  * travel as opaque `binary` columns with typed metadata. Five REAL
+  * travel as opaque `binary` columns with typed metadata. Eight REAL
   * executor-side decoder families cover the wire disciplines — PGM
   * (ASCII header + raw plane), BMP (little-endian fixed-offset headers,
   * bottom-up padded BGR rows), RIFF/WAV (chunk walk), a multi-frame
