@@ -8,7 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * fragment pushed the line's head past that window. The contract since r12:
   * Bench prints a compact `{"metric":"ab",...}` line immediately before the
   * primary `{"metric":"total",...}` line, the primary is LAST, and the PAIR
-  * fits the window together. This spec re-derives the worst-case emitted
+  * fits the window together. Since r17 the ab line also carries the
+  * per-window interleaved A/B ratios (`"w":[...]`) and their median
+  * (`"ratio"`) — the worst case pinned here is the 5-window maximum that
+  * `distributeReps` clamps to. This spec re-derives the worst-case emitted
   * lengths from the CURRENT `bench = true` set, so adding a headline query
   * that would overflow the window fails here instead of silently zeroing a
   * round's benchmark artifact.
@@ -25,9 +28,10 @@ class BenchLineSpec extends AnyFunSuite {
   private def worstResults(v: Double): Seq[(String, Double, List[Double])] =
     Queries.all.filter(_.bench).map(q => (q.name, v, List.fill(5)(v)))
 
-  // the compact ab SUCCESS fragment: 12-char sha + 7-char total
+  // the compact ab SUCCESS fragment at its r17 worst: 12-char sha, 7-char
+  // total, the clamp-max FIVE window ratios at 7 chars each, 7-char median
   private val abSuccess =
-    s""""ref":"aaaaaaaaaaaa","prev_tree_same_box":99999.9"""
+    Bench.abFragmentFields("aaaaaaaaaaaaXXXX", 99999.9, Seq.fill(5)(99.9999))
   // the compact ab ERROR fragment: stage prefix + the 120-char capped detail
   private val abError =
     s""""ref":"aaaaaaaaaaaa","error":"compile: ${"x" * 120}""""
@@ -69,5 +73,37 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(""""queries":{"q_fail":-1}"""))
     assert(line.contains("""'"q_fail":[0.5000,-1,0.7000]""".stripPrefix("'")))
     assert(line.contains(""""median":{"q_fail":-1}"""))
+  }
+
+  test("ab success fragment: sha truncated, window ratios + upper median, -1 windows kept visible") {
+    val frag = Bench.abFragmentFields("0123456789abcdef", 12.3456,
+      Seq(0.92, -1.0, 1.04))
+    // the sha is capped at 12 chars, failed windows stay as -1 in the array
+    // (a silent drop would make a 3-window run indistinguishable from a
+    // 2-window run), and the median is over the SUCCESSFUL windows only
+    assert(frag ==
+      """"ref":"0123456789ab","prev_tree_same_box":12.3456,""" +
+        """"w":[0.9200,-1,1.0400],"ratio":1.0400""")
+  }
+
+  test("distributeReps: front-loaded split, clamped to [1, min(5, reps)] windows") {
+    assert(Bench.distributeReps(5, 3) == Seq(2, 2, 1)) // the defaults
+    assert(Bench.distributeReps(5, 1) == Seq(5))       // windows=1 → old single block
+    assert(Bench.distributeReps(6, 3) == Seq(2, 2, 2))
+    assert(Bench.distributeReps(2, 3) == Seq(1, 1))    // never an empty window
+    assert(Bench.distributeReps(1, 3) == Seq(1))
+    assert(Bench.distributeReps(9, 99) == Seq(2, 2, 2, 2, 1)) // 5-window cap
+    assert(Bench.distributeReps(5, 0) == Seq(5))       // nonsense env → one block
+    // the split always preserves the total rep budget
+    for (r <- 1 to 9; w <- 1 to 6)
+      assert(Bench.distributeReps(r, w).sum == r, s"reps=$r windows=$w")
+  }
+
+  test("medianOf: upper median of non-negative samples, -1 when none") {
+    assert(Bench.medianOf(Seq(0.9, 1.1, 1.0)) == 1.0)
+    assert(Bench.medianOf(Seq(0.9, 1.1)) == 1.1)       // upper median, even n
+    assert(Bench.medianOf(Seq(-1.0, 0.8, -1.0)) == 0.8)
+    assert(Bench.medianOf(Seq(-1.0, -1.0)) == -1.0)
+    assert(Bench.medianOf(Nil) == -1.0)
   }
 }
