@@ -68,6 +68,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeWav(1L, Array.emptyByteArray).isEmpty)
   }
 
+  test("WAV differential: javax.sound-authored RIFF wires decode exactly (r17 sweep pin)") {
+    // the chunk-walk tests above use hand-built / synthetic wires; this
+    // pins the r17 sweep axis — an INDEPENDENT JDK RIFF writer with its
+    // own chunk layout — at a fixed seed so it runs per commit.
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val rng = new scala.util.Random(1717)
+    for (t <- 0 until 20) {
+      val rate = 8000 + rng.nextInt(40001)
+      val n = 1 + rng.nextInt(5000)
+      val data = new Array[Byte](n)
+      rng.nextBytes(data)
+      var sum = 0L; var peak = 0
+      data.foreach { s => val v = s & 0xff; sum += v; if (v > peak) peak = v }
+      val fmt = new AudioFormat(rate.toFloat, 8, 1, false, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      val wire = bos.toByteArray
+      val f = Multimodal.decodeWav(t.toLong, wire)
+        .getOrElse(fail(s"trial $t: decodeWav rejected a JDK-authored WAV (rate=$rate n=$n)"))
+      assert(f.sample_rate == rate && f.n_samples == n, s"trial $t header fields")
+      assert(f.peak == peak && f.mean_amp == sum.toDouble / n, s"trial $t sample stats")
+      assert(Multimodal.fingerprintWav(t.toLong, wire).isDefined, s"trial $t fingerprint")
+    }
+  }
+
   test("nearest-neighbor resize samples the exact grid") {
     // 2×2 source (10,20 / 30,40) resized to 4×4: sy=⌊oy·2/4⌋, sx=⌊ox·2/4⌋ →
     // each source pixel replicated 2×2 → sum = (10+20+30+40)·4 = 400
