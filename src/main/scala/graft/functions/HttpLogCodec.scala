@@ -86,8 +86,17 @@ object HttpLogCodec {
     buf.array()
   }
 
-  /** Decode a framed message; null on any malformation (dead-letter). */
-  def decode(bytes: Array[Byte]): InternalRow = {
+  /** Decode a framed message; null on any malformation (dead-letter).
+    * Wrapped like the media decoders: the body is throw-free by
+    * construction (bounds in Long, see below), and the catch keeps the
+    * dead-letter contract even against a future missed check — a poison
+    * frame must never crash an ingest task.
+    */
+  def decode(bytes: Array[Byte]): InternalRow =
+    try decodeInner(bytes)
+    catch { case _: Exception => null }
+
+  private def decodeInner(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length < 16 || bytes.length % 4 != 0) return null
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val segCountM1 = buf.getInt(0)
@@ -98,7 +107,11 @@ object HttpLogCodec {
     if (bytes.length < headerBytes + 8) return null
     val seg0Words = buf.getInt(4)
     val seg0Start = headerBytes
-    val seg0End   = seg0Start + seg0Words * 8
+    // Long arithmetic: a crafted u32 segment size near 2^28 overflows
+    // `seg0Words * 8` in Int, turning seg0End negative and sneaking past
+    // this check into out-of-bounds word() reads (found by the r17
+    // byte-flip fuzzer; same class text() below always guarded against)
+    val seg0End   = seg0Start.toLong + seg0Words.toLong * 8L
     if (seg0Words <= 0 || seg0End > bytes.length) return null
 
     def word(i: Int): Long = buf.getLong(seg0Start + i * 8)

@@ -64,6 +64,35 @@ class HttpLogCodecSpec extends AnyFunSuite {
     assert(HttpLogCodec.decode(msg.array()) == null)
   }
 
+  test("Int-overflowing segment size dead-letters instead of crashing the task (r17 fuzz find)") {
+    // Found by the r17 byte-flip fuzzer: a u32 segment size ≈ 2^29 made
+    // `seg0Words * 8` wrap Int, so the pre-fix `seg0End > bytes.length`
+    // check passed and word() reads ran off the buffer —
+    // IndexOutOfBoundsException from inside the codegen'd expression (no
+    // catch on that path), i.e. one poison frame could crash an ingest
+    // task instead of dead-lettering. Bounds are now computed in Long and
+    // decode() is wrapped like the media decoders.
+    val good = HttpLogCodec.encode(1L, 2L, 3L, 4L, 5, u("HIT"), u("GET"),
+      u("1.2.3.x"), u("/r"))
+    val poison = good.clone()
+    poison(7) = 0x20.toByte // segment-size MSB: seg0Words = 0x2000000F
+    // root struct offset 1000 words: inside the bogus segment, far outside
+    // the real 128-byte buffer — the pre-fix data-word read threw here
+    val bb = java.nio.ByteBuffer.wrap(poison).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(8, 1000 << 2)
+    assert(HttpLogCodec.decode(poison) == null)
+    // seeded flip fuzz over the same frame: never throw, null-or-row only
+    // (pre-fix this loop throws with near-certainty: ~1 frame per 1k flips
+    // lands the segment-size MSB + an out-of-buffer pointer together)
+    val rng = new scala.util.Random(171717)
+    for (_ <- 0 until 20000) {
+      val b = good.clone()
+      for (_ <- 0 to rng.nextInt(8)) b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      HttpLogCodec.decode(b)
+    }
+    assert(HttpLogCodec.decode(good) != null, "valid frame must still decode")
+  }
+
   test("short data section yields defaults (older-schema message)") {
     // struct with 0 data words / 0 pointers: header + root pointer only
     val msg = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
