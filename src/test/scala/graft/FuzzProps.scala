@@ -54,6 +54,27 @@ object FuzzProps extends Properties("graft.kernels") {
       Prop.passed
     }
 
+  property("decoder never throws on multi-byte-corrupted valid messages") = {
+    // the r17 poison-pill (Int-overflowed segment size + out-of-buffer
+    // pointer) needs TWO simultaneous corruptions — a single bit flip can
+    // never construct it, which is how the property above ran 100k cases
+    // green over the live bug. 1-8 random byte REWRITES per case match the
+    // harness that found it.
+    forAll(Gen.long) { seed =>
+      val rng = new scala.util.Random(seed)
+      val good = HttpLogCodec.encode(1L, 2L, 3L, 4L, 5,
+        u("HIT"), u("GET"), u("1.2.3.4"), u("/some/url/path"))
+      val mutated = good.clone()
+      var k = rng.nextInt(8)
+      while (k >= 0) {
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+        k -= 1
+      }
+      HttpLogCodec.decode(mutated)
+      Prop.passed
+    }
+  }
+
   property("anonymize_ip never throws, never returns null") =
     forAll(textGen) { s => IpAnon.anonymize(s) != null }
 
