@@ -226,6 +226,22 @@ object FuzzProps extends Properties("graft.kernels") {
       }
     }
 
+  property("WARC parse never throws on multi-byte-corrupted containers") =
+    // same lesson as the capnp multi-byte property: compound corruptions
+    // reach states single flips cannot (a length field AND a boundary byte)
+    forAll(Gen.chooseNum(0, 2), Gen.long) { (enc, seed) =>
+      val rng = new scala.util.Random(seed)
+      val good = sources.Warc.syntheticContainer(enc.toLong,
+        Seq((1L, "the quick brown fox"), (2L, "jumps over")))
+      val b = good.clone()
+      var k = rng.nextInt(8)
+      while (k >= 0) { b(rng.nextInt(b.length)) = rng.nextInt(256).toByte; k -= 1 }
+      sources.Warc.parse(b) match {
+        case Some(recs) => recs != null
+        case None => true
+      }
+    }
+
   property("MinHash-union sketch: any split+merge equals one sequential pass") =
     forAll(Gen.listOf(Gen.long), Gen.chooseNum(0, 64)) { (hashes, splitAt) =>
       val agg = new operators.Overlap.MinhashUnion(64)
@@ -253,6 +269,19 @@ object FuzzProps extends Properties("graft.kernels") {
         wav(pos % wav.length) = (wav(pos % wav.length) ^ (1 << bit)).toByte
         operators.Multimodal.fingerprintWav(id, wav)
         true
+    }
+
+  property("perceptual hashes never throw on multi-byte-corrupted payloads") =
+    forAll(Gen.chooseNum(0L, 499L), Gen.long) { (id, seed) =>
+      val rng = new scala.util.Random(seed)
+      def corrupt(b: Array[Byte]): Array[Byte] = {
+        var k = rng.nextInt(8)
+        while (k >= 0) { b(rng.nextInt(b.length)) = rng.nextInt(256).toByte; k -= 1 }
+        b
+      }
+      operators.Multimodal.dhashPgm(id, corrupt(operators.Multimodal.syntheticPgm(id)))
+      operators.Multimodal.fingerprintWav(id, corrupt(operators.Multimodal.syntheticWav(id)))
+      true
     }
 
   property("heavy hitters contract holds under random streams and merge splits") = {
