@@ -90,11 +90,12 @@ object HttpLogCodec {
     * Wrapped like the media decoders: the body is throw-free by
     * construction (bounds in Long, see below), and the catch keeps the
     * dead-letter contract even against a future missed check — a poison
-    * frame must never crash an ingest task.
+    * frame must never crash an ingest task. NonFatal (not Exception) so
+    * task cancellation (InterruptedException) is never masked.
     */
   def decode(bytes: Array[Byte]): InternalRow =
     try decodeInner(bytes)
-    catch { case _: Exception => null }
+    catch { case scala.util.control.NonFatal(_) => null }
 
   private def decodeInner(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length < 16 || bytes.length % 4 != 0) return null

@@ -75,9 +75,9 @@ class HttpLogCodecSpec extends AnyFunSuite {
     val good = HttpLogCodec.encode(1L, 2L, 3L, 4L, 5, u("HIT"), u("GET"),
       u("1.2.3.x"), u("/r"))
     val poison = good.clone()
-    poison(7) = 0x20.toByte // segment-size MSB: seg0Words = 0x2000000F
+    poison(7) = 0x20.toByte // segment-size MSB: seg0Words = 0x2000000E
     // root struct offset 1000 words: inside the bogus segment, far outside
-    // the real 128-byte buffer — the pre-fix data-word read threw here
+    // the real 120-byte buffer — the pre-fix data-word read threw here
     val bb = java.nio.ByteBuffer.wrap(poison).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(8, 1000 << 2)
     assert(HttpLogCodec.decode(poison) == null)
