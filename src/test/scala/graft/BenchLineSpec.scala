@@ -23,7 +23,10 @@ class BenchLineSpec extends AnyFunSuite {
   /** Worst widths under the adaptive rendering (≤7 chars per number up to
     * 27 hours): 99.9999 maximizes the sub-100 s branch; a second pass with
     * 99999.9 covers the %.1f branch. 5 reps (the default
-    * SPARK_GRAFT_BENCH_REPS).
+    * SPARK_GRAFT_BENCH_REPS — and a ceiling, not just a default: the r18
+    * session measured that a 6th per-query sample pushes this worst-case
+    * pair to 2044 chars > the 2000-char window, which is why the r17
+    * 1-rep-tail-window fix is the median filter, not a 6-rep 2/2/2 split).
     */
   private def worstResults(v: Double): Seq[(String, Double, List[Double])] =
     Queries.all.filter(_.bench).map(q => (q.name, v, List.fill(5)(v)))
@@ -31,7 +34,8 @@ class BenchLineSpec extends AnyFunSuite {
   // the compact ab SUCCESS fragment at its r17 worst: 12-char sha, 7-char
   // total, the clamp-max FIVE window ratios at 7 chars each, 7-char median
   private val abSuccess =
-    Bench.abFragmentFields("aaaaaaaaaaaaXXXX", 99999.9, Seq.fill(5)(99.9999))
+    Bench.abFragmentFields("aaaaaaaaaaaaXXXX", 99999.9, Seq.fill(5)(99.9999),
+      Seq.fill(5)(2))
   // the compact ab ERROR fragment: stage prefix + the 120-char capped detail
   private val abError =
     s""""ref":"aaaaaaaaaaaa","error":"compile: ${"x" * 120}""""
@@ -77,13 +81,39 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("ab success fragment: sha truncated, window ratios + upper median, -1 windows kept visible") {
     val frag = Bench.abFragmentFields("0123456789abcdef", 12.3456,
-      Seq(0.92, -1.0, 1.04))
+      Seq(0.92, -1.0, 1.04), Seq(2, 2, 2))
     // the sha is capped at 12 chars, failed windows stay as -1 in the array
     // (a silent drop would make a 3-window run indistinguishable from a
     // 2-window run), and the median is over the SUCCESSFUL windows only
     assert(frag ==
       """"ref":"0123456789ab","prev_tree_same_box":12.3456,""" +
         """"w":[0.9200,-1,1.0400],"ratio":1.0400""")
+  }
+
+  test("r18: sub-2-rep windows stay visible in w but are excluded from the median") {
+    // the r17 default split 2/2/1 — the 1-rep tail produced the off-scale
+    // ratio in every recorded run (0.4444 / 0.4645 / 0.8303); under the fix
+    // it still prints in `w` but the headline ratio is the median of the
+    // >=2-rep windows only
+    val frag = Bench.abFragmentFields("0123456789abcdef", 12.3456,
+      Seq(0.8150, 0.8579, 0.4444), Seq(2, 2, 1))
+    assert(frag.contains(""""w":[0.8150,0.8579,0.4444]"""))
+    assert(frag.endsWith(""""ratio":0.8579"""))
+    // a failed (-1) >=2-rep window doesn't count as eligible data: with only
+    // one usable >=2-rep ratio the median is that ratio
+    val oneGood = Bench.abFragmentFields("0123456789abcdef", 1.0,
+      Seq(0.92, -1.0, 1.30), Seq(2, 2, 1))
+    assert(oneGood.endsWith(""""ratio":0.9200"""))
+    // degenerate env override (all windows 1-rep): fall back to the median
+    // over all windows rather than reporting -1 on usable data
+    val allOneRep = Bench.abFragmentFields("0123456789abcdef", 1.0,
+      Seq(0.9, 1.1, 1.0), Seq(1, 1, 1))
+    assert(allOneRep.endsWith(""""ratio":1.0000"""))
+    // and if every >=2-rep window failed (-1) but a 1-rep window succeeded,
+    // the fallback still surfaces the 1-rep data instead of -1
+    val onlyTail = Bench.abFragmentFields("0123456789abcdef", 1.0,
+      Seq(-1.0, -1.0, 0.98), Seq(2, 2, 1))
+    assert(onlyTail.endsWith(""""ratio":0.9800"""))
   }
 
   test("distributeReps: front-loaded split, clamped to [1, min(5, reps)] windows") {
