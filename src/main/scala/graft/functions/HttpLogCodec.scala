@@ -91,7 +91,12 @@ object HttpLogCodec {
     * construction (bounds in Long, see below), and the catch keeps the
     * dead-letter contract even against a future missed check — a poison
     * frame must never crash an ingest task. NonFatal (not Exception) so
-    * task cancellation (InterruptedException) is never masked.
+    * task cancellation (InterruptedException) is never masked. Known
+    * trade-off vs `catch Exception`: NonFatal also swallows non-fatal
+    * Errors (AssertionError, NotImplementedError), so a future assert/???
+    * inside decodeInner would dead-letter instead of crashing — acceptable
+    * here because decodeInner is pure bounds-checked arithmetic with no
+    * asserts, and the contract prioritizes never-crash over fail-fast.
     */
   def decode(bytes: Array[Byte]): InternalRow =
     try decodeInner(bytes)
