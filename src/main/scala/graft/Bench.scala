@@ -56,6 +56,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Default per-query rep budget (SPARK_GRAFT_BENCH_REPS) — and a CEILING,
+    * not just a default: the r18 session measured that a 6th per-query
+    * sample pushes the worst-case tail pair to 2044 chars > the driver's
+    * 2000-char capture. BenchLineSpec derives its worst-case sample arrays
+    * from THIS constant (r18 ADVICE: a hardcoded 5 in the spec would let
+    * the default drift to 6 while the pin kept passing), so raising the
+    * default without shrinking the line fails the budget pin instead of
+    * silently zeroing a round's benchmark artifact.
+    */
+  private[graft] val defaultBenchReps = 5
+
+  /** Clamp-max A/B window count in [[distributeReps]] — also the worst-case
+    * width of the ab line's `w` ratio array that BenchLineSpec pins against
+    * the tail budget.
+    */
+  private[graft] val maxAbWindows = 5
+
   /** Run `cmd` in `cwd`, stdout captured, stderr inherited; kills on
     * timeout. Returns (exitCode, stdout) with exitCode −1 on timeout.
     */
@@ -182,7 +199,7 @@ object Bench {
     * sub-2-rep windows out of the headline median (r18, verdict task #3).
     */
   private[graft] def distributeReps(reps: Int, windows: Int): Seq[Int] = {
-    val w = math.max(1, math.min(windows, math.min(5, reps)))
+    val w = math.max(1, math.min(windows, math.min(maxAbWindows, reps)))
     val base = reps / w
     val extra = reps % w
     Seq.tabulate(w)(i => base + (if (i < extra) 1 else 0))
@@ -208,7 +225,10 @@ object Bench {
     * VISIBLE in `w` (a silent drop would hide that the run was degenerate)
     * but are excluded from the headline `ratio` median whenever at least
     * one ≥2-rep window succeeded; if none did, the median falls back to all
-    * windows rather than reporting -1 on a run that has usable data.
+    * windows rather than reporting -1 on a run that has usable data. Which
+    * windows were median-eligible is reconstructible from the artifact: the
+    * ab_detail line records the per-window rep plan (r18 ADVICE — see
+    * [[abDetailLine]]).
     */
   private[graft] def abFragmentFields(sha: String, prevTotal: Double,
                                       ratios: Seq[Double],
@@ -219,6 +239,29 @@ object Bench {
       s""""prev_tree_same_box":${fmt(prevTotal)},""" +
       s""""w":${ratios.map(fmt).mkString("[", ",", "]")},""" +
       s""""ratio":${fmt(medianOf(forMedian))}"""
+  }
+
+  /** The ab_detail line: per-window prev/current suite totals, the per-query
+    * best-prev map — and, since r19 (r18 ADVICE), the per-window rep plan
+    * (`"rep_plan"`). Without it a consumer of the JSON could not tell the
+    * headline `ratio` (a median over the ≥2-rep windows) apart from the
+    * all-1-rep degenerate fallback when env vars override the 2/2/1 default:
+    * `w` alone shows the ratios, but only the rep plan shows which windows
+    * were ELIGIBLE for the median. This line is emitted early (not
+    * tail-adjacent), so the extra field costs no tail budget — the compact
+    * ab line stays untouched.
+    */
+  private[graft] def abDetailLine(sha: String, prevTotals: Seq[Double],
+                                  curTotals: Seq[Double], repPlan: Seq[Int],
+                                  perQ: Seq[(String, Double)]): String = {
+    val pw = prevTotals.map(fmt).mkString("[", ",", "]")
+    val cw = curTotals.map(fmt).mkString("[", ",", "]")
+    val rp = repPlan.mkString("[", ",", "]")
+    val pq = perQ.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"ab_detail","ref":"${sha.take(12)}","rep_plan":$rp,""" +
+      s""""prev_windows":$pw,"cur_windows":$cw,"queries":$pq}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -271,7 +314,7 @@ object Bench {
       // worst-case tail pair to 2044 chars > the driver's 2000-char capture
       // (BenchLineSpec measured it) — the r17 1-rep-tail-window problem is
       // fixed in abFragmentFields instead (>=2-rep windows feed the median).
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", defaultBenchReps.toString).toInt
       val nWin = sys.env.getOrElse("SPARK_GRAFT_AB_WINDOWS", "3").toInt
       // with A/B live the rep budget is split across interleaved windows
       // (see the object scaladoc); without it, one block exactly as before
@@ -332,15 +375,11 @@ object Bench {
             // — it is too long to share the driver's 2000-char tail window
             // with the primary line, so the tail-adjacent ab line (emitted
             // later, just before the primary) stays compact
-            val pw = prevWins.map {
-              case Right((p, _)) => fmt(p)
-              case Left(_)       => "-1"
-            }.mkString("[", ",", "]")
-            val cw = curWins.map(fmt).mkString("[", ",", "]")
-            val pq = perQ.toSeq.sortBy(_._1)
-              .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-              .mkString("{", ",", "}")
-            println(s"""{"metric":"ab_detail","ref":"${sha.take(12)}","prev_windows":$pw,"cur_windows":$cw,"queries":$pq}""")
+            val prevTotals = prevWins.map {
+              case Right((p, _)) => p
+              case Left(_)       => -1.0
+            }.toSeq
+            println(abDetailLine(sha, prevTotals, curWins.toSeq, plan, perQ.toSeq))
             Some(abFragmentFields(sha, prevTotal, ratios, plan))
           }
       }

@@ -22,20 +22,24 @@ class BenchLineSpec extends AnyFunSuite {
 
   /** Worst widths under the adaptive rendering (≤7 chars per number up to
     * 27 hours): 99.9999 maximizes the sub-100 s branch; a second pass with
-    * 99999.9 covers the %.1f branch. 5 reps (the default
-    * SPARK_GRAFT_BENCH_REPS — and a ceiling, not just a default: the r18
+    * 99999.9 covers the %.1f branch. The sample-array width comes from
+    * `Bench.defaultBenchReps` — the ACTUAL default main() reads (r18 ADVICE:
+    * a hardcoded 5 here would let the default drift to 6 while this pin
+    * kept passing) — which is a ceiling, not just a default: the r18
     * session measured that a 6th per-query sample pushes this worst-case
     * pair to 2044 chars > the 2000-char window, which is why the r17
-    * 1-rep-tail-window fix is the median filter, not a 6-rep 2/2/2 split).
+    * 1-rep-tail-window fix is the median filter, not a 6-rep 2/2/2 split.
     */
   private def worstResults(v: Double): Seq[(String, Double, List[Double])] =
-    Queries.all.filter(_.bench).map(q => (q.name, v, List.fill(5)(v)))
+    Queries.all.filter(_.bench)
+      .map(q => (q.name, v, List.fill(Bench.defaultBenchReps)(v)))
 
   // the compact ab SUCCESS fragment at its r17 worst: 12-char sha, 7-char
-  // total, the clamp-max FIVE window ratios at 7 chars each, 7-char median
+  // total, the clamp-max (Bench.maxAbWindows — what distributeReps actually
+  // clamps to) window ratios at 7 chars each, 7-char median
   private val abSuccess =
-    Bench.abFragmentFields("aaaaaaaaaaaaXXXX", 99999.9, Seq.fill(5)(99.9999),
-      Seq.fill(5)(2))
+    Bench.abFragmentFields("aaaaaaaaaaaaXXXX", 99999.9,
+      Seq.fill(Bench.maxAbWindows)(99.9999), Seq.fill(Bench.maxAbWindows)(2))
   // the compact ab ERROR fragment: stage prefix + the 120-char capped detail
   private val abError =
     s""""ref":"aaaaaaaaaaaa","error":"compile: ${"x" * 120}""""
@@ -127,6 +131,36 @@ class BenchLineSpec extends AnyFunSuite {
     // the split always preserves the total rep budget
     for (r <- 1 to 9; w <- 1 to 6)
       assert(Bench.distributeReps(r, w).sum == r, s"reps=$r windows=$w")
+  }
+
+  test("r19: the rep budget ceiling is the ONE constant main() and this spec share") {
+    // the 2000-char tail capture fits at most 5 per-query samples (r18
+    // measured 6 → 2044 chars); the budget test above derives its arrays
+    // from Bench.defaultBenchReps, so this pin is what forces a conscious
+    // trade (shrink the line) before the default can grow
+    assert(Bench.defaultBenchReps == 5)
+    assert(Bench.maxAbWindows == 5)
+    // and the clamp really uses the constant: window count never exceeds it
+    for (r <- 1 to 12; w <- 1 to 12)
+      assert(Bench.distributeReps(r, w).length <= Bench.maxAbWindows)
+  }
+
+  test("r19: ab_detail carries the per-window rep plan (fallback adjudicable from the artifact)") {
+    // r18 ADVICE: without the rep plan, a consumer of the JSON cannot tell
+    // a median over >=2-rep windows apart from the all-1-rep degenerate
+    // fallback when env vars override the 2/2/1 default
+    val line = Bench.abDetailLine("0123456789abcdefXX",
+      prevTotals = Seq(12.3456, -1.0, 11.9),
+      curTotals = Seq(11.5, 12.0, 10.0),
+      repPlan = Seq(2, 2, 1),
+      perQ = Seq("b01" -> 1.5, "a00" -> 0.25))
+    assert(line ==
+      """{"metric":"ab_detail","ref":"0123456789ab","rep_plan":[2,2,1],""" +
+        """"prev_windows":[12.3456,-1,11.9000],"cur_windows":[11.5000,12.0000,10.0000],""" +
+        """"queries":{"a00":0.2500,"b01":1.5000}}""")
+    // the degenerate all-1-rep override is now visible as such
+    assert(Bench.abDetailLine("ref000000000", Seq(1.0), Seq(1.0), Seq(1, 1, 1), Nil)
+      .contains(""""rep_plan":[1,1,1]"""))
   }
 
   test("medianOf: upper median of non-negative samples, -1 when none") {
