@@ -27,6 +27,14 @@ Two grains:
   --tree names the real changes, the default run's extras minus the --tree
   set are the permutation-only rows to spot-check with --show.
 
+At the tree grain, a changed plan on the documented run-level-AQE list
+(KNOWN_BUILD_FLIP, today just c12_semdedup — r18 proved two same-tree
+regens land on opposite build sides) whose diff is EXACTLY a build-side
+swap is ANNOTATED "[known-benign: run-level AQE build-side flip]" on its
+CHANGED line. Annotation only: the line still prints and the exit code is
+unchanged — a diff that touches any other plan, or changes one of these
+plans beyond the swap, carries no annotation and must be explained.
+
 Exit code (clamped — shell exit codes wrap mod 256, so counts live on
 stdout only): bit 0 = any shared plan changed shape, bit 1 = coverage
 drift (the two files don't cover the same query set). 0 = identical
@@ -69,6 +77,40 @@ def normalize(line: str, numeric_args_op: bool = False) -> str:
     line = re.sub(r"graft_scratch_root_\d+", "graft_scratch_root", line)
     line = re.sub(r"/tmp/[a-zA-Z0-9_./-]*", "/tmp/X", line)
     return line
+
+
+# Queries whose AQE build-side flip is PROVEN run-level nondeterminism:
+# both BroadcastHashJoin inputs are broadcastable and AQE's runtime stats
+# pick a side per run (r18, commit b0d11fb: two Explain regens on the
+# IDENTICAL tree landed on opposite build sides, 173/174 other plans
+# byte-identical). Membership is the documentation bar — do NOT add a
+# query here without the same two-regen proof.
+KNOWN_BUILD_FLIP = {"c12_semdedup"}
+
+_TREE_PREFIX = re.compile(r"^[\s:+\-]+")  # tree-drawing chars, NOT the codegen `*`
+
+
+def buildside_canonical(lines: list) -> list:
+    """Tree-grain canonical form modulo AQE's build-side choice. A build-side
+    flip moves the two broadcast-plumbing lines (BroadcastQueryStage +
+    BroadcastExchange) from one join child to the other, flips the
+    BuildLeft/BuildRight token, re-indents the newly-wrapped subtree, and
+    renumbers downstream AQE stage ids — so: strip the tree-drawing prefix
+    (keeping the codegen `*`), drop the plumbing lines, neutralize the Build
+    token, and blank stage ids/Statistics. Anything else (an operator added,
+    removed, or reordered) survives and the forms differ. Used ONLY to
+    ANNOTATE a changed plan on KNOWN_BUILD_FLIP — never to suppress it."""
+    out = []
+    for l in lines:
+        t = _TREE_PREFIX.sub("", l)
+        if re.match(r"^BroadcastQueryStage \(\d+\)", t) or t == "BroadcastExchange (N)":
+            continue
+        t = re.sub(r"\bBuild(Left|Right)\b", "BuildX", t)
+        t = re.sub(r"QueryStage \(\d+\)", "QueryStage (N)", t)
+        t = re.sub(r"Statistics\([^)]*\)", "Statistics(X)", t)
+        if t:
+            out.append(t)
+    return out
 
 
 def blocks(path: str, tree_only: bool = False) -> dict:
@@ -154,6 +196,59 @@ Arguments: 25
             ok = got == want
             failures += not ok
             print(f"{'OK  ' if ok else 'FAIL'} {label}: exit {got} (want {want})")
+
+        # tree-grain annotation of the documented run-level-AQE class (r19):
+        # a diff that is EXACTLY a build-side swap on a KNOWN_BUILD_FLIP
+        # query gets the annotation; the exit code stays 1 (never
+        # suppressed); the same swap on an unlisted query, or a c12 diff
+        # that goes beyond the swap, carries NO annotation
+        note = "[known-benign: run-level AQE build-side flip]"
+
+        def flip_tree(q, build, wrap_left, op="Filter"):
+            wrapped = (f"   :- BroadcastQueryStage (7), Statistics(sizeInBytes=1.1 MiB, rowCount=10)\n"
+                       f"   :  +- BroadcastExchange (2)\n"
+                       f"   :     +- * {op} (1)\n"
+                       f"   :        +- Scan parquet  (0)\n"
+                       f"   +- * Filter (1)\n"
+                       f"      +- Scan parquet  (0)\n") if wrap_left else (
+                       f"   :- * {op} (1)\n"
+                       f"   :  +- Scan parquet  (0)\n"
+                       f"   +- BroadcastQueryStage (3), Statistics(sizeInBytes=1.0 MiB, rowCount=10)\n"
+                       f"      +- BroadcastExchange (2)\n"
+                       f"         +- * Filter (1)\n"
+                       f"            +- Scan parquet  (0)\n")
+            return (f"========== {q} ==========\n"
+                    f"* Project (5)\n"
+                    f"+- * BroadcastHashJoin Inner {build} (4)\n" + wrapped)
+
+        tree_cases = [  # (old_text, new_text, want_exit, want_note, label)
+            (flip_tree("c12_semdedup", "BuildRight", False),
+             flip_tree("c12_semdedup", "BuildLeft", True),
+             1, True, "c12 exact build-side swap -> annotated, exit unchanged"),
+            (flip_tree("q_other", "BuildRight", False),
+             flip_tree("q_other", "BuildLeft", True),
+             1, False, "same swap on an unlisted query -> no annotation"),
+            (flip_tree("c12_semdedup", "BuildRight", False),
+             flip_tree("c12_semdedup", "BuildLeft", True, op="Sort"),
+             1, False, "c12 diff beyond the swap -> no annotation"),
+            (flip_tree("c12_semdedup", "BuildRight", False),
+             flip_tree("c12_semdedup", "BuildRight", False),
+             0, False, "c12 identical -> not even CHANGED"),
+        ]
+        import io, contextlib
+        for i, (old_t, new_t, want, want_note, label) in enumerate(tree_cases):
+            fa = os.path.join(d, f"ta{i}.txt")
+            fb = os.path.join(d, f"tb{i}.txt")
+            open(fa, "w").write(old_t)
+            open(fb, "w").write(new_t)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                got = main([fa, fb, "--tree"])
+            has_note = note in buf.getvalue()
+            ok = got == want and has_note == want_note
+            failures += not ok
+            print(f"{'OK  ' if ok else 'FAIL'} {label}: exit {got} (want {want}), "
+                  f"note={has_note} (want {want_note})")
     print(f"\nselftest: {'PASS' if not failures else f'{failures} FAILURES'}")
     return failures
 
@@ -175,7 +270,11 @@ def main(argv) -> int:
         print(f"COVERAGE DRIFT: only-old={only_old} only-new={only_new}")
     changed = sorted(k for k in set(old) & set(new) if old[k] != new[k])
     for k in changed:
-        print(f"CHANGED {k} ({len(old[k])} -> {len(new[k])} lines)")
+        note = ""
+        if (a.tree and k in KNOWN_BUILD_FLIP
+                and buildside_canonical(old[k]) == buildside_canonical(new[k])):
+            note = " [known-benign: run-level AQE build-side flip]"
+        print(f"CHANGED {k} ({len(old[k])} -> {len(new[k])} lines){note}")
     if a.show:
         if a.show in changed:
             import difflib
