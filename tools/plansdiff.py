@@ -103,7 +103,11 @@ def buildside_canonical(lines: list) -> list:
     out = []
     for l in lines:
         t = _TREE_PREFIX.sub("", l)
-        if re.match(r"^BroadcastQueryStage \(\d+\)", t) or t == "BroadcastExchange (N)":
+        # the stage id is raw (`(133), Statistics(...)`) when mid-line, but
+        # already `(N)` when the line ended with it (blocks() normalized the
+        # tree suffix) — match both so a Statistics-less stage line can't
+        # slip past the plumbing filter and fail the annotation spuriously
+        if re.match(r"^BroadcastQueryStage \((\d+|N)\)", t) or t == "BroadcastExchange (N)":
             continue
         t = re.sub(r"\bBuild(Left|Right)\b", "BuildX", t)
         t = re.sub(r"QueryStage \(\d+\)", "QueryStage (N)", t)
@@ -231,6 +235,10 @@ Arguments: 25
             (flip_tree("c12_semdedup", "BuildRight", False),
              flip_tree("c12_semdedup", "BuildLeft", True, op="Sort"),
              1, False, "c12 diff beyond the swap -> no annotation"),
+            (flip_tree("c12_semdedup", "BuildRight", False),
+             flip_tree("c12_semdedup", "BuildLeft", True)
+               .replace(" (7), Statistics(sizeInBytes=1.1 MiB, rowCount=10)", " (7)"),
+             1, True, "swap with a Statistics-less stage line -> still annotated"),
             (flip_tree("c12_semdedup", "BuildRight", False),
              flip_tree("c12_semdedup", "BuildRight", False),
              0, False, "c12 identical -> not even CHANGED"),
