@@ -258,9 +258,9 @@ object Bench {
     val cw = curTotals.map(fmt).mkString("[", ",", "]")
     val rp = repPlan.mkString("[", ",", "]")
     val pq = perQ.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + jsonEscape(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"ab_detail","ref":"${sha.take(12)}","rep_plan":$rp,""" +
+    s"""{"metric":"ab_detail","ref":"${jsonEscape(sha.take(12))}","rep_plan":$rp,""" +
       s""""prev_windows":$pw,"cur_windows":$cw,"queries":$pq}"""
   }
 

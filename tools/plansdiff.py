@@ -29,9 +29,11 @@ Two grains:
 
 At the tree grain, a changed plan on the documented run-level-AQE list
 (KNOWN_BUILD_FLIP, today just c12_semdedup — r18 proved two same-tree
-regens land on opposite build sides) whose diff is EXACTLY a build-side
-swap is ANNOTATED "[known-benign: run-level AQE build-side flip]" on its
-CHANGED line. Annotation only: the line still prints and the exit code is
+regens land on opposite build sides) whose diff is exactly a build-side
+swap — same operators in the same order at the same plumbing-adjusted
+nesting depths, differing only in build side, broadcast placement, AQE
+stage ids, and Statistics values (see buildside_canonical) — is ANNOTATED
+"[known-benign: run-level AQE build-side flip]" on its CHANGED line. Annotation only: the line still prints and the exit code is
 unchanged — a diff that touches any other plan, or changes one of these
 plans beyond the swap, carries no annotation and must be explained.
 
@@ -94,26 +96,41 @@ def buildside_canonical(lines: list) -> list:
     """Tree-grain canonical form modulo AQE's build-side choice. A build-side
     flip moves the two broadcast-plumbing lines (BroadcastQueryStage +
     BroadcastExchange) from one join child to the other, flips the
-    BuildLeft/BuildRight token, re-indents the newly-wrapped subtree, and
-    renumbers downstream AQE stage ids — so: strip the tree-drawing prefix
-    (keeping the codegen `*`), drop the plumbing lines, neutralize the Build
-    token, and blank stage ids/Statistics. Anything else (an operator added,
-    removed, or reordered) survives and the forms differ. Used ONLY to
+    BuildLeft/BuildRight token, re-indents the newly-wrapped subtree (each
+    plumbing line adds one nesting level above it), and renumbers downstream
+    AQE stage ids — so: drop the plumbing lines, keep each remaining line as
+    (depth, text) where depth is the tree-prefix level MINUS the number of
+    dropped plumbing ancestors (the codegen `*` stays in the text), neutralize
+    the Build token, and blank stage ids/Statistics VALUES. Anything else —
+    an operator added, removed, reordered, or RE-NESTED (same line order,
+    different depth; r19 ADVICE) — survives and the forms differ. What the
+    annotation certifies is therefore: identical operators in identical order
+    at identical plumbing-adjusted depths, differing only in build side,
+    broadcast placement, stage ids, and Statistics values. Used ONLY to
     ANNOTATE a changed plan on KNOWN_BUILD_FLIP — never to suppress it."""
     out = []
+    dropped = []  # raw depths of dropped plumbing lines still on the ancestor path
     for l in lines:
-        t = _TREE_PREFIX.sub("", l)
+        m = _TREE_PREFIX.match(l)
+        prefix = m.group(0) if m else ""
+        # Spark's formatted tree renders one 3-char unit per level
+        # ("+- ", ":- ", ":  ", "   ")
+        depth = len(prefix) // 3
+        t = l[len(prefix):]
+        while dropped and depth <= dropped[-1]:
+            dropped.pop()
         # the stage id is raw (`(133), Statistics(...)`) when mid-line, but
         # already `(N)` when the line ended with it (blocks() normalized the
         # tree suffix) — match both so a Statistics-less stage line can't
         # slip past the plumbing filter and fail the annotation spuriously
         if re.match(r"^BroadcastQueryStage \((\d+|N)\)", t) or t == "BroadcastExchange (N)":
+            dropped.append(depth)
             continue
         t = re.sub(r"\bBuild(Left|Right)\b", "BuildX", t)
         t = re.sub(r"QueryStage \(\d+\)", "QueryStage (N)", t)
         t = re.sub(r"Statistics\([^)]*\)", "Statistics(X)", t)
         if t:
-            out.append(t)
+            out.append(f"{depth - len(dropped)}|{t}")
     return out
 
 
@@ -242,6 +259,15 @@ Arguments: 25
             (flip_tree("c12_semdedup", "BuildRight", False),
              flip_tree("c12_semdedup", "BuildRight", False),
              0, False, "c12 identical -> not even CHANGED"),
+            # r19 ADVICE: a re-nesting with UNCHANGED line order used to
+            # canonicalize equal (the tree prefix was stripped outright);
+            # depth is now part of the canonical form, so this must NOT be
+            # annotated
+            (flip_tree("c12_semdedup", "BuildRight", False),
+             flip_tree("c12_semdedup", "BuildRight", False)
+               .replace("            +- Scan parquet  (0)\n",
+                        "               +- Scan parquet  (0)\n"),
+             1, False, "c12 re-nesting-only (same line order) -> no annotation"),
         ]
         import io, contextlib
         for i, (old_t, new_t, want, want_note, label) in enumerate(tree_cases):
