@@ -26,12 +26,43 @@ final case class Q(
   */
 object Queries {
 
+  /** Scale-adaptive scan fan-out (optimization guide §2.5, "unsplittable
+    * input"): the testdata tables are single-file, single-row-group parquet,
+    * so a scan is at most ONE task per file no matter the split config
+    * (openCostInBytes floors the split at 4 MB, and a lone row group can't
+    * split anyway) — which serializes the whole map side (capnp codec,
+    * shingling, regex scoring, join probes) on 1-2 of the session's cores.
+    * When the scan arrives with fewer partitions than the session's default
+    * parallelism, repartition by the table's unique key — deterministic hash
+    * partitioning, so task retries are safe (SPARK-38388's round-robin
+    * hazard doesn't apply) and no pre-shuffle sort is paid. At production
+    * scale the input has ≥ cores splits, the gate never fires, and the plan
+    * is unchanged — this is parallelism recovery for small unsplittable
+    * inputs, not a local[32] tuning constant.
+    */
+  private def fanout(df: DataFrame, keys: Column*): DataFrame = {
+    // measurement hook (AbProbe): -Dgraft.fanout=off compares the plan
+    // without the fan-out in the same JVM — interleaved A/B, same codegen
+    // and box conditions, the only honest comparison on a contended host
+    if (sys.props.get("graft.fanout").contains("off")) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, keys: _*)
+  }
+
   private def httpLog(s: SparkSession, dir: String): DataFrame =
     HttpLog.view(Tables.events(s, dir))
 
-  /** http_log view + epoch-millis column, as the capnp encoder wants it. */
+  /** http_log view + epoch-millis column, as the capnp encoder wants it.
+    * Fanned out ([[fanout]]): every consumer runs the capnp encode (and
+    * usually the decode) over these rows — the one per-row cost heavy
+    * enough that recovering map-side parallelism beats the extra exchange
+    * (AbProbe a00: 2.1× faster fanned; the cheap-map queries measured the
+    * OPPOSITE, so plain [[httpLog]] deliberately stays un-fanned).
+    */
   private def httpLogMs(s: SparkSession, dir: String): DataFrame =
-    httpLog(s, dir).withColumn("ts_milli", expr("unix_millis(ts)"))
+    HttpLog.view(fanout(Tables.events(s, dir), col("event_id")))
+      .withColumn("ts_milli", expr("unix_millis(ts)"))
 
   /** The 9-field HttpLogRecord encode over [[httpLogMs]] columns. */
   private def capnpMsg: org.apache.spark.sql.Column =
@@ -1125,24 +1156,43 @@ object Queries {
   private val b09 = Q(
     "b09_local_supplier_volume",
     (s, dir) => {
-      // TPC-H Q5 shape: 6-table join, tiny dims broadcast, region filter
-      // pruned before the join chain
+      // TPC-H Q5 shape: 6-table join, tiny dims broadcast. r21: the region
+      // filter — the query's only selective predicate (1/5 of nations) — is
+      // resolved into an ASIA-suppliers dim FIRST and joined to lineitem
+      // BEFORE the fact-to-fact joins, so ~4/5 of lineitem rows drop before
+      // they cross the orders/customer joins (guide §3.2: reduce the big
+      // side first; inner joins commute, so the result multiset is
+      // unchanged). -Dgraft.b09order=off restores the old order (A/B hook).
       val li = Tables.lineitem(s, dir)
       val o  = Tables.orders(s, dir)
       val c  = Tables.customer(s, dir)
       val su = Tables.supplier(s, dir)
       val n  = Tables.nation(s, dir)
       val r  = Tables.region(s, dir).filter(col("r_name") === "ASIA")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("n_name").as("nation"))
-        .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          count(lit(1)).as("line_cnt"))
+      if (sys.props.get("graft.b09order").contains("off"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("line_cnt"))
+      else {
+        val suAsia = su
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+        li.join(broadcast(suAsia), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("line_cnt"))
+      }
     },
     Some("""SELECT n_name AS nation,
       |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

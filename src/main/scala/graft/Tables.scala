@@ -15,8 +15,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Process-level parquet schema cache. Without it, EVERY query invocation
+    * pays a schema-inference footer job per table read (`spark.read.parquet`
+    * with no schema runs a one-task Spark job just to merge footers) — pure
+    * fixed cost, measured at 0.2-1 s wall per bench query on this box. The
+    * schema of a given path is immutable metadata (a production deployment
+    * reads it from a catalog), so inferring it once per process and passing
+    * it explicitly is behavior-preserving: the data is still read from
+    * parquet on every run. Keyed by full path, so differently-vintaged
+    * copies (ScaleProbe's BIGINT-ts inflations) can never alias.
+    * -Dgraft.schemacache=off restores per-read inference (AbProbe A/B hook).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (sys.props.get("graft.schemacache").contains("off"))
+      spark.read.parquet(path)
+    else {
+      val sch = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+      spark.read.schema(sch).parquet(path)
+    }
+  }
 
   /** events with `ts_ns` (epoch nanos, long) and `ts` (µs-truncated timestamp).
     *

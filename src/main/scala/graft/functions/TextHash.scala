@@ -186,6 +186,35 @@ object TextHash {
     new GenericArrayData(sig)
   }
 
+  /** Per-shingle idf weights via binary search of each ascending shingle in
+    * the ascending exception-key array (`keys` sorted asc, `ws` positionally
+    * aligned); shingles absent from the exceptions take `default`. Both
+    * inputs ascending ⇒ the search window's lower bound only moves right, so
+    * the per-doc cost is O(|sh| · log |keys|) with a shrinking window — NOT
+    * the O(|sh| · |keys|) a Spark map probe costs (GetMapValue on
+    * ArrayBasedMapData is a linear scan; measured 66 s of CPU at sf0.1
+    * before this kernel replaced it).
+    */
+  def weightsFor(sh: ArrayData, keys: ArrayData, ws: ArrayData,
+                 default: Int): ArrayData = {
+    val n = sh.numElements(); val m = keys.numElements()
+    val out = new Array[Int](n)
+    var base = 0
+    var i = 0
+    while (i < n) {
+      val x = sh.getLong(i)
+      var lo = base; var hi = m
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (keys.getLong(mid) < x) lo = mid + 1 else hi = mid
+      }
+      if (lo < m && keys.getLong(lo) == x) { out(i) = ws.getInt(lo); base = lo + 1 }
+      else { out(i) = default; base = lo }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Σ weight over the intersection of two ascending shingle arrays (the
     * sorted-merge pair-verification kernel for weighted MinHash). Weights are
     * positionally aligned with their shingles and globally identical for

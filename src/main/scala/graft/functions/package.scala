@@ -81,6 +81,18 @@ package object functions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
 
+  /** Per-shingle idf weights: binary-search each ascending shingle in the
+    * ascending exception-key array (ws aligned), `default` for misses.
+    */
+  def weights_for(sh: Column, keys: Column, ws: Column, default: Int): Column =
+    column(WeightsFor(expression(sh), expression(keys), expression(ws), default))
+
+  /** Aggregate: collect a group's longs up to `cap` of them, sorted
+    * ascending; NULL once the group crosses the cap (LSH hot-bucket drop).
+    */
+  def collect_capped(v: Column, cap: Int): Column =
+    column(CollectCappedLongs(expression(v), cap).toAggregateExpression())
+
   /** One hashed LSH key per signature band. */
   def lsh_band_keys(sig: Column, bands: Int = 32): Column =
     column(LshBandKeys(expression(sig), bands))

@@ -17,27 +17,51 @@ import graft.functions._
   */
 object Dedup {
 
-  /** LSH candidate pairs: self-join banded rows on (band, key), id_a < id_b,
-    * distinct. The shared core of every banding scheme here.
+  /** LSH candidate pairs: all (id_a < id_b) pairs co-bucketed by some
+    * (band, key), distinct. The shared core of every banding scheme here —
+    * since r21 one capped-collect aggregation per bucket with in-row pair
+    * generation (same output as the previous (band, key) self-join, one
+    * pass over the banded frame instead of two).
     *
     * `maxBucket` caps degenerate buckets (e.g., a boilerplate fragment shared
     * by millions of documents makes one (band, key) quadratic — the classic
-    * LSH hot-bucket failure at 100 TB). Oversized buckets are dropped before
-    * the join; their members still pair through their other bands, so recall
-    * only degrades for documents similar *solely* via the degenerate band.
+    * LSH hot-bucket failure at 100 TB). Oversized buckets evaluate to NULL
+    * in the aggregate and are dropped; their members still pair through
+    * their other bands, so recall only degrades for documents similar
+    * *solely* via the degenerate band.
     */
   private def bandJoinCandidates(banded: DataFrame,
                                  maxBucket: Int = 100000): DataFrame = {
-    // map-side-combined count finds the (few) hot buckets; a broadcast anti
-    // join drops their rows — no sort, no extra full shuffle
-    val hot = banded.groupBy("band", "key").count()
-      .filter(col("count") > maxBucket).select("band", "key")
-    val cold = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
-    cold.as("a")
-      .join(cold.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // measurement hook (AbProbe): -Dgraft.bandjoin=v1 restores the
+    // count + broadcast-anti-join + self-join shape for in-JVM A/B
+    if (sys.props.get("graft.bandjoin").exists(v => v == "v1" || v == "off")) {
+      val hot = banded.groupBy("band", "key").count()
+        .filter(col("count") > maxBucket).select("band", "key")
+      val cold = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      return cold.as("a")
+        .join(cold.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+    }
+    // r21: ONE aggregation replaces the previous count-pass + broadcast
+    // anti-join + (band, key) self-join. collect_capped gathers each
+    // bucket's ids (sorted ascending, NULL past maxBucket — the same
+    // "bucket size > maxBucket ⇒ dropped" semantics the anti-join had) and
+    // pairs generate in-row from the sorted array: position i pairs with
+    // every later position, so id_a < id_b and each unordered pair appears
+    // once per bucket — exactly the self-join's output, with one pass over
+    // the banded frame instead of two and no broadcast. The per-bucket
+    // quadratic is identical to the join's (a bucket's pairs always
+    // co-reside in one task either way); the cap bounds both. Distinct
+    // across bands is unchanged.
+    banded.groupBy("band", "key")
+      .agg(graft.functions.collect_capped(col("id"), maxBucket).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id_b"))
       .distinct()
   }
 
@@ -218,18 +242,44 @@ object Dedup {
     // read). Every downstream consumer reuses the now-warm cache.
     val nDocs = base.count()
     val exploded = base.select(col("id"), explode(col("sh")).as("shingle"))
-    val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // sort_array restores the ascending shingle order wordShingles emits
-    // (collect_list after the shuffle is unordered) so pair verification can
-    // be a sorted merge instead of a per-key map probe
-    val packed = exploded.join(dfreq, "shingle")
-      .withColumn("w", greatest(lit(1),
-        least(lit(maxWeight), ceil(log(lit(nDocs.toDouble) / col("df"))))).cast("int"))
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("shingle"), col("w")))).as("sw"))
-      .select(col("id"),
-        transform(col("sw"), x => x.getField("shingle")).as("shs"),
-        transform(col("sw"), x => x.getField("w")).as("ws"))
+    def wOf(dfc: Column): Column = greatest(lit(1),
+      least(lit(maxWeight), ceil(log(lit(nDocs.toDouble) / dfc)))).cast("int")
+    // r21 (optimization): weights attach ROW-LOCALLY instead of
+    // explode → join-on-shingle → collect_list(struct) → sort_array.
+    // Key algebra: w(df) = clamp(ceil(ln(N/df)), 1, maxWeight) equals the
+    // df=1 default for every shingle with df < N/e^(maxWeight-1), so the
+    // NON-default ("exception") shingles each appear in > N/e^(maxWeight-1)
+    // documents — and since Σ df = N·avgShingles, there are at most
+    // e^(maxWeight-1)·avgShingles ≈ 1100·avgShingles of them REGARDLESS of
+    // corpus size. That bounded set rides one broadcast row as two aligned
+    // ascending arrays, and ws derives per row by binary search
+    // ([[graft.functions.weights_for]] — NOT a Spark map probe, whose
+    // ArrayBasedMapData lookup is a linear scan and measured 66 s of CPU
+    // here). No second explode, no shingle-keyed join, no struct
+    // collect/sort (sh is already ascending); the old shape cost 2 extra
+    // exchanges of shingle-level rows plus ObjectHashAggregate struct
+    // buffers (plan: Exchange 9.1 MiB + BroadcastExchange 24 MiB, both
+    // gone). w values come from the SAME ceil(log(N/df)) expression on both
+    // paths, and Math.log(N/1.0) == Math.log(N), so packed arrays — and
+    // every downstream signature, band key, and verified weighted Jaccard —
+    // are bit-identical. Docs with empty shingle sets were dropped by the
+    // old inner join; the size(sh) > 0 filter keeps that row set exactly.
+    val wDefaultInt: Int = math.max(1, math.min(maxWeight,
+      math.ceil(math.log(nDocs.toDouble)).toInt))
+    val exc = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .select(col("shingle"), wOf(col("df")).as("w"))
+      .filter(col("w") =!= lit(wDefaultInt))
+      .agg(sort_array(collect_list(struct(col("shingle"), col("w")))).as("ew"))
+      .select(transform(col("ew"), e => e.getField("shingle")).as("ekeys"),
+        transform(col("ew"), e => e.getField("w")).as("ews"))
+    val packed = base
+      .filter(size(col("sh")) > 0)
+      .crossJoin(broadcast(exc))
+      .select(col("id"), col("sh").as("shs"),
+        // fenced: ws feeds the signature, the output column and the total —
+        // CollapseProject would otherwise inline the lookup three times
+        opt_fence(graft.functions.weights_for(
+          col("sh"), col("ekeys"), col("ews"), wDefaultInt)).as("ws"))
       .select(col("id"),
         lsh_band_keys(minhash_sig_weighted(col("shs"), col("ws"), n), bands).as("keys"),
         col("shs"), col("ws"),
@@ -290,18 +340,31 @@ object Dedup {
     * from the family above: length floor → exact dedup (keep min id) →
     * near-dup removal (greedy: the higher id of every verified MinHash pair
     * is dropped). Each stage is a shuffle-partitioned join/agg — no stage
-    * materializes pairs beyond LSH candidates.
+    * materializes pairs beyond LSH candidates. The keeper key set
+    * (fp, id, copies — no payload) is persisted so the final anti-join
+    * reuses it instead of re-running the exact-dedup pass (r21); callers
+    * holding the result long-term unpersist via the session cache manager.
     */
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
                   minTokens: Int = 5, nearThreshold: Double = 0.5): DataFrame = {
     val longEnough = df.filter(
       size(split(trim(col(textCol)), "\\s+")) >= minTokens)
-    val exactKept = exact(longEnough, idCol, textCol)
+    // r21: keepers (fp, id, copies — NO text) is persisted and is the left
+    // side of the final anti-join. The previous shape anti-joined the
+    // text-bearing exactKept frame, whose lineage (corpus scan → md5 agg →
+    // text re-join) ran a SECOND time under the output action — a whole
+    // extra corpus pass at scale. The keepers cache is the post-dedup key
+    // set (16 B + id per row, no payload), materialized as a byproduct of
+    // the pair materialization the operator already does; text is attached
+    // once, only to feed the LSH screen. Output rows are identical: every
+    // keeper_id exists in longEnough, so the dropped text join was 1:1.
+    val keepers = exact(longEnough, idCol, textCol)
       .select(col("fp"), col("keeper_id").as(idCol), col("n_copies").as("exact_copies"))
-      .join(longEnough.select(col(idCol), col(textCol)), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactKept = keepers.join(longEnough.select(col(idCol), col(textCol)), idCol)
     val nearPairs = minhashPairs(exactKept, idCol, textCol, threshold = nearThreshold)
     val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
-    exactKept
+    keepers
       .join(dropIds, Seq(idCol), "left_anti")
       .select(col(idCol), col("fp"), col("exact_copies"))
   }
@@ -428,15 +491,19 @@ object Dedup {
                     minTokens: Int = 5, nearThreshold: Double = 0.5): DataFrame = {
     val longEnough = df.filter(
       size(split(trim(col(textCol)), "\\s+")) >= minTokens)
-    val exactKept = exact(longEnough, idCol, textCol)
+    // same keepers-cache shape as [[cleanCorpus]] (r21): the final anti-join
+    // reads the tiny persisted key set instead of re-running the corpus
+    // scan → md5 agg → text join a second time under the output action
+    val keepers = exact(longEnough, idCol, textCol)
       .select(col("fp"), col("keeper_id").as(idCol), col("n_copies").as("exact_copies"))
-      .join(longEnough.select(col(idCol), col(textCol)), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactKept = keepers.join(longEnough.select(col(idCol), col(textCol)), idCol)
     val pairs = minhashPairs(exactKept, idCol, textCol, threshold = nearThreshold)
     val cc = connectedComponents(pairs.select("id_a", "id_b"))
     pairs.unpersist(blocking = false) // CC output is materialized
     val nonReps = cc.filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as(idCol))
-    exactKept
+    keepers
       .join(nonReps, Seq(idCol), "left_anti")
       .select(col(idCol), col("fp"), col("exact_copies"))
   }

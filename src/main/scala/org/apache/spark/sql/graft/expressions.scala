@@ -338,6 +338,140 @@ case class WeightedIntersectSum(first: Expression, second: Expression, third: Ex
     copy(first = f, second = s, third = t)
 }
 
+/** Mutable buffer for [[CollectCappedLongs]]: growable long storage, or the
+  * overflow state (`xs == null` after the cap is crossed — storage is freed
+  * immediately, so a degenerate bucket costs O(1) once detected).
+  */
+final class CollectCappedBuf(var xs: Array[Long], var n: Int) {
+  def overflowed: Boolean = xs == null
+}
+
+/** `collect_capped(long, cap) -> array<long> | null` — collect a group's
+  * long values up to `cap` of them; a group that crosses the cap evaluates
+  * to NULL (the LSH hot-bucket drop semantics: bucket size > cap ⇒ bucket
+  * excluded). The output array is sorted ascending at eval, so it is
+  * deterministic under any partitioning / merge order.
+  *
+  * Exists so the band self-join's hot-bucket guard needs no separate
+  * count-aggregate pass + broadcast anti-join over the banded frame: one
+  * aggregation both detects oversized buckets AND gathers the survivors'
+  * ids for in-row pair generation. TypedImperativeAggregate ⇒
+  * ObjectHashAggregate (hash on both sides, map-side combine, no sorts —
+  * the keep_latest rationale). Memory: ≤ cap longs per live group, freed on
+  * overflow; cap defaults to the LSH maxBucket (100k ⇒ 800 KB worst-case
+  * per in-flight degenerate group, transiently).
+  */
+case class CollectCappedLongs(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CollectCappedBuf] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "collect_capped"
+
+  override def createAggregationBuffer(): CollectCappedBuf =
+    new CollectCappedBuf(new Array[Long](8), 0)
+
+  private def append(buf: CollectCappedBuf, v: Long): Unit = {
+    if (buf.n >= cap) { buf.xs = null; return }
+    if (buf.n == buf.xs.length) {
+      val grown = new Array[Long](math.min(math.max(8, buf.xs.length * 2), cap))
+      System.arraycopy(buf.xs, 0, grown, 0, buf.n)
+      buf.xs = grown
+    }
+    buf.xs(buf.n) = v
+    buf.n += 1
+  }
+
+  override def update(buf: CollectCappedBuf, input: InternalRow): CollectCappedBuf = {
+    if (!buf.overflowed) {
+      val v = child.eval(input)
+      if (v != null) append(buf, v.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(a: CollectCappedBuf, b: CollectCappedBuf): CollectCappedBuf = {
+    if (a.overflowed || b.overflowed) { a.xs = null; return a }
+    var i = 0
+    while (i < b.n && !a.overflowed) { append(a, b.xs(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: CollectCappedBuf): Any =
+    if (buf.overflowed) null
+    else {
+      val out = java.util.Arrays.copyOf(buf.xs, buf.n)
+      java.util.Arrays.sort(out)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+  override def serialize(buf: CollectCappedBuf): Array[Byte] =
+    if (buf.overflowed) Array[Byte](1)
+    else {
+      val out = new Array[Byte](1 + 4 + 8 * buf.n)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.put(0: Byte); bb.putInt(buf.n)
+      var i = 0
+      while (i < buf.n) { bb.putLong(buf.xs(i)); i += 1 }
+      out
+    }
+
+  override def deserialize(bytes: Array[Byte]): CollectCappedBuf =
+    if (bytes.isEmpty || bytes(0) == 1) new CollectCappedBuf(null, 0)
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+      val n = bb.getInt
+      val xs = new Array[Long](math.max(n, 8))
+      var i = 0
+      while (i < n) { xs(i) = bb.getLong; i += 1 }
+      new CollectCappedBuf(xs, n)
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectCappedLongs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectCappedLongs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CollectCappedLongs =
+    copy(child = newChildren.head)
+}
+
+/** `weights_for(sh, keys, ws, default) -> array<int>` — per-shingle idf
+  * weight lookup: binary-search each ascending shingle in the ascending
+  * exception-key array (`ws` positionally aligned), `default` for misses
+  * (see [[graft.functions.TextHash.weightsFor]]).
+  */
+case class WeightsFor(first: Expression, second: Expression, third: Expression,
+                      default: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(LongType, containsNull = false),
+    ArrayType(LongType, containsNull = false),
+    ArrayType(IntegerType, containsNull = false))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "weights_for"
+  override protected def nullSafeEval(a: Any, k: Any, w: Any): Any =
+    graft.functions.TextHash.weightsFor(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      default)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, k, w) => s"graft.functions.TextHash.weightsFor($a, $k, $w, $default)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WeightsFor =
+    copy(first = f, second = s, third = t)
+}
+
 /** `sorted_intersect_count(a, b) -> long` — |A ∩ B| of two ascending long
   * arrays by sorted merge (unweighted dedup verification; Jaccard derives as
   * i / (|A| + |B| − i) with the sizes already at hand).

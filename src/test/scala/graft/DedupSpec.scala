@@ -49,6 +49,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"only $found/${nearIds.size} near dups found")
   }
 
+  test("collect_capped: sorted array under cap, NULL past it (r21 band-join core)") {
+    import spark.implicits._
+    val rows = Seq.tabulate(30)(i => (i % 3L, (97L * i) % 1000)).toDF("g", "v")
+    val out = rows.groupBy("g")
+      .agg(graft.functions.collect_capped(col("v"), 10).as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    // each group has 10 values — exactly at the cap: kept, sorted ascending
+    (0L to 2L).foreach { g =>
+      val expected = (0 until 30).filter(_ % 3 == g).map(i => (97L * i) % 1000).sorted
+      assert(out(g) == expected, s"group $g: ${out(g)} != $expected")
+    }
+    val over = rows.groupBy("g")
+      .agg(graft.functions.collect_capped(col("v"), 9).as("ids"))
+      .collect().map(r => r.isNullAt(1))
+    assert(over.forall(identity), "cap 9 < group size 10 must evaluate to NULL")
+  }
+
+  test("band-join v2 (capped-collect) emits exactly the v1 self-join pair set") {
+    def pairSet(): Set[(Long, Long, Double)] =
+      Dedup.minhashPairs(corpus, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val v2 = pairSet()
+    sys.props("graft.bandjoin") = "v1"
+    val v1 = try pairSet() finally sys.props.remove("graft.bandjoin")
+    assert(v2 == v1, s"v2 minus v1: ${v2 diff v1}; v1 minus v2: ${v1 diff v2}")
+  }
+
   test("simhash finds planted exact dups at hamming 0") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

@@ -123,6 +123,19 @@ object FuzzProps extends Properties("graft.kernels") {
       TextHash.weightedIntersectSum(arr(a), wa, arr(b)) == expected
     }
 
+  property("weightsFor equals per-element map lookup with default (r21 kernel)") =
+    forAll(sortedSetGen, sortedSetGen, Gen.chooseNum(1, 8)) { (sh, keys, default) =>
+      // exception weights derive from the key (global-weight model, like idf)
+      def w(x: Long): Int = (Math.floorMod(x, 7L) + 2).toInt
+      val kw = keys.map(x => x -> w(x)).toMap
+      val ws = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        keys.map(w).toArray)
+      val got = TextHash.weightsFor(arr(sh), arr(keys), ws, default)
+      val expected = sh.map(x => kw.getOrElse(x, default))
+      got.numElements() == sh.size &&
+        sh.indices.forall(i => got.getInt(i) == expected(i))
+    }
+
   property("weighted minhash signature agreement tracks weighted Jaccard") =
     forAll(Gen.chooseNum(5, 40), Gen.chooseNum(0, 30)) { (shared, extra) =>
       // two sets: `shared` common keys + `extra` keys only in B, weight 1..4
