@@ -53,14 +53,19 @@ object Queries {
   private def httpLog(s: SparkSession, dir: String): DataFrame =
     HttpLog.view(Tables.events(s, dir))
 
-  /** http_log view + epoch-millis column, as the capnp encoder wants it.
-    * Fanned out ([[fanout]]): every consumer runs the capnp encode (and
-    * usually the decode) over these rows — the one per-row cost heavy
-    * enough that recovering map-side parallelism beats the extra exchange
-    * (AbProbe a00: 2.1× faster fanned; the cheap-map queries measured the
-    * OPPOSITE, so plain [[httpLog]] deliberately stays un-fanned).
-    */
+  /** http_log view + epoch-millis column, as the capnp encoder wants it. */
   private def httpLogMs(s: SparkSession, dir: String): DataFrame =
+    httpLog(s, dir).withColumn("ts_milli", expr("unix_millis(ts)"))
+
+  /** [[httpLogMs]] over a fanned-out scan ([[fanout]]) — a00 ONLY: its map
+    * side (encode + replica explode + decode + anonymize + partial dedup
+    * agg) is the one heavy enough that recovering parallelism beats the
+    * extra exchange (AbProbe: 2.1× faster fanned under box load, a wash on
+    * a quiet floor). a01/a10's lighter encode/decode-only map sides
+    * measured the OPPOSITE (a01 fanned 1.67× WORSE), so they stay on the
+    * plain helper.
+    */
+  private def httpLogMsFanned(s: SparkSession, dir: String): DataFrame =
     HttpLog.view(fanout(Tables.events(s, dir), col("event_id")))
       .withColumn("ts_milli", expr("unix_millis(ts)"))
 
@@ -167,7 +172,7 @@ object Queries {
       // split, anonymize, replay-dedup, aggregate hourly totals. The oracle
       // computes the same totals directly — it matches iff codec,
       // anonymization, dedup and aggregation all compose correctly.
-      val payloads = httpLogMs(s, dir).select(capnpMsg.as("value"), col("log_id"))
+      val payloads = httpLogMsFanned(s, dir).select(capnpMsg.as("value"), col("log_id"))
       // at-least-once: 20% of frames delivered twice. The replica fan-out is
       // an explode over the ALREADY-ENCODED bytes — one scan, one capnp
       // encode per source row (the previous self-union planned a second

@@ -374,13 +374,16 @@ case class CollectCappedLongs(
   override def nullable: Boolean = true
   override def prettyName: String = "collect_capped"
 
+  // fresh buffers share one immutable empty array: at web scale most LSH
+  // buckets are singletons, and an 8-slot array per bucket is pure garbage
+  // (16M buckets at the 100× probe ≈ 1.5 GB of allocation saved)
   override def createAggregationBuffer(): CollectCappedBuf =
-    new CollectCappedBuf(new Array[Long](8), 0)
+    new CollectCappedBuf(CollectCappedLongs.EMPTY, 0)
 
   private def append(buf: CollectCappedBuf, v: Long): Unit = {
     if (buf.n >= cap) { buf.xs = null; return }
     if (buf.n == buf.xs.length) {
-      val grown = new Array[Long](math.min(math.max(8, buf.xs.length * 2), cap))
+      val grown = new Array[Long](math.min(math.max(1, buf.xs.length * 2), cap))
       System.arraycopy(buf.xs, 0, grown, 0, buf.n)
       buf.xs = grown
     }
@@ -427,7 +430,7 @@ case class CollectCappedLongs(
     else {
       val bb = java.nio.ByteBuffer.wrap(bytes, 1, bytes.length - 1)
       val n = bb.getInt
-      val xs = new Array[Long](math.max(n, 8))
+      val xs = if (n == 0) CollectCappedLongs.EMPTY else new Array[Long](n)
       var i = 0
       while (i < n) { xs(i) = bb.getLong; i += 1 }
       new CollectCappedBuf(xs, n)
@@ -440,6 +443,10 @@ case class CollectCappedLongs(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CollectCappedLongs =
     copy(child = newChildren.head)
+}
+
+object CollectCappedLongs {
+  private[graft] val EMPTY = new Array[Long](0)
 }
 
 /** `weights_for(sh, keys, ws, default) -> array<int>` — per-shingle idf
