@@ -26,29 +26,16 @@ final case class Q(
   */
 object Queries {
 
-  /** Scale-adaptive scan fan-out (optimization guide §2.5, "unsplittable
-    * input"): the testdata tables are single-file, single-row-group parquet,
-    * so a scan is at most ONE task per file no matter the split config
-    * (openCostInBytes floors the split at 4 MB, and a lone row group can't
-    * split anyway) — which serializes the whole map side (capnp codec,
-    * shingling, regex scoring, join probes) on 1-2 of the session's cores.
-    * When the scan arrives with fewer partitions than the session's default
-    * parallelism, repartition by the table's unique key — deterministic hash
-    * partitioning, so task retries are safe (SPARK-38388's round-robin
-    * hazard doesn't apply) and no pre-shuffle sort is paid. At production
-    * scale the input has ≥ cores splits, the gate never fires, and the plan
-    * is unchanged — this is parallelism recovery for small unsplittable
-    * inputs, not a local[32] tuning constant.
-    */
-  private def fanout(df: DataFrame, keys: Column*): DataFrame = {
-    // measurement hook (AbProbe): -Dgraft.fanout=off compares the plan
-    // without the fan-out in the same JVM — interleaved A/B, same codegen
-    // and box conditions, the only honest comparison on a contended host
-    if (sys.props.get("graft.fanout").contains("off")) return df
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, keys: _*)
-  }
+  // Scan fan-out (a gated repartition-to-defaultParallelism after the
+  // scan) was INVESTIGATED this round and rejected everywhere
+  // (OPTIMIZATION_r21.md §2): the testdata tables are single-file,
+  // single-row-group parquet, so every scan is at most one task and the
+  // whole map side serializes on 1-2 cores — but interleaved A/B measured
+  // the recovery exchange costing MORE than the serialized work it frees
+  // on every query (2-3× worse on cheap map sides; even a00's heavy capnp
+  // stack read 1.04-1.07× worse on bench mins, its 32-way stage burning
+  // ~4× the single-task CPU on memory-bandwidth contention). At production
+  // scale inputs arrive with ≥ cores splits and the question disappears.
 
   private def httpLog(s: SparkSession, dir: String): DataFrame =
     HttpLog.view(Tables.events(s, dir))
@@ -56,18 +43,6 @@ object Queries {
   /** http_log view + epoch-millis column, as the capnp encoder wants it. */
   private def httpLogMs(s: SparkSession, dir: String): DataFrame =
     httpLog(s, dir).withColumn("ts_milli", expr("unix_millis(ts)"))
-
-  /** [[httpLogMs]] over a fanned-out scan ([[fanout]]) — a00 ONLY: its map
-    * side (encode + replica explode + decode + anonymize + partial dedup
-    * agg) is the one heavy enough that recovering parallelism beats the
-    * extra exchange (AbProbe: 2.1× faster fanned under box load, a wash on
-    * a quiet floor). a01/a10's lighter encode/decode-only map sides
-    * measured the OPPOSITE (a01 fanned 1.67× WORSE), so they stay on the
-    * plain helper.
-    */
-  private def httpLogMsFanned(s: SparkSession, dir: String): DataFrame =
-    HttpLog.view(fanout(Tables.events(s, dir), col("event_id")))
-      .withColumn("ts_milli", expr("unix_millis(ts)"))
 
   /** The 9-field HttpLogRecord encode over [[httpLogMs]] columns. */
   private def capnpMsg: org.apache.spark.sql.Column =
@@ -172,7 +147,7 @@ object Queries {
       // split, anonymize, replay-dedup, aggregate hourly totals. The oracle
       // computes the same totals directly — it matches iff codec,
       // anonymization, dedup and aggregation all compose correctly.
-      val payloads = httpLogMsFanned(s, dir).select(capnpMsg.as("value"), col("log_id"))
+      val payloads = httpLogMs(s, dir).select(capnpMsg.as("value"), col("log_id"))
       // at-least-once: 20% of frames delivered twice. The replica fan-out is
       // an explode over the ALREADY-ENCODED bytes — one scan, one capnp
       // encode per source row (the previous self-union planned a second
