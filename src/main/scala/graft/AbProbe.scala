@@ -7,10 +7,14 @@ import org.apache.spark.sql.SparkSession
   * session, cleared cache per rep — so box drift lands on both variants and
   * the min-of-reps difference is tree-attributable. Usage:
   *
-  *   runMain graft.AbProbe <propName> <query...>     (e.g. graft.fanout)
+  *   runMain graft.AbProbe <propName> <query...>     (e.g. graft.matcount)
   *
   * Variant A = prop unset (feature ON, the committed default), variant B =
-  * prop "off". Diagnostic only — not part of the driver contract.
+  * prop "off". A prop name starting with "spark." is treated as a runtime
+  * SQL conf instead: ON sets it "true", OFF sets it "false" (for boolean
+  * confs like adaptive/cached-plan toggles; the session default must make
+  * ON the committed behavior). Diagnostic only — not part of the driver
+  * contract.
   */
 object AbProbe {
   def main(args: Array[String]): Unit = {
@@ -34,17 +38,22 @@ object AbProbe {
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // sys-prop hooks flip operator code paths; "spark."-prefixed names flip
+    // a boolean runtime SQL conf instead (ON=true must be the session default)
+    val isConf = prop.startsWith("spark.")
+    def setOn(): Unit  = if (isConf) spark.conf.set(prop, "true") else { sys.props.remove(prop); () }
+    def setOff(): Unit = if (isConf) spark.conf.set(prop, "false") else { sys.props(prop) = "off"; () }
     qs.foreach { q =>
       // warm both variants (codegen/JIT for each plan shape)
-      sys.props.remove(prop); run(q)
-      sys.props(prop) = "off"; run(q)
+      setOn(); run(q)
+      setOff(); run(q)
       val on  = scala.collection.mutable.ArrayBuffer.empty[Double]
       val off = scala.collection.mutable.ArrayBuffer.empty[Double]
       for (_ <- 1 to reps) {
-        sys.props.remove(prop); on += run(q)
-        sys.props(prop) = "off"; off += run(q)
+        setOn(); on += run(q)
+        setOff(); off += run(q)
       }
-      sys.props.remove(prop)
+      setOn()
       def fmt(xs: Seq[Double]) =
         f"min=${xs.min}%.3f med=${xs.sorted.apply(xs.size / 2)}%.3f all=[${xs.map(x => f"$x%.3f").mkString(",")}]"
       println(s"${q.name}  $prop ON:  ${fmt(on.toSeq)}")

@@ -62,7 +62,43 @@ object GraftSession {
     // KB-sized table burn minutes of driver CPU building plan text. 1 MiB
     // keeps every legitimate explain intact.
     .config("spark.sql.maxPlanStringLength", env("SPARK_GRAFT_MAX_PLAN_STR", "1048576"))
+    // Let AQE re-plan INSIDE persisted-plan materializations (off by default
+    // upstream so a cache's output partitioning stays stable for consumers
+    // that reuse it). The dedup family materializes every persist under
+    // shuffle.partitions-wide exchanges, and with this off those reduce
+    // stages cannot coalesce — ProfileBench measured 32-task stages moving
+    // ~200 KB (c06 stage: 910 ms of task time for 230 ms of CPU, pure
+    // launch overhead; the same pattern in every materializedPairs call).
+    // Scale-adaptive by construction (AQE sizes from runtime bytes); no
+    // consumer here relies on a cache's physical partitioning (the pair
+    // caches are joined/aggregated through their own exchanges).
+    // SPARK_GRAFT_CACHED_PLAN_AQE=false restores the upstream default.
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      env("SPARK_GRAFT_CACHED_PLAN_AQE", "true"))
     .config("spark.ui.enabled", "false")
+
+  /** Run `body` with cached-plan AQE re-partitioning OFF, so frames
+    * persisted inside keep their exchange-established output partitioning
+    * (the upstream default). The session default above is `true` — caches
+    * whose consumers run their own exchanges coalesce their tiny reduce
+    * partitions adaptively — but a cache whose PARTITIONING is the
+    * optimization (Graph.pageRank's src-partitioned edge list, where every
+    * iteration join must be exchange-free above the cache scan) must opt
+    * out, or AQE's coalesced final stage degrades the cache's reported
+    * partitioning and the consumer re-shuffles the cached rows. The conf is
+    * read when the plan is cached (persist call), so the scope must cover
+    * the persist itself; covering the first materialization too is safe.
+    */
+  def withStableCachePartitioning[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** Local session sized by SPARK_GRAFT_CPUS (driver contract). */
   def local(cpus: String = env("SPARK_GRAFT_CPUS", "32")): SparkSession = {

@@ -170,8 +170,26 @@ object Queries {
           col("offset").as("log_id")))
       // replayed frames are byte-identical ⇒ dedup over ALL columns, which
       // plans as a bufferless codegen HashAggregate instead of the
-      // SortAggregate + First-object buffers a keyed dropDuplicates needs
-      val once = streaming.HttpLogPipeline.dedupReplayed(logs, logs.columns.toSeq)
+      // SortAggregate + First-object buffers a keyed dropDuplicates needs.
+      // r22: ONE exchange instead of two — repartition by the four stable
+      // key columns shared by BOTH aggregations. hash(resource_id, status,
+      // cache_status, remote_addr) clusters every dedup group (subset of
+      // the 9 dedup keys) AND every hourly group (subset of its 5 keys), so
+      // the replay dedup and the hourly rollup run back-to-back in a single
+      // post-shuffle stage with no second exchange of the deduped rows.
+      // Trade-off (scale): the explicit repartition sits below the partial
+      // aggregation, so byte-identical replicas no longer collapse map-side
+      // — the single exchange carries all replayed rows (~1.2×N) where the
+      // old first exchange carried ~N after partial dedup; in return the
+      // old SECOND exchange (hourly partials, ~group-count rows of 7 cols)
+      // disappears. On http-log shapes the hourly group count is the same
+      // order as N (9874 groups / 10k logs here), so total exchanged bytes
+      // DROP as well; a deployment with massive per-group collapse can
+      // restore the two-exchange shape (-Dgraft.a00onex=off, AbProbe hook).
+      val deduped = if (sys.props.get("graft.a00onex").contains("off")) logs
+        else logs.repartition(col("resource_id"), col("response_status"),
+          col("cache_status"), col("remote_addr"))
+      val once = streaming.HttpLogPipeline.dedupReplayed(deduped, logs.columns.toSeq)
       // in-query telemetry (reference telemetry.rs counters): rows/bytes/5xx
       // ride the plan as observed metrics — no extra pass, asserted in
       // ObservabilitySpec against the same counts the oracle checks

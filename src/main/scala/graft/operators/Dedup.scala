@@ -56,7 +56,14 @@ object Dedup {
     // quadratic is identical to the join's (a bucket's pairs always
     // co-reside in one task either way); the cap bounds both. Distinct
     // across bands is unchanged.
-    banded.groupBy("band", "key")
+    // r22 (ADVICE): null band keys are dropped BEFORE the groupBy — v1's
+    // equi-join could never match them, but groupBy treats null as a value
+    // and would pool every null-key doc into one quadratic bucket (paired
+    // candidates that only the downstream null-metric filter discards).
+    // Output is unchanged on any input; candidate volume stops blowing up
+    // on dirty corpora (e.g. null-text docs under simhashPairs).
+    banded.filter(col("key").isNotNull)
+      .groupBy("band", "key")
       .agg(graft.functions.collect_capped(col("id"), maxBucket).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
@@ -134,10 +141,22 @@ object Dedup {
     */
   private def materializedPairs(pairs: DataFrame, caches: DataFrame*): DataFrame = {
     val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // force the pair cache so the big inputs can be released now
+    materialize(out) // force the pair cache so the big inputs can be released now
     caches.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Materialize a persisted frame and return its row count. Plain
+    * `count()`, deliberately: r22 probed two "one job, no aggregation
+    * stages" alternatives and BOTH measured worse under interleaved A/B at
+    * sf0.1 — `queryExecution.toRdd.count()` read 1.16-1.21× (the readback
+    * deserializes every column of the just-built cache batches, where
+    * count()'s aggregate prunes them all), and `select(lit(1))` over the
+    * cache read through the internal RDD read 1.26-1.27× (worse still).
+    * count()'s two extra stages (partial + single-task final) are cheaper
+    * than either; do not re-run this experiment without new evidence.
+    */
+  private def materialize(df: DataFrame): Long = df.count()
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     *
@@ -240,7 +259,7 @@ object Dedup {
     // re-scanned the corpus before the cache existed (one whole extra pass
     // at 5k docs ≈ the query's fixed-cost floor; at 100 TB, a full extra
     // read). Every downstream consumer reuses the now-warm cache.
-    val nDocs = base.count()
+    val nDocs = materialize(base)
     val exploded = base.select(col("id"), explode(col("sh")).as("shingle"))
     def wOf(dfc: Column): Column = greatest(lit(1),
       least(lit(maxWeight), ceil(log(lit(nDocs.toDouble) / dfc)))).cast("int")
@@ -342,8 +361,10 @@ object Dedup {
     * is dropped). Each stage is a shuffle-partitioned join/agg — no stage
     * materializes pairs beyond LSH candidates. The keeper key set
     * (fp, id, copies — no payload) is persisted so the final anti-join
-    * reuses it instead of re-running the exact-dedup pass (r21); callers
-    * holding the result long-term unpersist via the session cache manager.
+    * reuses it instead of re-running the exact-dedup pass (r21). Since r22
+    * the returned frame is the ONLY cache left behind (materialized output;
+    * keepers and the verified-pair cache are released before return — the
+    * CacheHygieneSpec contract); callers holding it long-term unpersist it.
     */
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
                   minTokens: Int = 5, nearThreshold: Double = 0.5): DataFrame = {
@@ -364,9 +385,17 @@ object Dedup {
     val exactKept = keepers.join(longEnough.select(col(idCol), col(textCol)), idCol)
     val nearPairs = minhashPairs(exactKept, idCol, textCol, threshold = nearThreshold)
     val dropIds = nearPairs.select(col("id_b").as(idCol)).distinct()
-    keepers
-      .join(dropIds, Seq(idCol), "left_anti")
-      .select(col(idCol), col("fp"), col("exact_copies"))
+    // r22 (VERDICT task #2): the output key set (tiny — one row per kept
+    // doc, no payload) is materialized through the same materializedPairs
+    // discipline every other operator here uses, which lets the keepers and
+    // verified-pair caches be RELEASED before return instead of leaking
+    // into the session until somebody clears the cache manager. Rows are
+    // identical; callers holding the result long-term unpersist it.
+    materializedPairs(
+      keepers
+        .join(dropIds, Seq(idCol), "left_anti")
+        .select(col(idCol), col("fp"), col("exact_copies")),
+      keepers, nearPairs)
   }
 
   /** Connected components of an undirected pair graph via alternating
@@ -422,7 +451,7 @@ object Dedup {
     // (truncated view, persisted handle, row count)
     def materializeTruncated(df: DataFrame): (DataFrame, DataFrame, Long) = {
       val p = df.persist(MEMORY_AND_DISK)
-      val n = p.count()
+      val n = materialize(p)
       (p.sparkSession.createDataFrame(p.rdd, p.schema), p, n)
     }
 
@@ -456,7 +485,7 @@ object Dedup {
       val out = linked
         .union(singles.join(linked.select("doc_id"), Seq("doc_id"), "left_anti"))
         .persist(MEMORY_AND_DISK)
-      out.count()
+      materialize(out)
       out
     } finally curCache.unpersist(blocking = false)
   }
@@ -472,12 +501,15 @@ object Dedup {
                       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, k = k, threshold = threshold)
     val cc = connectedComponents(pairs.select("id_a", "id_b"))
-    // CC's output is materialized, so the verified-pair cache can go now;
-    // the returned frame rides the (small) CC cache — long-lived callers
-    // unpersist it when done
+    // CC's output is materialized, so the verified-pair cache can go now
     pairs.unpersist(blocking = false)
     val sizes = cc.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "rep").select(col("doc_id"), col("rep"), col("cluster_size"))
+    // r22: materialize the (small) cluster table and release the CC cache —
+    // previously the returned frame RODE the CC cache, so releasing the
+    // result could never free it (VERDICT task #2's leak class)
+    materializedPairs(
+      cc.join(sizes, "rep").select(col("doc_id"), col("rep"), col("cluster_size")),
+      cc)
   }
 
   /** [[cleanCorpus]] with transitive-cluster semantics: near-dup removal
@@ -503,9 +535,13 @@ object Dedup {
     pairs.unpersist(blocking = false) // CC output is materialized
     val nonReps = cc.filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as(idCol))
-    keepers
-      .join(nonReps, Seq(idCol), "left_anti")
-      .select(col(idCol), col("fp"), col("exact_copies"))
+    // r22: same release discipline as [[cleanCorpus]] — materialize the tiny
+    // output key set, then free the keepers and CC caches before return
+    materializedPairs(
+      keepers
+        .join(nonReps, Seq(idCol), "left_anti")
+        .select(col(idCol), col("fp"), col("exact_copies")),
+      keepers, cc)
   }
 
   /** Benchmark decontamination: flag (training doc, benchmark doc) pairs

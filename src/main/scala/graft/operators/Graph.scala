@@ -48,19 +48,27 @@ object Graph {
     */
   def pageRank(spark: SparkSession, lineitem: DataFrame, orders: DataFrame,
                iterations: Int = 3): DataFrame = {
-    val edges = edgeFrame(lineitem, orders).persist(StorageLevel.MEMORY_AND_DISK)
-    // deg is computed ONCE and persisted (|nodes| rows, 16 B each): without
-    // this, every iteration's `.join(deg, "src")` re-aggregated the full
-    // cached edge list — 2 edge scans per iteration instead of 1 (measured
-    // at the 100× graph probe; see SURVEY §6). Its hash partitioning (by
-    // src, inherited from the edge cache's, exchange-free — GraphSpec)
-    // survives into its own InMemoryRelation, so iteration joins still
-    // need no deg-side exchange. deg.count() doubles as the node count
-    // (every node has out-degree ≥ 1 by symmetric construction) and
-    // materializes both caches.
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = deg.count()
+    // r22: the edge/deg caches are the one place whose PARTITIONING is the
+    // optimization (every iteration join must be exchange-free above the
+    // cache scan — the scaladoc's partitioning discipline), so their persist
+    // opts out of the session's cached-plan AQE default, which would let a
+    // coalesced final stage degrade the cache's reported partitioning and
+    // re-shuffle the cached edges every iteration. GraphSpec pins the shape.
+    val (edges, deg, n) = graft.GraftSession.withStableCachePartitioning(spark) {
+      val e = edgeFrame(lineitem, orders).persist(StorageLevel.MEMORY_AND_DISK)
+      // deg is computed ONCE and persisted (|nodes| rows, 16 B each): without
+      // this, every iteration's `.join(deg, "src")` re-aggregated the full
+      // cached edge list — 2 edge scans per iteration instead of 1 (measured
+      // at the 100× graph probe; see SURVEY §6). Its hash partitioning (by
+      // src, inherited from the edge cache's, exchange-free — GraphSpec)
+      // survives into its own InMemoryRelation, so iteration joins still
+      // need no deg-side exchange. deg.count() doubles as the node count
+      // (every node has out-degree ≥ 1 by symmetric construction) and
+      // materializes both caches.
+      val d = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (e, d, d.count())
+    }
     if (n == 0) { // empty input: no nodes to rank (and nothing to divide by)
       deg.unpersist(blocking = false)
       edges.unpersist(blocking = false)

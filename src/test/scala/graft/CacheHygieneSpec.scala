@@ -111,4 +111,25 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
       graft.operators.Dedup.weightedMinhashPairs(docs, "doc_id", "text")
     }
   }
+
+  // r22 (VERDICT task #2): the clean-corpus family used to leak its keepers
+  // key set (and nearDupClusters its CC cache) past the returned frame —
+  // these pin the same single-cache contract for c06/c09/c10/e15's operators.
+  test("Dedup.cleanCorpus releases every internal cache (keepers included)") {
+    checkContract("cleanCorpus") {
+      graft.operators.Dedup.cleanCorpus(docs, "doc_id", "text")
+    }
+  }
+
+  test("Dedup.cleanCorpusCC releases every internal cache (keepers + CC)") {
+    checkContract("cleanCorpusCC") {
+      graft.operators.Dedup.cleanCorpusCC(docs, "doc_id", "text")
+    }
+  }
+
+  test("Dedup.nearDupClusters releases every internal cache (CC included)") {
+    checkContract("nearDupClusters") {
+      graft.operators.Dedup.nearDupClusters(docs, "doc_id", "text")
+    }
+  }
 }

@@ -42,9 +42,15 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("iteration join reuses the cached edge partitioning: no shuffle above the edge-side cache scan") {
-    val edges = graft.operators.Graph
-      .edgeFrame(Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // same cache discipline as pageRank's internals (r22): the edge cache is
+    // persisted with stable output partitioning — the session default lets
+    // AQE coalesce cached plans, which would degrade the cache's reported
+    // partitioning and defeat exactly the reuse this test pins
+    val edges = GraftSession.withStableCachePartitioning(spark) {
+      graft.operators.Graph
+        .edgeFrame(Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     try {
       edges.count()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
