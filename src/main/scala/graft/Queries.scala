@@ -1023,9 +1023,25 @@ object Queries {
       val o  = Tables.orders(s, dir)
       val c  = Tables.customer(s, dir)
       val n  = Tables.nation(s, dir)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      // r22 (VERDICT #6): the b09-style dim-first reorder was probed and
+      // REJECTED — resolve nation INTO customer first (dim⋈dim broadcast),
+      // then join the enriched dim to the fact chain. Unlike b09 there is
+      // no selective filter here (every nation survives), so the reorder
+      // cannot prune the big side; AbProbe (8 reps, interleaved) read the
+      // reorder 1.08× WORSE on mins (0.558 vs 0.519; medians 0.644 vs
+      // 0.580). The committed shape stays the r20 one; the probed
+      // alternative stays reachable under -Dgraft.b02order=off as the
+      // measurement hook and the negative-result record.
+      val joined =
+        if (sys.props.get("graft.b02order").contains("off"))
+          li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .join(c.join(broadcast(n), col("c_nationkey") === col("n_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        else
+          li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .join(c, col("o_custkey") === col("c_custkey"))
+            .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      joined
         .groupBy(col("n_name").as("nation"))
         .agg(
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

@@ -29,6 +29,19 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Invalidate cached schemas (r22, ADVICE): a caller that REWRITES a
+    * table's parquet with a different schema inside one JVM must clear the
+    * stale entry, or subsequent reads apply the old schema and misbind
+    * columns silently. No in-repo path rewrites a cached table in-process
+    * (ScaleProbe's per-mode dirs are `_done`-guarded and written before
+    * first read), so nothing calls this today — it exists so the footgun
+    * has a safe off-ramp. Pass a path to drop one entry, nothing for all.
+    */
+  def invalidateSchemaCache(path: Option[String] = None): Unit = path match {
+    case Some(p) => schemaCache.remove(p); ()
+    case None    => schemaCache.clear()
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (sys.props.get("graft.schemacache").contains("off"))

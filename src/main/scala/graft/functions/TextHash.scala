@@ -194,6 +194,13 @@ object TextHash {
     * the O(|sh| · |keys|) a Spark map probe costs (GetMapValue on
     * ArrayBasedMapData is a linear scan; measured 66 s of CPU at sf0.1
     * before this kernel replaced it).
+    *
+    * `sh` need only be ASCENDING, not strictly so (r22, ADVICE): on a hit
+    * the next search's lower bound stays AT the matched index rather than
+    * past it, so a repeated shingle value resolves to its exception weight
+    * instead of silently falling back to `default`. wordShingles emits
+    * distinct TreeSet output so the engine never hits this, but weights_for
+    * is a public Column function and duplicate input must not mis-weight.
     */
   def weightsFor(sh: ArrayData, keys: ArrayData, ws: ArrayData,
                  default: Int): ArrayData = {
@@ -208,7 +215,7 @@ object TextHash {
         val mid = (lo + hi) >>> 1
         if (keys.getLong(mid) < x) lo = mid + 1 else hi = mid
       }
-      if (lo < m && keys.getLong(lo) == x) { out(i) = ws.getInt(lo); base = lo + 1 }
+      if (lo < m && keys.getLong(lo) == x) { out(i) = ws.getInt(lo); base = lo }
       else { out(i) = default; base = lo }
       i += 1
     }

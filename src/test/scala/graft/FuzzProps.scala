@@ -123,8 +123,13 @@ object FuzzProps extends Properties("graft.kernels") {
       TextHash.weightedIntersectSum(arr(a), wa, arr(b)) == expected
     }
 
+  // sorted but NOT distinct: r22 relaxed weightsFor's input contract so a
+  // repeated shingle still resolves to its exception weight (ADVICE item)
+  private val sortedListGen: Gen[Seq[Long]] =
+    Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.sorted)
+
   property("weightsFor equals per-element map lookup with default (r21 kernel)") =
-    forAll(sortedSetGen, sortedSetGen, Gen.chooseNum(1, 8)) { (sh, keys, default) =>
+    forAll(sortedListGen, sortedSetGen, Gen.chooseNum(1, 8)) { (sh, keys, default) =>
       // exception weights derive from the key (global-weight model, like idf)
       def w(x: Long): Int = (Math.floorMod(x, 7L) + 2).toInt
       val kw = keys.map(x => x -> w(x)).toMap

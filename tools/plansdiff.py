@@ -20,7 +20,11 @@ Two grains:
   RENUMBERING (any upstream Queries.scala edit shifts ids for every later
   query) can permute attribute ORDER inside Expand/Window/Aggregate
   argument lists with zero structural change, so expect a handful of
-  attribute-permutation-only rows on any regen whose source changed.
+  attribute-permutation-only rows on any regen whose source changed. Since
+  r22 a full-grain CHANGED row whose tree grain is unchanged and whose diff
+  vanishes when bracket-list items are sorted is auto-ANNOTATED
+  "[known-benign: attribute-order permutation, tree unchanged]" (the
+  documented b53 Expand class); annotation only — exit code unchanged.
 - --tree: compares only each plan's operator-tree section (the lines
   before the first `(n) NodeName` detail block). Immune to attribute-order
   permutation; a --tree diff IS a structural plan change. Read the pair:
@@ -90,6 +94,54 @@ def normalize(line: str, numeric_args_op: bool = False) -> str:
 KNOWN_BUILD_FLIP = {"c12_semdedup"}
 
 _TREE_PREFIX = re.compile(r"^[\s:+\-]+")  # tree-drawing chars, NOT the codegen `*`
+
+
+def _sort_bracket_items(s: str) -> str:
+    """Canonicalize attribute ORDER: inside every balanced [...] group, sort
+    the top-level comma-separated items (each recursively canonicalized
+    first). This is the documented expression-id-renumbering permutation
+    class — RewriteDistinctAggregates can emit Expand branch/attribute lists
+    in id order, so ANY upstream source edit can permute them with zero
+    structural change (b53_profile_xxhash64 is the standing example, r20).
+    Used ONLY to ANNOTATE a full-grain-changed plan whose tree grain is
+    unchanged and whose diff vanishes under this form — never to suppress
+    the CHANGED line or alter the exit code."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "[":
+            depth, j = 1, i + 1
+            while j < len(s) and depth:
+                if s[j] == "[":
+                    depth += 1
+                elif s[j] == "]":
+                    depth -= 1
+                j += 1
+            if depth:  # unbalanced bracket: leave the tail untouched
+                out.append(s[i:])
+                return "".join(out)
+            inner = _sort_bracket_items(s[i + 1:j - 1])
+            items, d, start = [], 0, 0
+            for k, ch in enumerate(inner):
+                if ch in "[(":
+                    d += 1
+                elif ch in "])":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    items.append(inner[start:k].strip())
+                    start = k + 1
+            items.append(inner[start:].strip())
+            out.append("[" + ", ".join(sorted(items)) + "]")
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def permutation_canonical(lines: list) -> list:
+    return [_sort_bracket_items(l) for l in lines]
 
 
 def buildside_canonical(lines: list) -> list:
@@ -283,6 +335,39 @@ Arguments: 25
             failures += not ok
             print(f"{'OK  ' if ok else 'FAIL'} {label}: exit {got} (want {want}), "
                   f"note={has_note} (want {want_note})")
+
+        # full-grain annotation of the documented attribute-order permutation
+        # class (r22, the b53 follow-through): a detail-line diff that
+        # vanishes when bracket-list items are sorted, on a tree-unchanged
+        # plan, gets the annotation; exit stays 1; a genuine item change or
+        # a tree change carries NO annotation
+        pnote = "[known-benign: attribute-order permutation, tree unchanged]"
+        permuted = base.replace("Output [2]: [u, v]", "Output [2]: [v, u]")
+        nested = base.replace("Output [2]: [u, v]",
+                              "Arguments: [[u, v, 1], [u, null, 2]], [u, v]")
+        nested_perm = base.replace("Output [2]: [u, v]",
+                                   "Arguments: [[u, null, 2], [v, u, 1]], [v, u]")
+        genuine = base.replace("Output [2]: [u, v]", "Output [2]: [u, w]")
+        tree_and_perm = permuted.replace("+- Exchange (4)", "+- Sort (4)")
+        perm_cases = [
+            (base, permuted, 1, True, "attribute permutation -> annotated, exit 1"),
+            (nested, nested_perm, 1, True, "nested Expand-branch permutation -> annotated"),
+            (base, genuine, 1, False, "genuine item change -> no annotation"),
+            (permuted, tree_and_perm, 1, False, "permutation + tree change -> no annotation"),
+        ]
+        for i, (old_t, new_t, want, want_note, label) in enumerate(perm_cases):
+            fa = os.path.join(d, f"pa{i}.txt")
+            fb = os.path.join(d, f"pb{i}.txt")
+            open(fa, "w").write(old_t)
+            open(fb, "w").write(new_t)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                got = main([fa, fb])
+            has_note = pnote in buf.getvalue()
+            ok = got == want and has_note == want_note
+            failures += not ok
+            print(f"{'OK  ' if ok else 'FAIL'} {label}: exit {got} (want {want}), "
+                  f"note={has_note} (want {want_note})")
     print(f"\nselftest: {'PASS' if not failures else f'{failures} FAILURES'}")
     return failures
 
@@ -303,11 +388,21 @@ def main(argv) -> int:
     if drift:
         print(f"COVERAGE DRIFT: only-old={only_old} only-new={only_new}")
     changed = sorted(k for k in set(old) & set(new) if old[k] != new[k])
+    # full-grain permutation annotation needs the tree grain for its
+    # "structurally unchanged" half — load it lazily, once
+    old_tree = new_tree = None
+    if changed and not a.tree:
+        old_tree = blocks(a.old_plans, True)
+        new_tree = blocks(a.new_plans, True)
     for k in changed:
         note = ""
         if (a.tree and k in KNOWN_BUILD_FLIP
                 and buildside_canonical(old[k]) == buildside_canonical(new[k])):
             note = " [known-benign: run-level AQE build-side flip]"
+        elif (not a.tree
+                and old_tree.get(k) == new_tree.get(k)
+                and permutation_canonical(old[k]) == permutation_canonical(new[k])):
+            note = " [known-benign: attribute-order permutation, tree unchanged]"
         print(f"CHANGED {k} ({len(old[k])} -> {len(new[k])} lines){note}")
     if a.show:
         if a.show in changed:
