@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // forward graft.* operator hooks into the forked run JVM (probe A/Bs:
+  // SPARK_GRAFT_SYSPROPS="graft.bandjoin=v1,graft.pairpart=off" sbt ...)
+  sys.env.get("SPARK_GRAFT_SYSPROPS").toSeq.flatMap(_.split(",").toSeq)
+    .map(kv => s"-D${kv.trim}")

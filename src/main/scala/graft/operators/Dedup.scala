@@ -62,14 +62,29 @@ object Dedup {
     // candidates that only the downstream null-metric filter discards).
     // Output is unchanged on any input; candidate volume stops blowing up
     // on dirty corpora (e.g. null-text docs under simhashPairs).
-    banded.filter(col("key").isNotNull)
+    val emitted = banded.filter(col("key").isNotNull)
       .groupBy("band", "key")
       .agg(graft.functions.collect_capped(col("id"), maxBucket).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
         explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id_b"))
-      .distinct()
+    if (sys.props.get("graft.pairpart").exists(v => v == "v1" || v == "off"))
+      return emitted.distinct()
+    // r22: the cross-band dedup partitions by id_a ALONE (subset of the
+    // dedup keys, so the aggregation needs no second exchange) instead of
+    // (id_a, id_b) — downstream, the first verify join is keyed on id_a,
+    // so at scale (sort-merge/shuffled-hash regime, where the sig frame
+    // outgrows broadcast) the candidate set arrives at the join already
+    // co-partitioned and is NOT re-shuffled: one exchange of the pair set
+    // instead of two. Shuffled bytes are unchanged (a pair's cross-band
+    // duplicates originate in different (band, key) partitions either way,
+    // so the old map-side partial dedup could not collapse them before the
+    // exchange). Locally the joins broadcast, so this is plan-neutral at
+    // bench SF; the 100× probe is the measurement. A hot id_a is bounded by
+    // cap·bands pairs per doc. -Dgraft.pairpart=off restores the
+    // (id_a, id_b)-keyed distinct.
+    emitted.repartition(col("id_a")).dropDuplicates("id_a", "id_b")
   }
 
   /** Exact dedup by content hash: keeper = min id per hash. */
@@ -185,6 +200,11 @@ object Dedup {
         lsh_band_keys(minhash_sig_arr(col("sh"), n), bands).as("keys"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT eagerly materialized (r22 probe): AQE's leaf query stages (band
+    // map + the two broadcast builds) race this cache's block locks on
+    // first run, but the waiters overlap the winner's compute — forcing the
+    // cache with its own action first measured a ~5% LOSS on interleaved
+    // mins (c02 0.955, c07 0.946, lazy/eager) for one extra job.
     val banded = sigs.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
     val cand = bandJoinCandidates(banded)
     // The attach joins below deliberately shuffle the full sig frame rather
